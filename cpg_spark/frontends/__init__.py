@@ -1,0 +1,27 @@
+"""Language frontends: per-document parsers that emit node/edge/mention rows.
+
+Each frontend is a plain-Python callable
+``parse_document(doc_id, span_offset, source, module_name) -> DocGraph``
+executed inside vectorized Arrow batches (``mapInPandas``) — the Spark
+equivalent of the reference's per-file LanguageFrontend instances
+(``cpg-core/.../TranslationManager.kt:247-299`` runs one frontend + one
+private ScopeManager per file in a thread; our unit of parallelism is the
+partition).
+
+Registration mirrors ``TranslationConfiguration.registerLanguage``
+(``cpg-core/.../TranslationConfiguration.java:413-418``): a dict from span
+``kind`` to parser callable, consulted by the parse operator.
+"""
+
+from __future__ import annotations
+
+from .python_frontend import parse_python_document
+
+# span kind -> parser; extended as more frontends land (SURVEY.md §2.2)
+FRONTENDS = {
+    "code/python": parse_python_document,
+}
+
+
+def register_frontend(kind: str, fn) -> None:
+    FRONTENDS[kind] = fn

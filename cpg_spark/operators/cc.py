@@ -1,0 +1,134 @@
+"""Iterative large-star / small-star connected components.
+
+The canonicalization kernel (SURVEY.md A1): the reference unifies aliased
+Type objects into one canonical node by in-heap rewriting
+(``TypeResolver.java:83-160``); at cluster scale alias unification is
+connected components over the alias edge graph.  Catalyst has no CC
+primitive, so we run the two-step large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+public literature; also the algorithm GraphFrames uses), which converges in
+O(log n) rounds of joins+aggregations.
+
+Each round is checkpointed via ``localCheckpoint`` to cut lineage blowup
+(SURVEY.md §7.3) — at 10^12 scale the checkpoint would be an Iceberg table
+write per round instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Returns (node, component) where component = min node id reachable.
+
+    Node ids may be any orderable type (string hashes work).  Undirected
+    semantics: edges are symmetrized internally.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    # parent pointers: every node starts pointing at its min neighbor or self
+    e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        # large-star: connect every strictly-larger neighbor to the min
+        # neighbor (including self) of u
+        min_nbr = e.groupBy("u").agg(F.min("v").alias("m"))
+        large = (
+            e.join(min_nbr, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.least("m", F.col("u")).alias("v"))
+        )
+        e1 = large.unionByName(
+            min_nbr.select(F.col("u"), F.least("m", "u").alias("v"))
+        ).filter(F.col("u") != F.col("v")).distinct()
+
+        # small-star: connect all neighbors <= u to u's min neighbor
+        e1s = e1.unionByName(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        smaller = e1s.filter(F.col("v") <= F.col("u"))
+        min_small = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            smaller.join(min_small, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(min_small.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        if checkpoint:
+            small = small.localCheckpoint(eager=True)
+        # convergence: every node points directly at its component min —
+        # i.e. the graph is a star forest: no v appears as a u with a
+        # different target
+        chain = (
+            small.alias("a")
+            .join(small.alias("b"), F.col("a.v") == F.col("b.u"))
+            .filter(F.col("a.u") != F.col("b.v"))
+            .limit(1)
+            .count()
+        )
+        e = small
+        if chain == 0:
+            break
+
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # isolated nodes of the input keep themselves as component
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return (
+        all_nodes.join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", "node").alias("component"),
+        )
+    )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_iters: int = 30,
+) -> DataFrame:
+    """(descendant, ancestor) pairs — iterative join to fixpoint.
+
+    The Spark form of the reference's supertype closure walk
+    (``TypeHierarchyResolver.java:117-127``); hierarchies are shallow so the
+    loop runs ≤ depth iterations, each checkpointed."""
+    base = edges.select(
+        F.col(child).alias("descendant"), F.col(parent).alias("ancestor")
+    ).distinct()
+    closure = base.localCheckpoint(eager=True)
+    frontier = closure
+    for _ in range(max_iters):
+        nxt = (
+            frontier.alias("f")
+            .join(base.alias("b"), F.col("f.ancestor") == F.col("b.descendant"))
+            .select(
+                F.col("f.descendant").alias("descendant"),
+                F.col("b.ancestor").alias("ancestor"),
+            )
+            .join(closure, ["descendant", "ancestor"], "left_anti")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        closure = closure.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return closure

@@ -1,0 +1,147 @@
+"""Deduplication family for training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+* exact           — hash-groupBy on md5(text): one shuffle on a uniform key.
+* ngram Jaccard   — shingle explode + shingle-bucket self-join: candidate
+                    pairs only materialize where shingles collide, so the
+                    join never goes quadratic on the corpus.
+* MinHash + LSH   — per-doc signature (min over md5(seed||shingle)), banded;
+                    near-dup candidates = band-bucket join; Jaccard verify.
+                    md5 keeps the SQL oracle bit-identical.
+* SimHash         — 32-bit majority-vote over token hashes (bit tricks via
+                    integer arithmetic); near-dups share the simhash value
+                    or a band of it.
+* embedding cosine— see cpg_spark.operators.ann (shares the vector kernel).
+
+Scale note: every operator here keys its shuffle on content hashes
+(uniformly distributed by construction), so no salting is needed — unlike
+the name-keyed linking joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cpg_spark.operators.textops import shingles
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One survivor (min id) per distinct text; returns
+    (text_hash, keep_id, n_dups)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingle_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """Candidate (a, b) doc pairs sharing >=1 k-shingle, with exact n-gram
+    Jaccard similarity scaled to integer permille (jaccard_pm) so the SQL
+    oracle matches bit-for-bit."""
+    sh = (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc") < F.col("y.doc")))
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .select(
+            "a", "b", "inter",
+            (F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter")))
+            .cast("long").alias("jaccard_pm"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 8,
+                       k: int = 3) -> DataFrame:
+    """(doc, mh0..mh{n-1}) — minhash_j = min over shingles of
+    md5(j || '|' || shingle).  String-min over hex digests is a valid
+    min-wise permutation family for dedup purposes and is reproducible in
+    any engine with md5."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("s")
+    ).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
+                        band_size: int = 2) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band are
+    candidates.  The shuffle key is (band_id, band_hash) — uniform."""
+    n_bands = num_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"mh{j}") for j in range(b * band_size, (b + 1) * band_size)]
+        one = signatures.select(
+            F.col("doc"),
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  num_hashes: int = 8, band_size: int = 2, k: int = 3,
+                  jaccard_pm_threshold: int = 800) -> DataFrame:
+    """Full MinHash-LSH near-dup detection: candidates from banding,
+    verified with exact shingle Jaccard; returns (a, b, jaccard_pm)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
+    verified = shingle_pairs(df, text_col, id_col, k).join(cands, ["a", "b"])
+    return verified.filter(F.col("jaccard_pm") >= jaccard_pm_threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over tokens: bit i of the hash is the majority vote
+    of bit i across md5-derived token hashes.  Integer-only formulation:
+    token_hash = first 8 hex chars of md5(token) as a 32-bit int."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    tok = tok.select("doc", h.alias("h"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    votes = tok.groupBy("doc").agg(*bit_cols)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else (sim + term)
+    return votes.select("doc", sim.alias("simhash"))

@@ -1,0 +1,75 @@
+"""Join strategies for the linking stage: broadcast vs salted shuffle join.
+
+The reference "joins" via in-heap hash maps over merged symbol tables
+(``VariableUsageResolver.java:71-73``, ``CallResolver.java:67-69``); at
+cluster scale the equivalent is an equi-join whose key (symbol simple name)
+is heavily Zipf-skewed — ``print``, ``main``, ``self`` dominate (SURVEY.md
+§7.3 "Skew").  Strategy:
+
+* dimension side small (the common case: distinct declarations are tiny
+  relative to mentions) → ``F.broadcast`` hash join — no shuffle, skew
+  irrelevant;
+* dimension side large → salted sort-merge join: the fact side gets a salt
+  from a hash of its unique id, the dimension side is exploded ×K
+  (``BASELINE north_rule`` demands explicit handling; AQE skew-join stays on
+  as backstop — both are reported in stage metrics).
+
+Key columns are passed as (fact_col, dim_col) pairs with distinct names so
+no aliasing gymnastics are needed downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# dimension tables below this row count are broadcast (executors hold the
+# hash table; 2M symbol rows ≈ low hundreds of MB — fine on 8G+ executors)
+BROADCAST_MAX_ROWS = 2_000_000
+
+
+def salted_equi_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    key_pairs: list[tuple[str, str]],
+    salt_src: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the fact side salted by ``pmod(xxhash64(salt_src),
+    buckets)`` and the dim side exploded × ``buckets`` — spreads each hot
+    key over ``buckets`` reducers instead of one."""
+    f = facts.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(buckets)).cast("int")
+    )
+    d = dims.withColumn(
+        "_dsalt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    cond = [F.col(fk) == F.col(dk) for fk, dk in key_pairs]
+    cond.append(F.col("_salt") == F.col("_dsalt"))
+    return f.join(d, cond, how).drop("_salt", "_dsalt")
+
+
+def linking_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    key_pairs: list[tuple[str, str]],
+    salt_src: str,
+    dim_rows: int | None = None,
+    buckets: int = 16,
+    how: str = "inner",
+    force: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Pick broadcast vs salted join; returns (joined, strategy_used)."""
+    strategy = force
+    if strategy is None:
+        if dim_rows is None:
+            dim_rows = dims.count()
+        strategy = "broadcast" if dim_rows <= BROADCAST_MAX_ROWS else "salted"
+    if strategy == "broadcast":
+        cond = [F.col(fk) == F.col(dk) for fk, dk in key_pairs]
+        return facts.join(F.broadcast(dims), cond, how), "broadcast"
+    return (
+        salted_equi_join(facts, dims, key_pairs, salt_src, buckets=buckets, how=how),
+        "salted",
+    )

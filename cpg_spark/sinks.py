@@ -1,0 +1,67 @@
+"""Table sink abstraction: parquet locally, Iceberg on a real cluster.
+
+The reference materializes via a Neo4j OGM bulk save
+(``cpg-neo4j/.../Application.kt:223-245``); our equivalent is a partitioned
+table commit.  This sandbox has no Iceberg runtime jar, so the sink writes
+parquet directories with an atomic ``_SUCCESS`` marker (what
+``spark.write`` already provides); on a cluster with an Iceberg catalog the
+same call sites switch to ``df.writeTo(table).createOrReplace()`` by
+setting ``CPG_SPARK_CATALOG`` — the stage/pipeline code is format-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def table_uri(workdir: str, run_id: str, stage: str, name: str) -> str:
+    return os.path.join(workdir, run_id, stage, name)
+
+
+def write_table(df: DataFrame, uri: str, partition_by: list[str] | None = None) -> None:
+    catalog = os.environ.get("CPG_SPARK_CATALOG")
+    if catalog:
+        # Iceberg path (cluster): uri is interpreted as a table name suffix
+        tbl = f"{catalog}.{uri.strip('/').replace('/', '_')}"
+        w = df.writeTo(tbl)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+        return
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(uri)
+    # AQE coalesces an empty result to zero partitions -> a parquet dir with
+    # no part files, which later reads can't infer a schema from; pin the
+    # schema by writing one empty part file
+    if not any(f.startswith("part-") for f in os.listdir(uri)) and not partition_by:
+        spark = df.sparkSession
+        spark.createDataFrame([], df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(uri)
+    elif partition_by and not any(
+        f.startswith(("part-", partition_by[0] + "=")) for f in os.listdir(uri)
+    ):
+        spark = df.sparkSession
+        spark.createDataFrame([], df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(uri)
+
+
+def read_table(spark: SparkSession, uri: str) -> DataFrame:
+    catalog = os.environ.get("CPG_SPARK_CATALOG")
+    if catalog:
+        tbl = f"{catalog}.{uri.strip('/').replace('/', '_')}"
+        return spark.read.table(tbl)
+    return spark.read.parquet(uri)
+
+
+def is_committed(uri: str) -> bool:
+    if os.environ.get("CPG_SPARK_CATALOG"):
+        return False  # catalog existence checks are cluster-specific; recompute
+    return os.path.exists(os.path.join(uri, "_SUCCESS"))
