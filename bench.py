@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_runtime", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "cpg_docs_per_sec": D, "cpg_docs": N}
+
+The CPG pipeline benchmark (parse -> link -> triples over the
+deterministic synthetic interleaved corpus) is the flagship; the
+relational suite exercises the registered operators at sf scale.
+
+Usage:
+  python bench.py                 # default: full suite
+  python bench.py --cpus 8        # override parallelism (scaling runs)
+  python bench.py --cpg-only      # just the CPG throughput number
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+# sf -> synthetic CPG corpus size (docs).  ~25-line python modules with
+# cross-document calls; sf0.1 -> 24k docs keeps the bench < ~2 min while
+# still shuffling millions of node/edge rows.
+def _cpg_docs_for_sf(sf: float) -> int:
+    if sf <= 0:
+        return 2_000
+    return max(2_000, int(240_000 * sf))
+
+
+BENCH_QUERIES = [
+    "agg_pricing_summary",
+    "window_nth_statement",
+    "innermost_scope_winner",
+    "linking_join_cascade",
+    "salted_skew_join",
+    "broadcast_dim_join",
+    "supertype_closure",
+    "connected_components",
+    "anti_join_refinement",
+    "dedup_exact",
+    "minhash_lsh_neardup",
+    "simhash",
+    "quality_features",
+    "lang_id",
+    "doc_fingerprint",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+]
+
+
+def run_cpg_bench(spark, n_docs: int) -> tuple[float, int]:
+    """Parse + link + count triples over the generated corpus.  Returns
+    (seconds, n_docs)."""
+    from pyspark.sql import functions as F
+
+    from cpg_spark.operators.link import link_all
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.synth import generated_docs
+
+    t0 = time.time()
+    docs = generated_docs(spark, n_docs)
+    raw = parse_docs(docs)
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    linked, inferred, _ = link_all(mentions, symbols)
+    n_triples = (
+        edges.select("subj", "pred", "obj")
+        .unionByName(linked.select("subj", "pred", "obj"))
+        .count()
+    )
+    dt = time.time() - t0
+    assert n_triples > 0
+    return dt, n_docs
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--cpg-only", action="store_true")
+    ap.add_argument("--cpg-docs", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cpg_spark.session import build_session
+
+    import __spark_entry__ as entrymod
+
+    spark = build_session(app_name="cpg_spark_bench", cpus=args.cpus)
+    t_total0 = time.time()
+    per_query: dict[str, float] = {}
+
+    n_docs = args.cpg_docs or _cpg_docs_for_sf(sf)
+    cpg_sec, n_docs = run_cpg_bench(spark, n_docs)
+    per_query["cpg_pipeline"] = round(cpg_sec, 3)
+
+    if not args.cpg_only:
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            # count() materializes the full plan without driver-collecting
+            # the result set
+            qs[name](spark, sf_dir).count()
+            per_query[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total0, 3)
+    print(json.dumps({
+        "metric": "total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpg_docs": n_docs,
+        "cpg_docs_per_sec": round(n_docs / cpg_sec, 1),
+        "cpus": args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -59,8 +59,11 @@ def shingle_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n_sh", "nb"), "b")
         .select(
             "a", "b", "inter",
-            (F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter")))
-            .cast("long").alias("jaccard_pm"),
+            # floor (not trunc-cast): DuckDB's double->int cast rounds, so
+            # floor is the only formulation both engines agree on
+            F.floor(
+                F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).cast("long").alias("jaccard_pm"),
         )
     )
 
