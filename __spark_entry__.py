@@ -33,7 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     docs = docs_from_plain_documents(spark, "/root/testdata/sf0.001")
     assert validate_span_invariant(docs).count() == 0
-    raw = parse_docs(docs)
+    # persist: the linking joins consult the parse output several times
+    # (dim sizing + two join cascades) — without this the parse re-runs
+    raw = parse_docs(docs).persist()
     nodes, edges, mentions, symbols = split_parse_output(raw)
     linked, inferred, _ = link_all(mentions, symbols)
     return (

@@ -65,27 +65,26 @@ BENCH_QUERIES = [
 
 
 def run_cpg_bench(spark, n_docs: int) -> tuple[float, int]:
-    """Parse + link + count triples over the generated corpus.  Returns
-    (seconds, n_docs)."""
-    from pyspark.sql import functions as F
+    """Full checkpointed pipeline (ingest -> parse -> link -> materialize)
+    over the generated corpus — the production path, including the parquet
+    stage commits.  Returns (seconds, n_docs)."""
+    import shutil
+    import tempfile
 
-    from cpg_spark.operators.link import link_all
-    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.pipeline import run_cpg_pipeline
     from cpg_spark.synth import generated_docs
 
-    t0 = time.time()
-    docs = generated_docs(spark, n_docs)
-    raw = parse_docs(docs)
-    nodes, edges, mentions, symbols = split_parse_output(raw)
-    linked, inferred, _ = link_all(mentions, symbols)
-    n_triples = (
-        edges.select("subj", "pred", "obj")
-        .unionByName(linked.select("subj", "pred", "obj"))
-        .count()
-    )
-    dt = time.time() - t0
-    assert n_triples > 0
-    return dt, n_docs
+    wd = tempfile.mkdtemp(prefix="cpg_bench_")
+    try:
+        t0 = time.time()
+        docs = generated_docs(spark, n_docs)
+        p = run_cpg_pipeline(spark, docs, wd, run_id="bench", resume=False)
+        n_edges = spark.read.parquet(p.results[-1].outputs["edges"]).count()
+        dt = time.time() - t0
+        assert n_edges > 0
+        return dt, n_docs
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 def main() -> None:

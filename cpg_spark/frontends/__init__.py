@@ -15,11 +15,13 @@ Registration mirrors ``TranslationConfiguration.registerLanguage``
 
 from __future__ import annotations
 
+from .go_frontend import parse_go_document
 from .python_frontend import parse_python_document
 
 # span kind -> parser; extended as more frontends land (SURVEY.md §2.2)
 FRONTENDS = {
     "code/python": parse_python_document,
+    "code/go": parse_go_document,
 }
 
 

@@ -81,6 +81,43 @@ class EogBuilder:
             breaks = self.loop_breaks.pop()
             self.loop_heads.pop()
             return [(head, "false")] + [(b, None) for b in breaks]
+        if kind == "for":
+            # 3-clause for (EvaluationOrderGraphPass.java:953-1029):
+            # preds -> init -> cond -(true)-> body -> post -> cond; exit on
+            # cond false (plus breaks)
+            init = info.get("init")
+            if init:
+                preds = self.stmt(init, preds)
+            head = info.get("cond") or nid
+            self.connect(preds, head)
+            self.loop_breaks.append([])
+            self.loop_heads.append(head)
+            body_exits = self.seq(info.get("body") or [], [(head, "true")])
+            post = info.get("post")
+            if post:
+                body_exits = self.stmt(post, body_exits)
+            self.connect(body_exits, head)
+            breaks = self.loop_breaks.pop()
+            self.loop_heads.pop()
+            return [(head, "false")] + [(b, None) for b in breaks]
+        if kind == "switch":
+            # selector evaluates once, then branches to every case entry
+            # (EvaluationOrderGraphPass.java handleSwitchStatement); without
+            # fallthrough modelling, exits = union of case-body exits plus
+            # the no-match path when no default exists
+            sel = info.get("cond") or nid
+            self.connect(preds, sel)
+            exits = []
+            has_default = False
+            for case in info.get("cases") or []:
+                cnid = case["nid"]
+                self._edge(sel, cnid)
+                exits.extend(self.seq(case.get("stmts") or [], [(cnid, None)]))
+                if case.get("default"):
+                    has_default = True
+            if not has_default:
+                exits.append((sel, "false"))
+            return exits
         if kind == "return":
             self.connect(preds, nid)
             return []
@@ -108,6 +145,14 @@ class EogBuilder:
 
 def build_eog(emitter, root_id: str, body_infos: list[dict]) -> None:
     """EOG rooted at a function declaration (or namespace for module-level
-    code): root -> first statement -> ... (per-function, zero shuffle)."""
+    code): root -> first statement -> ... (per-function, zero shuffle).
+
+    Dangling exits (incl. false-branches of trailing conditionals) connect
+    back to the root node, which doubles as the function-exit sentinel —
+    the reference models this via its ExitPoints collection
+    (EvaluationOrderGraphPass.java handleFunctionDeclaration)."""
     b = EogBuilder(emitter)
-    b.seq(body_infos, [(root_id, None)])
+    exits = b.seq(body_infos, [(root_id, None)])
+    for pid, branch in exits:
+        if pid != root_id:
+            b._edge(pid, root_id, branch)

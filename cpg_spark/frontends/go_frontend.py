@@ -1,0 +1,1305 @@
+"""Go language frontend: hand-rolled tokenizer + recursive-descent parser
+emitting CPG rows.
+
+Behavioral re-derivation of the reference's Go frontend
+(``cpg-language-go/src/main/golang/frontend/handler.go:164-1198``), which
+walks ``go/ast`` over JNI.  No Go toolchain or tree-sitter exists in this
+container, so this module parses the same Go subset the reference's test
+fixtures exercise (``cpg-language-go/src/test/resources/golang/``):
+
+* package clause, imports (grouped / single)
+* func declarations incl. receivers (-> MethodDeclaration) and named
+  results; params with grouped names
+* var / const specs (grouped and single), type declarations: struct
+  (FieldDeclarations + FIELDS edges), interface (method signatures), alias
+* statements: short var decl ``:=``, assignment (incl. ``+=`` family and
+  ``++``/``--`` -> UnaryOperator READWRITE), if/else, 3-clause and
+  condition-only for, switch/case/default, return, break/continue, blocks,
+  expression statements
+* expressions: binary operators with Go precedence, unary ``& * ! - +``,
+  calls / member calls / ``new(T)`` (NewExpression) / ``make`` builtin,
+  selectors (MemberExpression), index expressions, composite literals
+  (ConstructExpression — ``handler.go`` maps CompositeLit the same way),
+  basic literals (int/float/string/char/bool/nil)
+
+Anything outside the subset degrades to an ``Expression``/``Statement``
+placeholder node — the same graceful-gap semantics as the reference's
+NOT_IMPLEMENTED logging (and our Python frontend).
+
+Semicolon handling implements Go's automatic-semicolon-insertion rule
+(newline after an ident/literal/closing token terminates the statement).
+"""
+
+from __future__ import annotations
+
+import re
+
+from cpg_spark.frontends.base import DocGraph, Emitter
+from cpg_spark.frontends.eog import build_eog
+from cpg_spark.ids import inferred_id
+
+_KEYWORDS = {
+    "break", "case", "chan", "const", "continue", "default", "defer", "else",
+    "fallthrough", "for", "func", "go", "goto", "if", "import", "interface",
+    "map", "package", "range", "return", "select", "struct", "switch", "type",
+    "var",
+}
+
+# tokens after which a newline implies a semicolon (Go spec: ASI)
+_ASI_AFTER = {"ident", "int", "float", "string", "char", ")", "]", "}", "++",
+              "--"}
+_ASI_KEYWORDS = {"break", "continue", "fallthrough", "return"}
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<comment>//[^\n]*|/\*.*?\*/)
+    | (?P<string>"(?:\\.|[^"\\])*"|`[^`]*`)
+    | (?P<char>'(?:\\.|[^'\\])')
+    | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+)
+    | (?P<int>0[xX][0-9a-fA-F]+|\d+)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op><<=|>>=|&\^=|\.\.\.|&&|\|\||<-|\+\+|--|==|!=|<=|>=|:=|\+=|-=|\*=|/=|%=|&=|\|=|\^=|<<|>>|&\^|[+\-*/%&|^<>=!:.,;(){}\[\]])
+    | (?P<nl>\n)
+    | (?P<ws>[ \t\r]+)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+# binary precedence, Go spec §Operators
+_PREC = {
+    "||": 1, "&&": 2,
+    "==": 3, "!=": 3, "<": 3, "<=": 3, ">": 3, ">=": 3,
+    "+": 4, "-": 4, "|": 4, "^": 4,
+    "*": 5, "/": 5, "%": 5, "<<": 5, ">>": 5, "&": 5, "&^": 5,
+}
+
+_ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "<<=",
+               ">>=", "&^="}
+
+
+class Tok:
+    __slots__ = ("kind", "text", "line", "col")
+
+    def __init__(self, kind, text, line, col):
+        self.kind = kind
+        self.text = text
+        self.line = line
+        self.col = col
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Tok({self.kind},{self.text!r}@{self.line}:{self.col})"
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    line, col = 1, 0
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            pos += 1  # skip unknown byte
+            col += 1
+            continue
+        kind = m.lastgroup
+        text = m.group()
+        if kind == "nl":
+            # automatic semicolon insertion
+            if toks and (
+                toks[-1].kind in _ASI_AFTER
+                or (toks[-1].kind == "ident" and toks[-1].text in _ASI_KEYWORDS)
+            ) and not (toks and toks[-1].kind == ";"):
+                toks.append(Tok(";", ";", line, col))
+            line += 1
+            col = 0
+        elif kind in ("ws", "comment"):
+            nls = text.count("\n")
+            if nls:
+                line += nls
+                col = len(text) - text.rfind("\n") - 1
+            else:
+                col += len(text)
+        else:
+            k = text if kind == "op" else kind
+            toks.append(Tok(k, text, line, col))
+            col += len(text)
+        pos = m.end()
+    toks.append(Tok(";", ";", line, col))
+    toks.append(Tok("eof", "", line, col))
+    return toks
+
+
+class GoParseError(Exception):
+    pass
+
+
+class GoFrontend(Emitter):
+    """Parses one Go source span; emits the same row vocabulary as the
+    Python frontend (SURVEY.md §2.2 F3)."""
+
+    def __init__(self, doc_id: str, span_offset: int, source: str,
+                 module_name: str):
+        super().__init__(doc_id, span_offset, source, module_name)
+        self.toks = tokenize(source)
+        self.i = 0
+        self.pending_refs: list = []
+        self.pending_calls: list = []
+        self.pending_members: list = []
+        self.records: dict[str, dict] = {}
+        self.imports: dict[str, str] = {}  # local alias -> package path
+        self._functions_by_id: dict[str, dict] = {}
+        # methods parsed before their receiver type declaration
+        self._pending_methods: list[tuple[str, str, str]] = []
+        self._no_composite: int = 0  # composite-literal ban depth (if/for/switch headers)
+        self._path_n = 0
+
+    # ------------------------------------------------------------- tokens
+    def peek(self, k: int = 0) -> Tok:
+        j = min(self.i + k, len(self.toks) - 1)
+        return self.toks[j]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        if self.i < len(self.toks) - 1:
+            self.i += 1
+        return t
+
+    def accept(self, kind: str) -> Tok | None:
+        if self.peek().kind == kind:
+            return self.next()
+        return None
+
+    def expect(self, kind: str) -> Tok:
+        t = self.peek()
+        if t.kind != kind:
+            raise GoParseError(f"expected {kind}, got {t.kind}@{t.line}")
+        return self.next()
+
+    def skip_semis(self) -> None:
+        while self.peek().kind == ";":
+            self.next()
+
+    def _p(self, tag: str) -> str:
+        """Fresh ast-path for node ids (deterministic per parse order)."""
+        self._path_n += 1
+        return f"go.{tag}.{self._path_n}"
+
+    def _tloc(self, t: Tok):
+        return (t.line, t.col, t.line, t.col + max(len(t.text), 1))
+
+    # --------------------------------------------------------------- file
+    def run(self) -> DocGraph:
+        self.skip_semis()
+        self.expect("ident")  # 'package'
+        pkg = self.expect("ident").text
+        self.module_name = pkg
+        tu_id = self.node("", "TranslationUnitDeclaration", self.module_name,
+                          None, code="")
+        ns_id = self.node("ns", "NamespaceDeclaration", pkg, None, code="")
+        self.ast_edge(tu_id, ns_id, "DECLARATIONS", 0)
+        self.enter_scope("module", pkg, ns_id)
+        self.skip_semis()
+        infos = []
+        di = 0
+        while self.peek().kind != "eof":
+            t = self.peek()
+            if t.kind == "ident" and t.text == "import":
+                self.parse_imports(ns_id, di)
+            elif t.kind == "ident" and t.text == "func":
+                fid = self.parse_func(self._p("func"))
+                if fid:
+                    self.ast_edge(ns_id, fid, "DECLARATIONS", di)
+            elif t.kind == "ident" and t.text in ("var", "const"):
+                nid, info = self.parse_var_decl(self._p("var"))
+                if nid:
+                    self.ast_edge(ns_id, nid, "DECLARATIONS", di)
+                    infos.append(info)
+            elif t.kind == "ident" and t.text == "type":
+                nid = self.parse_type_decl(self._p("type"))
+                if nid:
+                    self.ast_edge(ns_id, nid, "DECLARATIONS", di)
+            else:
+                # unknown top-level construct: skip one token
+                self.next()
+            di += 1
+            self.skip_semis()
+        self._attach_pending_methods()
+        build_eog(self, ns_id, infos)
+        self._module_decls = dict(self.scopes[-1].decls)
+        self.leave_scope()
+        self._resolve_locally()
+        self._export_symbols()
+        return self.out
+
+    # ------------------------------------------------------------ imports
+    def parse_imports(self, ns_id: str, di: int) -> None:
+        """ImportSpec -> IncludeDeclaration (reference handler.go ImportSpec
+        dispatch at :583-637); alias registered for member-call bases."""
+        self.next()  # 'import'
+        specs = []
+        if self.accept("("):
+            self.skip_semis()
+            while self.peek().kind != ")" and self.peek().kind != "eof":
+                specs.append(self._one_import())
+                self.skip_semis()
+            self.expect(")")
+        else:
+            specs.append(self._one_import())
+        for j, (alias, path) in enumerate(specs):
+            iid = self.node(self._p("import"), "IncludeDeclaration", path,
+                            None, code=path)
+            self.ast_edge(ns_id, iid, "INCLUDES", j)
+            self.imports[alias] = path
+            self.out.mentions.append(self._mention(iid, "import", path,
+                                                   base_type=path))
+
+    def _one_import(self):
+        alias = None
+        if self.peek().kind == "ident":
+            alias = self.next().text
+        t = self.expect("string")
+        path = t.text.strip('"`')
+        if alias is None:
+            alias = path.rsplit("/", 1)[-1]
+        return alias, path
+
+    # ----------------------------------------------------------- func decl
+    def parse_func(self, path: str) -> str | None:
+        self.next()  # 'func'
+        recv_name = recv_type = None
+        if self.accept("("):
+            # receiver: (name Type) | (name *Type)
+            recv_name = self.expect("ident").text
+            recv_type = self.parse_type_name()
+            self.expect(")")
+        name_t = self.expect("ident")
+        name = name_t.text
+        label = "MethodDeclaration" if recv_type else "FunctionDeclaration"
+        fid = self.node(path, label, name, self._tloc(name_t))
+        self.enter_scope("function", name, fid)
+
+        if recv_type:
+            rid = self.node(path + ".recv", "VariableDeclaration", recv_name,
+                            self._tloc(name_t))
+            self.eval_type(rid, recv_type)
+            self.edge(fid, "RECEIVER", rid)
+            self.declare(recv_name, rid, "receiver", recv_type)
+
+        param_ids, param_names = self.parse_params(fid, path)
+
+        # results: single type, or parenthesized (possibly named) list
+        if self.peek().kind not in ("{", ";", "eof"):
+            if self.accept("("):
+                ri = 0
+                while self.peek().kind != ")" and self.peek().kind != "eof":
+                    if (self.peek().kind == "ident"
+                            and self.peek(1).kind in ("ident", "*", "[", "map",
+                                                      "chan")):
+                        # named result -> VariableDeclaration in func scope
+                        # (function.go: `err = nil` resolves to result err)
+                        rn = self.next().text
+                        rt = self.parse_type_name()
+                        vid = self.node(f"{path}.res[{ri}]",
+                                        "VariableDeclaration", rn, None)
+                        if rt:
+                            self.eval_type(vid, rt)
+                        self.declare(rn, vid, "var", rt)
+                        self.ast_edge(fid, vid, "RETURN_TYPES", ri)
+                    else:
+                        self.parse_type_name()
+                    ri += 1
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+            else:
+                self.parse_type_name()
+
+        if self.peek().kind == "{":
+            infos = self.parse_block(path + ".body", fid, "BODY")
+            build_eog(self, fid, infos)
+        self.leave_scope()
+        self.declare(name, fid, "function", None)
+        fn_info = {
+            "decl_id": fid, "kind": "function", "name": name,
+            "n_params": len(param_ids), "param_ids": param_ids,
+            "param_names": param_names, "record": recv_type,
+        }
+        self._functions_by_id[fid] = fn_info
+        self.scopes[-1].decls[name] = {"decl_id": fid, "kind": "function",
+                                       "type": None, "fn": fn_info}
+        if recv_type:
+            self._pending_methods.append((recv_type, name, fid))
+        return fid
+
+    def parse_params(self, fid: str, path: str):
+        self.expect("(")
+        param_ids, param_names = [], []
+        pidx = 0
+        group: list[Tok] = []
+        while self.peek().kind != ")" and self.peek().kind != "eof":
+            if self.peek().kind == "ident" and self.peek(1).kind == ",":
+                group.append(self.next())
+                self.next()  # ','
+                continue
+            if self.peek().kind == "ident" and self.peek(1).kind not in (")", ","):
+                group.append(self.next())
+                tname = self.parse_type_name()
+            else:
+                # type-only parameter
+                tname = self.parse_type_name()
+                group = [Tok("ident", f"_p{pidx}", 0, 0)]
+            for g in group:
+                pid = self.node(f"{path}.p[{pidx}]", "ParamVariableDeclaration",
+                                g.text, self._tloc(g) if g.line else None,
+                                argument_index=pidx)
+                if tname:
+                    self.eval_type(pid, tname)
+                self.edge(fid, "PARAMETERS", pid, {"index": pidx})
+                self.ast_edge(fid, pid, "PARAMETERS", pidx)
+                self.declare(g.text, pid, "param", tname)
+                param_ids.append(pid)
+                param_names.append(g.text)
+                pidx += 1
+            group = []
+            if not self.accept(","):
+                break
+        self.expect(")")
+        return param_ids, param_names
+
+    # ---------------------------------------------------------- type decls
+    def parse_type_decl(self, path: str) -> str | None:
+        self.next()  # 'type'
+        name_t = self.expect("ident")
+        name = name_t.text
+        t = self.peek()
+        if t.kind == "ident" and t.text == "struct":
+            return self.parse_struct(name, name_t, path)
+        if t.kind == "ident" and t.text == "interface":
+            return self.parse_interface(name, name_t, path)
+        # alias / defined type: emit a Type alias edge for canonicalization
+        target = self.parse_type_name()
+        tid = self.node(path, "TypedefDeclaration", name, self._tloc(name_t))
+        if target:
+            self.edge(self.type_node(name), "SUPER_TYPE", self.type_node(target))
+        self.declare(name, tid, "record", name)
+        return tid
+
+    def parse_struct(self, name: str, name_t: Tok, path: str) -> str:
+        """StructType -> RecordDeclaration(kind=struct) with FIELDS
+        (reference struct.go fixture; handler.go StructType at :375-)."""
+        self.next()  # 'struct'
+        rid = self.node(path, "RecordDeclaration", name, self._tloc(name_t),
+                        props={"kind": "struct"})
+        rec = {"decl_id": rid, "name": name, "fields": {}, "methods": {},
+               "ctors": [], "supers": []}
+        self.records[name] = rec
+        self.declare(name, rid, "record", name)
+        self.expect("{")
+        self.skip_semis()
+        fi = 0
+        while self.peek().kind != "}" and self.peek().kind != "eof":
+            names = [self.expect("ident")]
+            while self.accept(","):
+                names.append(self.expect("ident"))
+            ftype = None
+            if self.peek().kind not in (";", "}"):
+                ftype = self.parse_type_name()
+            for ft in names:
+                fid = self.node(f"{path}.f[{fi}]", "FieldDeclaration", ft.text,
+                                self._tloc(ft))
+                if ftype:
+                    self.eval_type(fid, ftype)
+                self.edge(rid, "FIELDS", fid, {"index": fi})
+                self.ast_edge(rid, fid, "FIELDS", fi)
+                rec["fields"][ft.text] = fid
+                fi += 1
+            self.skip_semis()
+        self.expect("}")
+        return rid
+
+    def parse_interface(self, name: str, name_t: Tok, path: str) -> str:
+        self.next()  # 'interface'
+        rid = self.node(path, "RecordDeclaration", name, self._tloc(name_t),
+                        props={"kind": "interface"})
+        rec = {"decl_id": rid, "name": name, "fields": {}, "methods": {},
+               "ctors": [], "supers": []}
+        self.records[name] = rec
+        self.declare(name, rid, "record", name)
+        self.expect("{")
+        self.skip_semis()
+        mi = 0
+        while self.peek().kind != "}" and self.peek().kind != "eof":
+            mt = self.expect("ident")
+            mid = self.node(f"{path}.m[{mi}]", "MethodDeclaration", mt.text,
+                            self._tloc(mt))
+            if self.peek().kind == "(":
+                # skip the signature tokens (params + result)
+                depth = 0
+                while self.peek().kind != "eof":
+                    k = self.peek().kind
+                    if k == "(":
+                        depth += 1
+                    elif k == ")":
+                        depth -= 1
+                        if depth == 0:
+                            self.next()
+                            break
+                    self.next()
+                if self.peek().kind not in (";", "}"):
+                    self.parse_type_name()
+            self.edge(rid, "METHODS", mid, {"index": mi})
+            self.ast_edge(rid, mid, "METHODS", mi)
+            rec["methods"].setdefault(mt.text, []).append(mid)
+            mi += 1
+            self.skip_semis()
+        self.expect("}")
+        return rid
+
+    def _attach_pending_methods(self) -> None:
+        """Methods may precede their receiver type (field.go) — attach
+        METHODS edges once all records are known."""
+        for recv_type, name, fid in self._pending_methods:
+            rec = self.records.get(recv_type)
+            if rec is None:
+                continue
+            rec["methods"].setdefault(name, []).append(fid)
+            self.edge(rec["decl_id"], "METHODS", fid,
+                      {"index": len(rec["methods"]) - 1})
+
+    # ----------------------------------------------------------- var decls
+    def parse_var_decl(self, path: str):
+        kw = self.next().text  # 'var' | 'const'
+        specs = []
+        if self.accept("("):
+            self.skip_semis()
+            si = 0
+            while self.peek().kind != ")" and self.peek().kind != "eof":
+                specs.append(self._var_spec(f"{path}.s[{si}]", kw))
+                si += 1
+                self.skip_semis()
+            self.expect(")")
+        else:
+            specs.append(self._var_spec(path + ".s", kw))
+        ds = self.node(path, "DeclarationStatement", "", None, code="")
+        for j, vids in enumerate(specs):
+            for vid in vids:
+                self.ast_edge(ds, vid, "DECLARATIONS", j)
+        return ds, {"kind": "plain", "nid": ds}
+
+    def _var_spec(self, path: str, kw: str) -> list[str]:
+        names = [self.expect("ident")]
+        while self.accept(","):
+            names.append(self.expect("ident"))
+        tname = None
+        if self.peek().kind not in ("=", ";", ")"):
+            tname = self.parse_type_name()
+        inits = []
+        if self.accept("="):
+            inits.append(self.parse_expr(path + ".v0"))
+            vi = 1
+            while self.accept(","):
+                inits.append(self.parse_expr(f"{path}.v{vi}"))
+                vi += 1
+        vids = []
+        for j, nt in enumerate(names):
+            vid = self.node(f"{path}.n[{j}]", "VariableDeclaration", nt.text,
+                            self._tloc(nt))
+            tp = tname
+            if j < len(inits):
+                init_id, meta = inits[j]
+                self.ast_edge(vid, init_id, "INITIALIZER", 0)
+                self.edge(init_id, "DFG", vid)  # VariableDeclaration.java:118
+                if tp is None:
+                    tp = meta.get("type")
+            if tp:
+                self.eval_type(vid, tp)
+            self.declare(nt.text, vid, "var", tp)
+            vids.append(vid)
+        return vids
+
+    # ---------------------------------------------------------------- types
+    def parse_type_name(self) -> str | None:
+        """Parse a type, returning a normalized display string."""
+        t = self.peek()
+        if t.kind == "*":
+            self.next()
+            inner = self.parse_type_name()
+            return f"{inner}*" if inner else None
+        if t.kind == "[":
+            self.next()
+            if self.peek().kind != "]":
+                self.parse_expr(self._p("alen"))
+            self.expect("]")
+            inner = self.parse_type_name()
+            return f"{inner}[]" if inner else None
+        if t.kind == "ident" and t.text == "map":
+            self.next()
+            self.expect("[")
+            k = self.parse_type_name()
+            self.expect("]")
+            v = self.parse_type_name()
+            return f"map[{k}]{v}"
+        if t.kind == "ident" and t.text == "chan":
+            self.next()
+            inner = self.parse_type_name()
+            return f"chan {inner}"
+        if t.kind == "<-":
+            self.next()
+            return self.parse_type_name()
+        if t.kind == "ident" and t.text == "func":
+            self.next()
+            depth = 0
+            while self.peek().kind != "eof":
+                k = self.peek().kind
+                if k == "(":
+                    depth += 1
+                elif k == ")":
+                    depth -= 1
+                    self.next()
+                    if depth == 0:
+                        break
+                    continue
+                self.next()
+            return "func()"
+        if t.kind == "ident" and t.text in ("struct", "interface"):
+            kw = self.next().text
+            if self.peek().kind == "{":
+                depth = 0
+                while self.peek().kind != "eof":
+                    k = self.peek().kind
+                    if k == "{":
+                        depth += 1
+                    elif k == "}":
+                        depth -= 1
+                        self.next()
+                        if depth == 0:
+                            break
+                        continue
+                    self.next()
+            return f"{kw}{{}}"
+        if t.kind == "ident":
+            name = self.next().text
+            if self.peek().kind == "." and self.peek(1).kind == "ident":
+                self.next()
+                sel = self.next().text
+                return f"{name}.{sel}"
+            return name
+        return None
+
+    # ------------------------------------------------------------- blocks
+    def parse_block(self, path: str, parent: str, field: str) -> list[dict]:
+        self.expect("{")
+        cid = self.node(path, "CompoundStatement", "", None, code="")
+        self.ast_edge(parent, cid, field, 0)
+        self.skip_semis()
+        infos = []
+        si = 0
+        while self.peek().kind != "}" and self.peek().kind != "eof":
+            nid, info = self.parse_stmt(f"{path}[{si}]", cid, si)
+            if info:
+                infos.append(info)
+            si += 1
+            self.skip_semis()
+        self.expect("}")
+        return [{"kind": "compound", "nid": cid, "stmts": infos}]
+
+    # ----------------------------------------------------------- statements
+    def parse_stmt(self, path: str, parent: str, index: int):
+        t = self.peek()
+        if t.kind == "ident" and t.text in ("var", "const"):
+            nid, info = self.parse_var_decl(path)
+            self.ast_edge(parent, nid, "STATEMENTS", index)
+            return nid, info
+        if t.kind == "ident" and t.text == "return":
+            return self._attach(self.parse_return(path), parent, index)
+        if t.kind == "ident" and t.text == "if":
+            return self._attach(self.parse_if(path), parent, index)
+        if t.kind == "ident" and t.text == "for":
+            return self._attach(self.parse_for(path), parent, index)
+        if t.kind == "ident" and t.text == "switch":
+            return self._attach(self.parse_switch(path), parent, index)
+        if t.kind == "ident" and t.text == "break":
+            self.next()
+            nid = self.node(path, "BreakStatement", "", self._tloc(t))
+            return self._attach((nid, {"kind": "break", "nid": nid}), parent,
+                                index)
+        if t.kind == "ident" and t.text == "continue":
+            self.next()
+            nid = self.node(path, "ContinueStatement", "", self._tloc(t))
+            return self._attach((nid, {"kind": "continue", "nid": nid}),
+                                parent, index)
+        if t.kind == "{":
+            infos = self.parse_block(path, parent, "STATEMENTS")
+            return infos[0]["nid"], infos[0]
+        if t.kind == "ident" and t.text in ("go", "defer"):
+            # modelled as the plain call (concurrency semantics out of scope)
+            self.next()
+            eid, _ = self.parse_expr(path)
+            return self._attach((eid, {"kind": "plain", "nid": eid}), parent,
+                                index)
+        return self._attach(self.parse_simple_stmt(path), parent, index)
+
+    def _attach(self, pair, parent, index):
+        nid, info = pair
+        self.ast_edge(parent, nid, "STATEMENTS", index)
+        return nid, info
+
+    def parse_return(self, path: str):
+        t = self.next()  # 'return'
+        nid = self.node(path, "ReturnStatement", "", self._tloc(t))
+        if self.peek().kind not in (";", "}", "eof"):
+            vid, _ = self.parse_expr(path + ".v")
+            self.ast_edge(nid, vid, "RETURN_VALUE", 0)
+            self.edge(vid, "DFG", nid)  # ReturnStatement.java:53
+            fn = self.current_function()
+            if fn is not None and fn.node_id:
+                self.edge(vid, "DFG", fn.node_id)  # FunctionDeclaration.java:220-238
+        return nid, {"kind": "return", "nid": nid}
+
+    def _header_has_semi(self) -> bool:
+        """Pure lookahead: does a ';' occur at bracket-depth 0 before the
+        body '{' — distinguishes `if cond {` from `if init; cond {` and
+        condition-only from 3-clause for, with no backtracking."""
+        j, depth = self.i, 0
+        while j < len(self.toks):
+            k = self.toks[j].kind
+            if k in ("(", "["):
+                depth += 1
+            elif k in (")", "]"):
+                depth -= 1
+            elif k == "{" and depth == 0:
+                return False
+            elif k == ";" and depth == 0:
+                return True
+            elif k == "eof":
+                return False
+            j += 1
+        return False
+
+    def parse_if(self, path: str):
+        t = self.next()  # 'if'
+        nid = self.node(path, "IfStatement", "", self._tloc(t))
+        self._no_composite += 1
+        if self._header_has_semi():
+            # `if x := f(); cond {`
+            init_id, _ = self.parse_simple_stmt(path + ".init")
+            self.ast_edge(nid, init_id, "INITIALIZER_STATEMENT", 0)
+            self.expect(";")
+        cid, _ = self.parse_expr(path + ".c")
+        self._no_composite -= 1
+        self.ast_edge(nid, cid, "CONDITION", 0)
+        then_infos = self.parse_block(path + ".then", nid, "THEN_STATEMENT")
+        info = {"kind": "if", "nid": nid, "cond": cid, "then": then_infos,
+                "orelse": None}
+        if self.peek().kind == "ident" and self.peek().text == "else":
+            self.next()
+            if self.peek().kind == "ident" and self.peek().text == "if":
+                enid, einfo = self.parse_if(path + ".elif")
+                self.ast_edge(nid, enid, "ELSE_STATEMENT", 0)
+                info["orelse"] = [einfo]
+            else:
+                info["orelse"] = self.parse_block(path + ".else", nid,
+                                                  "ELSE_STATEMENT")
+        return nid, info
+
+    def parse_for(self, path: str):
+        t = self.next()  # 'for'
+        nid = self.node(path, "ForStatement", "", self._tloc(t))
+        self._no_composite += 1
+        init_info = cond_id = post_info = None
+        if self.peek().kind == "{":
+            pass  # infinite loop
+        elif self._header_has_semi():
+            # 3-clause: init; cond; post
+            if self.peek().kind != ";":
+                init_nid, init_info_d = self.parse_simple_stmt(path + ".init")
+                self.ast_edge(nid, init_nid, "INITIALIZER_STATEMENT", 0)
+                init_info = init_info_d
+            self.expect(";")
+            if self.peek().kind != ";":
+                cond_id, _ = self.parse_expr(path + ".c")
+            self.expect(";")
+            if self.peek().kind != "{":
+                post_nid, post_info_d = self.parse_simple_stmt(path + ".post")
+                self.ast_edge(nid, post_nid, "ITERATION_STATEMENT", 0)
+                post_info = post_info_d
+        else:
+            cond_id, _ = self.parse_expr(path + ".c")
+        self._no_composite -= 1
+        if cond_id:
+            self.ast_edge(nid, cond_id, "CONDITION", 0)
+        body = self.parse_block(path + ".body", nid, "STATEMENT")
+        return nid, {"kind": "for", "nid": nid, "init": init_info,
+                     "cond": cond_id, "post": post_info, "body": body}
+
+    def parse_switch(self, path: str):
+        t = self.next()  # 'switch'
+        nid = self.node(path, "SwitchStatement", "", self._tloc(t))
+        self._no_composite += 1
+        sel_id = None
+        if self.peek().kind != "{":
+            sel_id, _ = self.parse_expr(path + ".sel")
+            self.ast_edge(nid, sel_id, "SELECTOR", 0)
+        self._no_composite -= 1
+        self.expect("{")
+        self.skip_semis()
+        cases = []
+        ci = 0
+        while self.peek().kind != "}" and self.peek().kind != "eof":
+            tt = self.peek()
+            if tt.kind == "ident" and tt.text == "case":
+                self.next()
+                cnid = self.node(f"{path}.case[{ci}]", "CaseStatement", "",
+                                 self._tloc(tt))
+                eid, _ = self.parse_expr(f"{path}.case[{ci}].e")
+                self.ast_edge(cnid, eid, "CASE_EXPRESSION", 0)
+                while self.accept(","):
+                    self.parse_expr(f"{path}.case[{ci}].e+")
+                self.expect(":")
+                stmts = self._case_body(f"{path}.case[{ci}]", cnid)
+                self.ast_edge(nid, cnid, "STATEMENTS", ci)
+                cases.append({"nid": cnid, "stmts": stmts, "default": False})
+            elif tt.kind == "ident" and tt.text == "default":
+                self.next()
+                self.expect(":")
+                cnid = self.node(f"{path}.default", "DefaultStatement", "",
+                                 self._tloc(tt))
+                stmts = self._case_body(f"{path}.default", cnid)
+                self.ast_edge(nid, cnid, "STATEMENTS", ci)
+                cases.append({"nid": cnid, "stmts": stmts, "default": True})
+            else:
+                self.next()
+            ci += 1
+            self.skip_semis()
+        self.expect("}")
+        return nid, {"kind": "switch", "nid": nid, "cond": sel_id or nid,
+                     "cases": cases}
+
+    def _case_body(self, path: str, cnid: str) -> list[dict]:
+        infos = []
+        si = 0
+        self.skip_semis()
+        while True:
+            tt = self.peek()
+            if tt.kind in ("}", "eof"):
+                break
+            if tt.kind == "ident" and tt.text in ("case", "default"):
+                break
+            _, info = self.parse_stmt(f"{path}.b[{si}]", cnid, si)
+            infos.append(info)
+            si += 1
+            self.skip_semis()
+        return infos
+
+    def parse_simple_stmt(self, path: str):
+        """ShortVarDecl / assignment / inc-dec / bare expression."""
+        lhs_start = self.i
+        lhs_id, lmeta = self.parse_expr(path + ".l")
+        t = self.peek()
+        if t.kind == ":=":
+            self.next()
+            rhs_id, rmeta = self.parse_expr(path + ".r")
+            # short var decl: fresh VariableDeclaration, initializer DFG
+            # (GoLanguageFrontendTest: `a := 1 + 2` -> VariableDeclaration
+            # with BinaryOperator initializer)
+            name = lmeta.get("name") or ""
+            vid = self.node(path, "VariableDeclaration", name,
+                            self._tloc(self.toks[lhs_start]))
+            self.ast_edge(vid, rhs_id, "INITIALIZER", 0)
+            self.edge(rhs_id, "DFG", vid)
+            tp = rmeta.get("type")
+            if tp:
+                self.eval_type(vid, tp)
+            self.declare(name, vid, "var", tp)
+            ds = self.node(path + ".ds", "DeclarationStatement", "", None)
+            self.ast_edge(ds, vid, "DECLARATIONS", 0)
+            # the lhs expression node was provisional; leave it as an
+            # unreferenced ref (reference rewrites it similarly)
+            self._drop_pending_ref(lhs_id)
+            return ds, {"kind": "plain", "nid": ds}
+        if t.kind in _ASSIGN_OPS:
+            op = self.next().text
+            rhs_id, rmeta = self.parse_expr(path + ".r")
+            nid = self.node(path, "BinaryOperator", op,
+                            self._tloc(self.toks[lhs_start]),
+                            props={"operator": op})
+            self._mark_write(lhs_id)
+            self.ast_edge(nid, lhs_id, "LHS", 0)
+            self.ast_edge(nid, rhs_id, "RHS", 0)
+            self.edge(rhs_id, "DFG", lhs_id)  # BinaryOperator.java:82-95
+            self.edge(rhs_id, "DFG", nid)
+            if op != "=":
+                # compound assign: lhs also flows into the operator
+                # (BinaryOperator.java:96-108)
+                self.edge(lhs_id, "DFG", nid)
+            return nid, {"kind": "plain", "nid": nid}
+        if t.kind in ("++", "--"):
+            op = self.next().text
+            nid = self.node(path, "UnaryOperator", op,
+                            self._tloc(self.toks[lhs_start]),
+                            props={"operator": op, "postfix": "true"})
+            self.ast_edge(nid, lhs_id, "INPUT", 0)
+            # READWRITE (UnaryOperator.java:69-97): both directions
+            self.edge(lhs_id, "DFG", nid)
+            self.edge(nid, "DFG", lhs_id)
+            self._mark_write(lhs_id)
+            return nid, {"kind": "plain", "nid": nid}
+        return lhs_id, {"kind": "plain", "nid": lhs_id}
+
+    def _drop_pending_ref(self, nid: str) -> None:
+        self.pending_refs = [p for p in self.pending_refs if p[0] != nid]
+
+    def _mark_write(self, nid: str) -> None:
+        for j, p in enumerate(self.pending_refs):
+            if p[0] == nid:
+                self.pending_refs[j] = (p[0], p[1], p[2], "write")
+        for j, p in enumerate(self.pending_members):
+            if p[0] == nid:
+                self.pending_members[j] = p[:5] + ("write",)
+
+    # ----------------------------------------------------------- expressions
+    def parse_expr(self, path: str, min_prec: int = 1):
+        lhs = self.parse_unary(path + ".u")
+        return self._binary_rhs(lhs, path, min_prec)
+
+    def _binary_rhs(self, lhs, path: str, min_prec: int):
+        n = 0
+        while True:
+            t = self.peek()
+            prec = _PREC.get(t.kind)
+            if prec is None or prec < min_prec:
+                return lhs
+            op = self.next().text
+            rhs = self.parse_unary(f"{path}.r{n}.u")
+            # left-assoc: bind tighter rhs first
+            while _PREC.get(self.peek().kind, 0) > prec:
+                rhs = self._binary_rhs(rhs, f"{path}.r{n}", prec + 1)
+            lid, lmeta = lhs
+            rid, rmeta = rhs
+            nid = self.node(f"{path}.b{n}", "BinaryOperator", op, None,
+                            props={"operator": op}, code=op)
+            self.ast_edge(nid, lid, "LHS", 0)
+            self.ast_edge(nid, rid, "RHS", 0)
+            self.edge(lid, "DFG", nid)
+            self.edge(rid, "DFG", nid)
+            if op in ("==", "!=", "<", "<=", ">", ">=", "&&", "||"):
+                tp = "bool"
+            else:
+                tp = (lmeta.get("type")
+                      if lmeta.get("type") == rmeta.get("type") else None)
+            if tp:
+                self.eval_type(nid, tp)
+            lhs = (nid, {"kind": "binop", "name": op, "type": tp})
+            n += 1
+
+    def parse_unary(self, path: str):
+        t = self.peek()
+        if t.kind in ("&", "*", "!", "-", "+", "<-"):
+            op = self.next().text
+            iid, imeta = self.parse_unary(path + ".i")
+            nid = self.node(path, "UnaryOperator", op, self._tloc(t),
+                            props={"operator": op, "postfix": "false"})
+            self.ast_edge(nid, iid, "INPUT", 0)
+            self.edge(iid, "DFG", nid)  # UnaryOperator input flow
+            tp = imeta.get("type")
+            if op == "&" and tp:
+                tp = f"{tp}*"
+            elif op == "*" and tp and tp.endswith("*"):
+                tp = tp[:-1]
+            if tp:
+                self.eval_type(nid, tp)
+            return nid, {"kind": "unary", "name": op, "type": tp}
+        return self.parse_primary(path)
+
+    def parse_primary(self, path: str):
+        base = self.parse_operand(path)
+        n = 0
+        while True:
+            t = self.peek()
+            if t.kind == ".":
+                if self.peek(1).kind != "ident":
+                    self.next()
+                    continue
+                self.next()
+                sel = self.next()
+                if self.peek().kind == "(":
+                    base = self.member_call(base, sel, f"{path}.mc{n}")
+                else:
+                    bid, bmeta = base
+                    nid = self.node(f"{path}.sel{n}", "MemberExpression",
+                                    sel.text, self._tloc(sel))
+                    self.ast_edge(nid, bid, "BASE", 0)
+                    self.pending_members.append(
+                        (nid, sel.text, bmeta.get("name"), list(self.scopes),
+                         None, "read"))
+                    base = (nid, {"kind": "member", "name": sel.text,
+                                  "base_name": bmeta.get("name"), "type": None})
+            elif t.kind == "(":
+                base = self.plain_call(base, f"{path}.call{n}")
+            elif t.kind == "[":
+                self.next()
+                bid, _ = base
+                nid = self.node(f"{path}.idx{n}", "ArraySubscriptionExpression",
+                                "", self._tloc(t))
+                self.ast_edge(nid, bid, "ARRAY_EXPRESSION", 0)
+                self.edge(bid, "DFG", nid)
+                if self.peek().kind != "]":
+                    sid, _ = self.parse_expr(f"{path}.idx{n}.s")
+                    self.ast_edge(nid, sid, "SUBSCRIPT_EXPRESSION", 0)
+                self.expect("]")
+                base = (nid, {"kind": "subscript", "name": "", "type": None})
+            elif t.kind == "{" and self._no_composite == 0 and \
+                    base[1].get("kind") in ("ref", "member", "type"):
+                base = self.composite_lit(base, f"{path}.comp{n}")
+            else:
+                return base
+            n += 1
+
+    def parse_operand(self, path: str):
+        t = self.peek()
+        if t.kind == "int":
+            self.next()
+            nid = self.node(path, "Literal", t.text, self._tloc(t),
+                            props={"value": t.text})
+            self.eval_type(nid, "int")
+            return nid, {"kind": "literal", "name": t.text, "type": "int"}
+        if t.kind == "float":
+            self.next()
+            nid = self.node(path, "Literal", t.text, self._tloc(t),
+                            props={"value": t.text})
+            self.eval_type(nid, "float64")
+            return nid, {"kind": "literal", "name": t.text, "type": "float64"}
+        if t.kind == "string":
+            self.next()
+            val = t.text[1:-1]
+            nid = self.node(path, "Literal", val, self._tloc(t),
+                            props={"value": t.text})
+            self.eval_type(nid, "string")
+            return nid, {"kind": "literal", "name": val, "type": "string"}
+        if t.kind == "char":
+            self.next()
+            nid = self.node(path, "Literal", t.text.strip("'"), self._tloc(t),
+                            props={"value": t.text})
+            self.eval_type(nid, "rune")
+            return nid, {"kind": "literal", "name": t.text, "type": "rune"}
+        if t.kind == "ident" and t.text in ("true", "false"):
+            self.next()
+            nid = self.node(path, "Literal", t.text, self._tloc(t),
+                            props={"value": t.text})
+            self.eval_type(nid, "bool")
+            return nid, {"kind": "literal", "name": t.text, "type": "bool"}
+        if t.kind == "ident" and t.text == "nil":
+            self.next()
+            nid = self.node(path, "Literal", "nil", self._tloc(t),
+                            props={"value": "nil"})
+            self.eval_type(nid, "nil")
+            return nid, {"kind": "literal", "name": "nil", "type": "nil"}
+        if t.kind == "ident" and t.text == "new" and self.peek(1).kind == "(":
+            # new(T) -> NewExpression typed *T (handler.go builtin new)
+            self.next()
+            self.expect("(")
+            tn = self.parse_type_name()
+            self.expect(")")
+            nid = self.node(path, "NewExpression", tn or "", self._tloc(t))
+            if tn:
+                self.eval_type(nid, f"{tn}*")
+                rec = self.records.get(tn)
+                if rec:
+                    self.edge(nid, "INSTANTIATES", rec["decl_id"])
+            return nid, {"kind": "new", "name": tn, "type": f"{tn}*" if tn else None}
+        if t.kind == "ident" and t.text == "make" and self.peek(1).kind == "(":
+            self.next()
+            self.expect("(")
+            tn = self.parse_type_name()
+            while self.accept(","):
+                self.parse_expr(path + ".marg")
+            self.expect(")")
+            nid = self.node(path, "CallExpression", "make", self._tloc(t),
+                            props={"fqn": "make"})
+            if tn:
+                self.eval_type(nid, tn)
+            return nid, {"kind": "call", "name": "make", "type": tn}
+        if t.kind == "ident" and t.text not in _KEYWORDS:
+            self.next()
+            nid = self.node(path, "DeclaredReferenceExpression", t.text,
+                            self._tloc(t))
+            self.pending_refs.append((nid, t.text, list(self.scopes), "read"))
+            return nid, {"kind": "ref", "name": t.text, "type": None}
+        if t.kind == "(":
+            self.next()
+            inner = self.parse_expr(path + ".par")
+            self.expect(")")
+            return inner
+        if t.kind in ("[", "ident") :
+            # a type operand (e.g. []int{...}); treat as type expression
+            tn = self.parse_type_name()
+            nid = self.node(path, "TypeExpression", tn or "", self._tloc(t))
+            return nid, {"kind": "type", "name": tn, "type": tn}
+        # unparseable operand: emit a gap Expression and advance
+        self.next()
+        nid = self.node(path, "Expression", "", self._tloc(t), code=t.text)
+        return nid, {"kind": "gap", "name": "", "type": None}
+
+    def plain_call(self, base, path: str):
+        bid, bmeta = base
+        name = bmeta.get("name") or ""
+        if bmeta.get("kind") == "ref":
+            rec = self.records.get(name)
+            if rec is not None:
+                # T(...) style conversion/ctor on a known record
+                nid = self.node(path, "ConstructExpression", name,
+                                None)
+                self.eval_type(nid, name)
+                self.edge(nid, "INSTANTIATES", rec["decl_id"])
+                self._drop_pending_ref(bid)
+                self._parse_args(nid, path)
+                return nid, {"kind": "construct", "name": name, "type": name}
+            nid = self.node(path, "CallExpression", name, None,
+                            props={"fqn": name})
+            self._drop_pending_ref(bid)
+            args = self._parse_args(nid, path)
+            self.pending_calls.append((nid, name, list(self.scopes), args))
+            return nid, {"kind": "call", "name": name, "type": None}
+        # call on an arbitrary expression
+        nid = self.node(path, "CallExpression", name, None, props={"fqn": name})
+        self.ast_edge(nid, bid, "CALLEE", 0)
+        self._parse_args(nid, path)
+        return nid, {"kind": "call", "name": name, "type": None}
+
+    def member_call(self, base, sel: Tok, path: str):
+        bid, bmeta = base
+        name = sel.text
+        base_name = bmeta.get("name")
+        fqn = f"{base_name}.{name}" if base_name else name
+        mid = self.node(path + ".m", "DeclaredReferenceExpression", name,
+                        self._tloc(sel))
+        nid = self.node(path, "MemberCallExpression", name, self._tloc(sel),
+                        props={"fqn": fqn})
+        self.ast_edge(nid, bid, "BASE", 0)
+        self.ast_edge(nid, mid, "MEMBER", 0)
+        args = self._parse_args(nid, path)
+        self.pending_members.append(
+            (nid, name, base_name, list(self.scopes), args, "call"))
+        return nid, {"kind": "member_call", "name": name, "type": None}
+
+    def _parse_args(self, call_id: str, path: str):
+        self.expect("(")
+        args = []
+        idx = 0
+        while self.peek().kind != ")" and self.peek().kind != "eof":
+            aid, _ = self.parse_expr(f"{path}.a[{idx}]")
+            self.accept("...")
+            self.edge(call_id, "ARGUMENTS", aid, {"index": idx})
+            self.ast_edge(call_id, aid, "ARGUMENTS", idx)
+            args.append({"arg_id": aid, "kw": None, "index": idx})
+            idx += 1
+            if not self.accept(","):
+                break
+        self.expect(")")
+        return args
+
+    def composite_lit(self, base, path: str):
+        """T{...} / pkg.T{Key: v} -> ConstructExpression (the reference maps
+        CompositeLit to ConstructExpression, handler.go:1146-1198)."""
+        bid, bmeta = base
+        tname = bmeta.get("name") or ""
+        if bmeta.get("kind") == "member" and bmeta.get("base_name"):
+            # qualified composite literal pkg.Type{...}
+            tname = f"{bmeta['base_name']}.{tname}"
+            self.pending_members = [p for p in self.pending_members
+                                    if p[0] != bid]
+        self.expect("{")
+        nid = self.node(path, "ConstructExpression", tname, None)
+        if tname:
+            self.eval_type(nid, tname)
+            rec = self.records.get(tname)
+            if rec:
+                self.edge(nid, "INSTANTIATES", rec["decl_id"])
+        self._drop_pending_ref(bid)
+        ai = 0
+        self.skip_semis()
+        while self.peek().kind != "}" and self.peek().kind != "eof":
+            save = self.i
+            if self.peek().kind == "ident" and self.peek(1).kind == ":":
+                key = self.next().text
+                self.next()  # ':'
+                vid, _ = self.parse_expr(f"{path}.kv[{ai}]")
+                kv = self.node(f"{path}.k[{ai}]", "KeyValueExpression", key,
+                               None)
+                self.ast_edge(kv, vid, "VALUE", 0)
+                self.edge(vid, "DFG", kv)
+                self.ast_edge(nid, kv, "ARGUMENTS", ai)
+                self.edge(nid, "ARGUMENTS", kv, {"index": ai, "name": key})
+            else:
+                vid, _ = self.parse_expr(f"{path}.v[{ai}]")
+                self.ast_edge(nid, vid, "ARGUMENTS", ai)
+                self.edge(nid, "ARGUMENTS", vid, {"index": ai})
+            ai += 1
+            if not self.accept(","):
+                self.skip_semis()
+                if self.peek().kind != "}":
+                    if self.i == save:
+                        break
+                    continue
+        self.expect("}")
+        return nid, {"kind": "construct", "name": tname, "type": tname}
+
+    # ------------------------------------------------ deferred resolution
+    def _mention(self, mid, kind, name, base_type=None, scopes=None,
+                 n_args=None, arg_ids=None, n_kwargs=None):
+        return {
+            "mention_id": mid, "kind": kind, "name": name,
+            "base_type": base_type,
+            "scope_path": ".".join(s.name for s in (scopes or []) if s.name)
+            or self.module_name,
+            "doc_id": self.doc_id,
+            "n_args": n_args, "n_kwargs": n_kwargs, "arg_ids": arg_ids,
+        }
+
+    @staticmethod
+    def _lookup(scopes, name):
+        for s in reversed(scopes):
+            if name in s.decls:
+                return s.decls[name]
+        return None
+
+    def _dfg_args_to_params(self, args, fn_id):
+        info = self._functions_by_id.get(fn_id)
+        if not info:
+            return
+        pids = info.get("param_ids") or []
+        for a in args or []:
+            if a["index"] < len(pids):
+                self.edge(a["arg_id"], "DFG", pids[a["index"]])
+
+    def _resolve_locally(self):
+        """Same zero-shuffle local-first resolution as the Python frontend
+        (reference VariableUsageResolver / CallResolver applied per-file)."""
+        for ref_id, name, scopes, access in self.pending_refs:
+            d = self._lookup(scopes, name)
+            if d is not None:
+                self.edge(ref_id, "REFERS_TO", d["decl_id"])
+                if access == "write":
+                    self.edge(ref_id, "DFG", d["decl_id"])
+                else:
+                    self.edge(d["decl_id"], "DFG", ref_id)
+                if d.get("type"):
+                    self.eval_type(ref_id, d["type"])
+            elif name in self.imports:
+                pass  # bare package ref — linked via member access
+            else:
+                self.out.mentions.append(
+                    self._mention(ref_id, "ref", name, scopes=scopes))
+        for call_id, name, scopes, args in self.pending_calls:
+            d = self._lookup(scopes, name)
+            if d is not None and d["kind"] == "function":
+                fid = d["decl_id"]
+                self.edge(call_id, "CALLS", fid)
+                self.edge(fid, "DFG", call_id)
+                self._dfg_args_to_params(args, fid)
+            else:
+                self.out.mentions.append(self._mention(
+                    call_id, "call", name, scopes=scopes,
+                    n_args=len(args), n_kwargs=0,
+                    arg_ids=[a["arg_id"] for a in args]))
+        for mid, attr, base_name, scopes, args, access in self.pending_members:
+            base_type = None
+            if base_name:
+                bd = self._lookup(scopes, base_name)
+                if bd is not None:
+                    base_type = (bd.get("type") or "").rstrip("*") or None
+                elif base_name in self.imports:
+                    base_type = self.imports[base_name]
+            rec = self.records.get(base_type) if base_type else None
+            if access == "call":
+                target = None
+                if rec and attr in rec["methods"]:
+                    target = rec["methods"][attr][0]
+                if target is not None:
+                    self.edge(mid, "CALLS", target)
+                    self.edge(target, "DFG", mid)
+                    self._dfg_args_to_params(args, target)
+                else:
+                    self.out.mentions.append(self._mention(
+                        mid, "member_call", attr, base_type=base_type,
+                        scopes=scopes, n_args=len(args or []), n_kwargs=0,
+                        arg_ids=[a["arg_id"] for a in (args or [])]))
+            else:
+                fid = rec["fields"].get(attr) if rec else None
+                if fid is not None:
+                    self.edge(mid, "REFERS_TO", fid)
+                    if access == "write":
+                        self.edge(mid, "DFG", fid)
+                    else:
+                        self.edge(fid, "DFG", mid)
+                else:
+                    self.out.mentions.append(self._mention(
+                        mid, "member_ref", attr, base_type=base_type,
+                        scopes=scopes))
+
+    # --------------------------------------------------------------- export
+    def _export_symbols(self):
+        for fid, info in self._functions_by_id.items():
+            self.out.symbols.append({
+                "decl_id": fid,
+                "kind": "method" if info.get("record") else "function",
+                "name": info["name"],
+                "fqn": (f"{self.module_name}.{info['record']}.{info['name']}"
+                        if info.get("record")
+                        else f"{self.module_name}.{info['name']}"),
+                "record": info.get("record"),
+                "module": self.module_name,
+                "doc_id": self.doc_id,
+                "n_params": info["n_params"],
+                "has_defaults": False,
+                "is_variadic": False,
+                "param_ids": info["param_ids"],
+                "param_names": info["param_names"],
+            })
+        for rname, rec in self.records.items():
+            self.out.symbols.append({
+                "decl_id": rec["decl_id"], "kind": "record", "name": rname,
+                "fqn": f"{self.module_name}.{rname}", "record": None,
+                "module": self.module_name, "doc_id": self.doc_id,
+                "n_params": None, "has_defaults": None, "is_variadic": None,
+                "param_ids": None, "param_names": None,
+            })
+            for fname, fid in rec["fields"].items():
+                self.out.symbols.append({
+                    "decl_id": fid, "kind": "field", "name": fname,
+                    "fqn": f"{self.module_name}.{rname}.{fname}",
+                    "record": rname, "module": self.module_name,
+                    "doc_id": self.doc_id, "n_params": None,
+                    "has_defaults": None, "is_variadic": None,
+                    "param_ids": None, "param_names": None,
+                })
+        for vname, d in getattr(self, "_module_decls", {}).items():
+            if d["kind"] == "var":
+                self.out.symbols.append({
+                    "decl_id": d["decl_id"], "kind": "var", "name": vname,
+                    "fqn": f"{self.module_name}.{vname}", "record": None,
+                    "module": self.module_name, "doc_id": self.doc_id,
+                    "n_params": None, "has_defaults": None,
+                    "is_variadic": None, "param_ids": None,
+                    "param_names": None,
+                })
+
+
+def parse_go_document(doc_id: str, span_offset: int, source: str,
+                      module_name: str | None = None) -> DocGraph:
+    """Parse one Go code span into CPG rows; parse failures degrade to a
+    ProblemDeclaration node (never fail the Arrow batch)."""
+    if module_name is None:
+        module_name = doc_id.rsplit("/", 2)[-2] if "/" in doc_id else doc_id
+    fe = GoFrontend(doc_id, span_offset, source, module_name)
+    try:
+        return fe.run()
+    except (GoParseError, RecursionError, IndexError) as e:
+        out = DocGraph()
+        out.nodes.append({
+            "node_id": fe.make_id("problem", "ProblemDeclaration"),
+            "label": "ProblemDeclaration", "name": str(e)[:200], "code": None,
+            "doc_id": doc_id, "span_offset": span_offset, "loc": None,
+            "is_inferred": False, "is_implicit": False, "argument_index": None,
+            "props": {"problem": "GoParseError"},
+        })
+        return out

@@ -51,6 +51,51 @@ def _pick_winner(joined: DataFrame, order_cols: list) -> DataFrame:
     )
 
 
+def _imports_dim(mentions: DataFrame) -> DataFrame:
+    """(doc_id, imp_module) pairs from import mentions — the visibility
+    gate for cross-document linking.  The reference resolves across files
+    only through imports (ImportResolver.java:62-120) or within the same
+    module/package; bare-name joins across unrelated modules would
+    fabricate edges the reference never emits."""
+    return (
+        mentions.filter(F.col("kind") == "import")
+        # renamed columns break the shared lineage with the mention side —
+        # without this Spark resolves the join condition to a self-equality
+        .select(F.col("doc_id").alias("imp_doc_id"),
+                F.col("base_type").alias("imp_module"))
+        .filter(F.col("imp_module").isNotNull())
+        .distinct()
+    )
+
+
+def _visibility_gate(cand: DataFrame, imports: DataFrame) -> DataFrame:
+    """Keep candidates where the declaration is in the mention's own
+    module (scope_path prefix — Go files of one package, same-file) or in
+    a module the document imports.  ``imports`` is tiny → broadcast."""
+    gated = cand.join(
+        F.broadcast(imports),
+        (F.col("doc_id") == F.col("imp_doc_id"))
+        & (F.col("d_module") == F.col("imp_module")),
+        "left_outer",
+    ).drop("imp_doc_id")
+    same_module = F.expr("scope_path like concat(d_module, '%')")
+    return (
+        gated.filter(
+            same_module
+            | F.col("imp_module").isNotNull()
+            # member CALLS with an unknown base keep name-only matching
+            # (reference resolves member calls against all records when the
+            # base type is unknown, CallResolver.java:1089-1127); member
+            # REFS do not — the reference infers a field on the base type
+            # instead of matching foreign records (VariableUsageResolver
+            # .java:409-452)
+            | ((F.col("kind") == "member_call") & F.col("base_type").isNull())
+            | (F.col("kind") == "import")
+        )
+        .drop("imp_module")
+    )
+
+
 def link_calls(mentions: DataFrame, symbols: DataFrame,
                strategy: str | None = None, buckets: int = 16):
     """Resolve ``call`` and ``member_call`` mentions.
@@ -74,6 +119,7 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     dim_rows = fns.count()
 
     joined, used = _name_join(calls, fns, dim_rows, buckets, strategy)
+    joined = _visibility_gate(joined, _imports_dim(mentions))
 
     # candidate filter: member calls must match the base record when the
     # base type is known (CallResolver.java:1089-1127); plain calls must hit
@@ -198,6 +244,7 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
     )
     dim_rows = decls.count()
     joined, used = _name_join(refs, decls, dim_rows, buckets, strategy)
+    joined = _visibility_gate(joined, _imports_dim(mentions))
 
     cand = joined.filter(
         # member refs need a field of the matching record when base known

@@ -330,7 +330,7 @@ def q_cpg_triples(spark, sf_dir):
     from cpg_spark.operators.parse import parse_docs, split_parse_output
     from cpg_spark.synth import fixture_docs
 
-    raw = parse_docs(fixture_docs(spark))
+    raw = parse_docs(fixture_docs(spark)).persist()
     nodes, edges, mentions, symbols = split_parse_output(raw)
     linked, inferred, _ = link_all(mentions, symbols)
     return (
@@ -347,7 +347,7 @@ def q_cpg_crossdoc_calls(spark, sf_dir):
     from cpg_spark.operators.parse import parse_docs, split_parse_output
     from cpg_spark.synth import generated_docs
 
-    raw = parse_docs(generated_docs(spark, 120, n_hubs=4))
+    raw = parse_docs(generated_docs(spark, 120, n_hubs=4)).persist()
     nodes, edges, mentions, symbols = split_parse_output(raw)
     linked, _, _ = link_all(mentions, symbols)
     calls = linked.filter(F.col("pred") == "CALLS")

@@ -28,6 +28,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cpg_spark.fixtures_go import GO_FIXTURES
 from cpg_spark.fixtures_py import PY_FIXTURES
 from cpg_spark.schemas import DOCS_SCHEMA
 
@@ -57,11 +58,16 @@ def _interleave(code_spans: list[tuple[str, str]], doc_key: str) -> list[dict]:
     return spans
 
 
-def fixture_docs(spark: SparkSession) -> DataFrame:
+def fixture_docs(spark: SparkSession, langs: tuple = ("python", "go")) -> DataFrame:
     rows = []
-    for name, src in sorted(PY_FIXTURES.items()):
-        rows.append({"doc_id": f"py/{name}/0001",
-                     "spans": _interleave([("code/python", src)], name)})
+    if "python" in langs:
+        for name, src in sorted(PY_FIXTURES.items()):
+            rows.append({"doc_id": f"py/{name}/0001",
+                         "spans": _interleave([("code/python", src)], name)})
+    if "go" in langs:
+        for name, src in sorted(GO_FIXTURES.items()):
+            rows.append({"doc_id": f"go/{name}/0001",
+                         "spans": _interleave([("code/go", src)], name)})
     return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
 
 
@@ -76,6 +82,8 @@ def util_format_{h}(v):
 '''
 
 _MODULE_TEMPLATE = '''\
+from hub{h} import util_helper_{h}
+
 GLOBAL_{k} = 100
 
 def {fn1}(a, b):
@@ -139,10 +147,12 @@ def generated_docs(spark: SparkSession, n_docs: int, n_hubs: int | None = None,
             for k in pdf["id"]:
                 k = int(k)
                 if k < n_hubs:
-                    doc_key = f"py/hub/{k:08d}"
+                    # doc_id encodes the module name (hub<k>) so imports in
+                    # mod docs resolve through the visibility gate
+                    doc_key = f"py/hub{k}/{k:08d}"
                     code = _HUB_TEMPLATE.format(h=k)
                 else:
-                    doc_key = f"py/mod/{k:08d}"
+                    doc_key = f"py/mod{k}/{k:08d}"
                     code = generated_module(k, n_hubs, seed)
                 out.append({"doc_id": doc_key,
                             "spans": _interleave([("code/python", code)], doc_key)})

@@ -78,7 +78,7 @@ def test_cross_document_call_linking(spark, parsed):
     )
     assert cross.count() > 0
     # every cross-doc util_helper call resolved to a hub doc declaration
-    assert cross.filter(~F.col("callee_doc").startswith("py/hub/")).count() == 0
+    assert cross.filter(~F.col("callee_doc").startswith("py/hub")).count() == 0
 
 
 def test_inferred_functions_deterministic(spark, parsed):
