@@ -75,9 +75,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": Q.q_ann_bruteforce_topk,
         "embedding_neardup": Q.q_embedding_neardup,
         "ann_lsh_topk": Q.q_ann_lsh_topk,  # rows-only (approximate by design)
+        # multimodal plumbing (rows-only: stubbed decode kernel)
+        "media_feature_extract": Q.q_media_features,
         # CPG pipeline (rows-only: no SQL equivalent of a code parser)
         "cpg_triples": Q.q_cpg_triples,
         "cpg_crossdoc_calls": Q.q_cpg_crossdoc_calls,
+        "cypher_params": Q.q_cypher_params,
     }
 
 

@@ -376,6 +376,7 @@ class GoFrontend(Emitter):
         if t.kind == "ident" and t.text == "interface":
             return self.parse_interface(name, name_t, path)
         # alias / defined type: emit a Type alias edge for canonicalization
+        self.accept("=")  # `type B = A` alias form
         target = self.parse_type_name()
         tid = self.node(path, "TypedefDeclaration", name, self._tloc(name_t))
         if target:

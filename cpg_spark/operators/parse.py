@@ -12,16 +12,23 @@ The stage emits ONE unified row stream (``row_kind`` discriminator) so the
 expensive parse runs exactly once; the four logical tables (nodes, edges,
 mentions, symbols) are cheap filters over the checkpointed output with
 ``row_kind`` predicate pushdown.
+
+Performance-critical detail: the UDF-side schema is **all primitive
+columns** — props as a JSON string, id arrays as CSV, location as four
+ints.  Map/struct/array construction through pandas->Arrow is 10-30x
+slower per row than strings; the typed columns (map<string,string> props,
+loc struct, arrays) are rebuilt JVM-side in :func:`split_parse_output`
+with ``from_json``/``split``/``struct`` — inside whole-stage codegen.
 """
 
 from __future__ import annotations
+
+import json
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-from cpg_spark.schemas import LOC_SCHEMA
 
 PARSE_OUT_SCHEMA = T.StructType(
     [
@@ -33,12 +40,15 @@ PARSE_OUT_SCHEMA = T.StructType(
         T.StructField("name", T.StringType(), True),
         T.StructField("code", T.StringType(), True),
         T.StructField("span_offset", T.IntegerType(), True),
-        T.StructField("loc", LOC_SCHEMA, True),
+        T.StructField("loc_sl", T.IntegerType(), True),
+        T.StructField("loc_sc", T.IntegerType(), True),
+        T.StructField("loc_el", T.IntegerType(), True),
+        T.StructField("loc_ec", T.IntegerType(), True),
         T.StructField("is_inferred", T.BooleanType(), True),
         T.StructField("is_implicit", T.BooleanType(), True),
         T.StructField("argument_index", T.IntegerType(), True),
-        T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
-        # edge fields (props/doc_id shared)
+        T.StructField("props_json", T.StringType(), True),
+        # edge fields (props_json/doc_id shared)
         T.StructField("subj", T.StringType(), True),
         T.StructField("pred", T.StringType(), True),
         T.StructField("obj", T.StringType(), True),
@@ -48,19 +58,25 @@ PARSE_OUT_SCHEMA = T.StructType(
         T.StructField("m_scope_path", T.StringType(), True),
         T.StructField("m_n_args", T.IntegerType(), True),
         T.StructField("m_n_kwargs", T.IntegerType(), True),
-        T.StructField("m_arg_ids", T.ArrayType(T.StringType()), True),
+        T.StructField("m_arg_ids", T.StringType(), True),  # CSV of hex ids
         # symbol fields (name shared)
         T.StructField("s_kind", T.StringType(), True),
         T.StructField("s_fqn", T.StringType(), True),
         T.StructField("s_record", T.StringType(), True),
         T.StructField("s_module", T.StringType(), True),
         T.StructField("s_n_params", T.IntegerType(), True),
-        T.StructField("s_param_ids", T.ArrayType(T.StringType()), True),
-        T.StructField("s_param_names", T.ArrayType(T.StringType()), True),
+        T.StructField("s_param_ids", T.StringType(), True),   # CSV
+        T.StructField("s_param_names", T.StringType(), True), # CSV
     ]
 )
 
 _COLS = [f.name for f in PARSE_OUT_SCHEMA.fields]
+
+
+def _csv(ids) -> str | None:
+    if not ids:
+        return None
+    return ",".join(ids)
 
 
 def _rows_for_doc(doc_id: str, spans) -> list[dict]:
@@ -79,16 +95,35 @@ def _rows_for_doc(doc_id: str, spans) -> list[dict]:
             continue  # non-code spans pass through untouched
         g = parser(doc_id, int(offset), text)
         for n in g.nodes:
-            rows.append({"row_kind": "node", **n})
+            loc = n.get("loc")
+            rows.append({
+                "row_kind": "node", "doc_id": n["doc_id"],
+                "node_id": n["node_id"], "label": n["label"],
+                "name": n["name"], "code": n["code"],
+                "span_offset": n["span_offset"],
+                "loc_sl": loc["start_line"] if loc else None,
+                "loc_sc": loc["start_col"] if loc else None,
+                "loc_el": loc["end_line"] if loc else None,
+                "loc_ec": loc["end_col"] if loc else None,
+                "is_inferred": n["is_inferred"],
+                "is_implicit": n["is_implicit"],
+                "argument_index": n["argument_index"],
+                "props_json": json.dumps(n["props"]) if n["props"] else None,
+            })
         for e in g.edges:
-            rows.append({"row_kind": "edge", **e})
+            rows.append({
+                "row_kind": "edge", "doc_id": e["doc_id"],
+                "subj": e["subj"], "pred": e["pred"], "obj": e["obj"],
+                "props_json": json.dumps(e["props"]) if e["props"] else None,
+            })
         for m in g.mentions:
             rows.append({
                 "row_kind": "mention", "doc_id": m["doc_id"],
                 "node_id": m["mention_id"], "name": m["name"],
                 "m_kind": m["kind"], "m_base_type": m["base_type"],
                 "m_scope_path": m["scope_path"], "m_n_args": m["n_args"],
-                "m_n_kwargs": m["n_kwargs"], "m_arg_ids": m["arg_ids"],
+                "m_n_kwargs": m["n_kwargs"],
+                "m_arg_ids": _csv(m["arg_ids"]),
                 "span_offset": int(offset),
             })
         for s in g.symbols:
@@ -97,7 +132,8 @@ def _rows_for_doc(doc_id: str, spans) -> list[dict]:
                 "node_id": s["decl_id"], "name": s["name"],
                 "s_kind": s["kind"], "s_fqn": s["fqn"], "s_record": s["record"],
                 "s_module": s["module"], "s_n_params": s["n_params"],
-                "s_param_ids": s["param_ids"], "s_param_names": s["param_names"],
+                "s_param_ids": _csv(s["param_ids"]),
+                "s_param_names": _csv(s["param_names"]),
                 "span_offset": int(offset),
             })
     return rows
@@ -112,33 +148,58 @@ def parse_docs(docs: DataFrame) -> DataFrame:
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 out.extend(_rows_for_doc(doc_id, spans))
             # object-dtype frame + where(): missing keys must become None
-            # (not pandas NaN, which breaks Arrow struct/map conversion);
-            # this path is ~2x faster than per-column comprehension
+            # (not pandas NaN, which breaks Arrow conversion of int cols)
             frame = pd.DataFrame(out, columns=_COLS, dtype=object)
             yield frame.where(frame.notna(), None)
 
     return docs.mapInPandas(run, schema=PARSE_OUT_SCHEMA)
 
 
+def _props_col():
+    return F.coalesce(
+        F.from_json(F.col("props_json"), "map<string,string>"),
+        F.expr("map()"),
+    ).alias("props")
+
+
+def _loc_col():
+    return F.when(
+        F.col("loc_sl").isNotNull(),
+        F.struct(
+            F.col("loc_sl").alias("start_line"),
+            F.col("loc_sc").alias("start_col"),
+            F.col("loc_el").alias("end_line"),
+            F.col("loc_ec").alias("end_col"),
+        ),
+    ).alias("loc")
+
+
+def _split_csv(col: str):
+    return F.when(F.col(col).isNotNull(), F.split(F.col(col), ","))
+
+
 def split_parse_output(raw: DataFrame):
-    """Four logical tables from the unified stream. ``row_kind`` filters
-    push down to the parquet scan of the checkpointed stage output."""
+    """Four logical typed tables from the unified primitive stream.
+    ``row_kind`` filters and column pruning push down to the parquet scan
+    of the checkpointed stage output; map/struct/array reconstruction is
+    whole-stage-codegen JVM work."""
     nodes = raw.filter(F.col("row_kind") == "node").select(
-        "node_id", "label", "name", "code", "doc_id", "span_offset", "loc",
-        "is_inferred", "is_implicit", "argument_index", "props")
+        "node_id", "label", "name", "code", "doc_id", "span_offset",
+        _loc_col(), "is_inferred", "is_implicit", "argument_index",
+        _props_col())
     edges = raw.filter(F.col("row_kind") == "edge").select(
-        "subj", "pred", "obj", "props", "doc_id")
+        "subj", "pred", "obj", _props_col(), "doc_id")
     mentions = raw.filter(F.col("row_kind") == "mention").select(
         F.col("node_id").alias("mention_id"), F.col("m_kind").alias("kind"),
         "name", F.col("m_base_type").alias("base_type"),
         F.col("m_scope_path").alias("scope_path"), "doc_id",
         F.col("m_n_args").alias("n_args"), F.col("m_n_kwargs").alias("n_kwargs"),
-        F.col("m_arg_ids").alias("arg_ids"))
+        _split_csv("m_arg_ids").alias("arg_ids"))
     symbols = raw.filter(F.col("row_kind") == "symbol").select(
         F.col("node_id").alias("decl_id"), F.col("s_kind").alias("kind"),
         "name", F.col("s_fqn").alias("fqn"), F.col("s_record").alias("record"),
         F.col("s_module").alias("module"), "doc_id",
         F.col("s_n_params").alias("n_params"),
-        F.col("s_param_ids").alias("param_ids"),
-        F.col("s_param_names").alias("param_names"))
+        _split_csv("s_param_ids").alias("param_ids"),
+        _split_csv("s_param_names").alias("param_names"))
     return nodes, edges, mentions, symbols

@@ -11,7 +11,7 @@ any stage") — correctness of resume rests on content-hash node ids
 
 Stage graph for the flagship CPG job (SURVEY.md §7.1):
 
-    ingest -> parse -> link -> materialize
+    ingest -> parse -> link -> dfg_refine -> materialize
 
 with EOG / provisional DFG / local REFERS_TO folded into parse (per-doc,
 zero shuffle) and linking joins in link (the only wide stage).
@@ -64,23 +64,23 @@ class Pipeline:
     def _lineage(self, stage: str, outputs: dict[str, str], wall_ms: int,
                  resumed: bool, metrics: dict) -> None:
         """Per-partition lineage: rows-per-partition of every output table,
-        appended under the run directory (north_rule lineage requirement)."""
+        appended under the run directory (north_rule lineage requirement).
+
+        Row counts come from the parquet file footers (pyarrow metadata) —
+        one part file per write partition — so lineage costs zero Spark
+        jobs and no table re-scan.  On an Iceberg catalog the same counts
+        come from the snapshot manifests."""
         rows = []
         for name, uri in outputs.items():
             try:
-                per_part = (
-                    sinks.read_table(self.spark, uri)
-                    .groupBy(F.spark_partition_id().alias("partition_id"))
-                    .count()
-                    .collect()
-                )
+                per_part = sinks.partition_row_counts(uri)
             except Exception:
                 per_part = []
-            for r in per_part:
+            for pid, cnt in per_part:
                 rows.append({
                     "run_id": self.run_id, "stage": f"{stage}/{name}",
-                    "partition_id": int(r["partition_id"]),
-                    "input_rows": None, "output_rows": int(r["count"]),
+                    "partition_id": pid,
+                    "input_rows": None, "output_rows": cnt,
                     "wall_ms": wall_ms,
                 })
         path = os.path.join(self.workdir, self.run_id, "_lineage")
@@ -116,11 +116,11 @@ class Pipeline:
             uri = sinks.table_uri(self.workdir, self.run_id, stage.name, name)
             sinks.write_table(df, uri, partition_by.get(name))
             outputs[name] = uri
-        # commit marker for the whole stage (atomic-enough locally; an
-        # Iceberg catalog gives true atomicity on a cluster)
-        self.spark.createDataFrame([(self.run_id,)], "run_id string").coalesce(
-            1
-        ).write.mode("overwrite").parquet(probe)
+        # commit marker for the whole stage: a JSON file with an atomic
+        # rename (an Iceberg catalog commit gives true atomicity on a
+        # cluster); zero Spark jobs
+        sinks.write_commit_marker(probe, {"run_id": self.run_id,
+                                          "stage": stage.name})
         wall_ms = int((time.time() - t0) * 1000)
         self._lineage(stage.name, outputs, wall_ms, False, metrics)
         self.results.append(StageResult(stage.name, outputs, wall_ms, False,
@@ -135,16 +135,18 @@ class Pipeline:
 # ---------------------------------------------------------------------------
 
 def _ingest(spark, ctx):
-    docs = ctx["docs"]
-    bad = validate_span_invariant(docs).count()
-    if bad:
-        raise ValueError(f"span-sequence invariant violated for {bad} docs")
-    return {"docs": docs}, {"invariant_violations": bad}, {}
+    # single pass: write the docs checkpoint; the span invariant is
+    # validated by _parse against the committed table (parquet re-scan is
+    # cheaper than running the generator twice)
+    return {"docs": ctx["docs"]}, {}, {}
 
 
 def _parse(spark, ctx):
+    bad = validate_span_invariant(ctx["docs"]).count()
+    if bad:
+        raise ValueError(f"span-sequence invariant violated for {bad} docs")
     raw = parse_docs(ctx["docs"])
-    return {"cpg_raw": raw}, {}, {"cpg_raw": ["row_kind"]}
+    return {"cpg_raw": raw}, {"invariant_violations": bad}, {"cpg_raw": ["row_kind"]}
 
 
 def _link(spark, ctx):
@@ -157,15 +159,33 @@ def _link(spark, ctx):
     )
 
 
+def _dfg_refine(spark, ctx):
+    from cpg_spark.operators.dfg_refine import refine_dfg
+
+    nodes, edges, _, _ = split_parse_output(ctx["cpg_raw"])
+    adds, removes = refine_dfg(nodes, edges)
+    return (
+        {"dfg_adds": adds, "dfg_removes": removes},
+        {},
+        {},
+    )
+
+
 def _materialize(spark, ctx):
+    from cpg_spark.operators.canonicalize import canonicalize_types
+    from cpg_spark.operators.dfg_refine import apply_refinement
+
     nodes, edges, _, _ = split_parse_output(ctx["cpg_raw"])
     all_nodes = nodes.unionByName(ctx["nodes_inferred"]).dropDuplicates(["node_id"])
-    all_edges = (
-        edges.unionByName(ctx["edges_linked"])
-        .dropDuplicates(["subj", "pred", "obj"])
-    )
+    refined = apply_refinement(edges, ctx["dfg_adds"], ctx["dfg_removes"])
+    all_edges = refined.unionByName(ctx["edges_linked"])
+    # alias canonicalization (SURVEY A1): typedef chains collapse to one
+    # canonical type node; EVAL_TYPE/SUPER_TYPE edges remapped
+    all_nodes, all_edges, comp = canonicalize_types(all_nodes, all_edges)
+    all_edges = all_edges.dropDuplicates(["subj", "pred", "obj"])
     return (
-        {"nodes": all_nodes, "edges": all_edges},
+        {"nodes": all_nodes, "edges": all_edges,
+         "type_components": comp},
         {},
         # pred-partitioning keeps per-predicate scans (triple view queries)
         # pruned; doc_id bucketing is the Iceberg-side refinement on cluster
@@ -177,6 +197,7 @@ CPG_STAGES = [
     Stage("ingest", _ingest),
     Stage("parse", _parse),
     Stage("link", _link),
+    Stage("dfg_refine", _dfg_refine),
     Stage("materialize", _materialize),
 ]
 

@@ -340,6 +340,36 @@ def q_cpg_triples(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: media spans -> synthetic blob-store join ->
+    Arrow-batched decode/feature extraction (decode kernel stubbed behind
+    CPG_SPARK_FAKE_DECODE; Spark-side schema/batching real)."""
+    from cpg_spark.operators.multimodal import extract_features, synth_media_table
+    from cpg_spark.synth import fixture_docs
+
+    media = synth_media_table(fixture_docs(spark))
+    return (
+        extract_features(media)
+        .select("media_ref", "mime", "n_bytes", "sha", "width", "height")
+        .orderBy("media_ref")
+    )
+
+
+def q_cypher_params(spark, sf_dir):
+    """openCypher-subset executor (reference Graph.kt:58-360) over the
+    parsed fixture graph: function -> PARAMETERS -> param."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.query.cypher import execute_cypher
+    from cpg_spark.synth import fixture_docs
+
+    raw = parse_docs(fixture_docs(spark)).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    return execute_cypher(
+        "MATCH (f:FunctionDeclaration)-[:PARAMETERS]->(p) RETURN p",
+        nodes, edges,
+    ).select("node_id", "label", "name", "doc_id").orderBy("node_id")
+
+
 def q_cpg_crossdoc_calls(spark, sf_dir):
     """Cross-document CALLS resolution over the generated corpus: callers
     in mod docs, callees in hub docs (broadcast symbol-table join path)."""

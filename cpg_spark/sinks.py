@@ -64,4 +64,37 @@ def read_table(spark: SparkSession, uri: str) -> DataFrame:
 def is_committed(uri: str) -> bool:
     if os.environ.get("CPG_SPARK_CATALOG"):
         return False  # catalog existence checks are cluster-specific; recompute
-    return os.path.exists(os.path.join(uri, "_SUCCESS"))
+    return os.path.exists(os.path.join(uri, "_SUCCESS")) or os.path.exists(
+        uri if uri.endswith(".json") else os.path.join(uri, "_COMMIT.json")
+    )
+
+
+def partition_row_counts(uri: str) -> list[tuple[int, int]]:
+    """(partition_id, rows) per part file, from parquet footers — no Spark
+    job, no data scan.  Lineage at file granularity ≙ write-partition
+    granularity (one part file per task)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    pid = 0
+    for root, _dirs, files in os.walk(uri):
+        for f in sorted(files):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                out.append((pid, md.num_rows))
+                pid += 1
+    return out
+
+
+def write_commit_marker(uri: str, payload: dict) -> None:
+    """Stage commit marker as a plain JSON file (atomic rename) — replaces
+    the former one-row Spark job per stage."""
+    import json
+    import tempfile
+
+    os.makedirs(uri, exist_ok=True)
+    path = os.path.join(uri, "_COMMIT.json")
+    fd, tmp = tempfile.mkstemp(dir=uri)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)

@@ -1,0 +1,79 @@
+"""Cypher-subset executor tests — mirrors the query shapes the reference's
+Graph.kt executor supports (label filter, relationship chain, WHERE
+comparisons, RETURN, LIMIT)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpg_spark.operators.parse import parse_docs, split_parse_output
+from cpg_spark.query.cypher import CypherError, execute_cypher
+from cpg_spark.synth import fixture_docs
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    raw = parse_docs(fixture_docs(spark, langs=("python",))).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    yield nodes.persist(), edges.persist()
+    raw.unpersist()
+
+
+def test_label_filter(graph):
+    nodes, edges = graph
+    out = execute_cypher(
+        "MATCH (c:CallExpression) WHERE c.name = 'bar' RETURN c",
+        nodes, edges,
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == "bar"
+    assert rows[0]["doc_id"] == "py/function/0001"
+
+
+def test_relationship_chain(graph):
+    nodes, edges = graph
+    out = execute_cypher(
+        "MATCH (f:FunctionDeclaration)-[:PARAMETERS]->(p) RETURN p",
+        nodes, edges,
+    )
+    names = {r["name"] for r in out.collect()}
+    assert {"s", "s2"} <= names
+
+
+def test_two_hop_chain_and_where(graph):
+    nodes, edges = graph
+    # variable declaration -> initializer (AST) restricted by line
+    out = execute_cypher(
+        "MATCH (v:VariableDeclaration)-[:AST]->(b:BinaryOperator) "
+        "WHERE v.name = 'a' RETURN b",
+        nodes, edges,
+    )
+    rows = out.collect()
+    assert any(r["name"] == "+" for r in rows)
+
+
+def test_inline_props_and_limit(graph):
+    nodes, edges = graph
+    out = execute_cypher(
+        "MATCH (l:Literal {name: '42'}) RETURN l LIMIT 1", nodes, edges
+    )
+    assert out.count() == 1
+
+
+def test_where_numeric_comparison(graph):
+    nodes, edges = graph
+    out = execute_cypher(
+        "MATCH (c:CallExpression) WHERE c.start_line > 1 RETURN c",
+        nodes, edges,
+    )
+    assert out.count() > 0
+
+
+def test_unsupported_raises(graph):
+    nodes, edges = graph
+    with pytest.raises(CypherError):
+        execute_cypher("MATCH (a)-[:X]-(b) RETURN a", nodes, edges)  # undirected
+    with pytest.raises(CypherError):
+        execute_cypher("MATCH (a) RETURN count(a)", nodes, edges)
