@@ -15,6 +15,7 @@ Registration mirrors ``TranslationConfiguration.registerLanguage``
 
 from __future__ import annotations
 
+from .cfamily_frontend import parse_cpp_document, parse_java_document
 from .go_frontend import parse_go_document
 from .python_frontend import parse_python_document
 
@@ -22,6 +23,8 @@ from .python_frontend import parse_python_document
 FRONTENDS = {
     "code/python": parse_python_document,
     "code/go": parse_go_document,
+    "code/java": parse_java_document,
+    "code/cpp": parse_cpp_document,
 }
 
 

@@ -1,0 +1,1359 @@
+"""C-family (Java / C++) language frontend: shared tokenizer + recursive
+descent over the C-style subset the reference's Java/C++ test fixtures
+exercise.
+
+The reference parses Java with JavaParser (``core/frontends/java/``,
+~2,400 LoC) and C/C++ with Eclipse CDT (``core/frontends/cpp/``, ~2,950
+LoC); neither is available here, and SURVEY.md F1/F2 prescribe an
+error-tolerant subset parser with the same node vocabulary instead.
+Coverage targets the fixture groups FIXTURES.md §4 scopes for P/R:
+
+* class/struct declarations with fields, methods, constructors
+  (RecordDeclaration / FieldDeclaration / MethodDeclaration /
+  ConstructorDeclaration, FIELDS/METHODS/CONSTRUCTORS edges)
+* typed local declarations ``int a = 1;`` (VariableDeclaration +
+  EVAL_TYPE + initializer DFG), assignment / compound assignment /
+  ``++``/``--`` kernels (BinaryOperator.java:80-112,
+  UnaryOperator.java:69-97)
+* scope-correct REFERS_TO: locals shadow fields (Variables.java
+  getShadow), ``this.field`` forces the field (noShadow)
+* if/else, while, do, 3-clause for, java foreach, switch/case — EOG with
+  branch properties via the shared builder
+* calls, member calls (``.``, ``->``, ``::``), ``new T(...)`` ctor
+  resolution against local records, ternary ConditionalExpression DFG
+  (ConditionalExpression.java:73-89)
+* ``#include`` / ``import`` / ``package`` / ``using namespace`` handling
+  (IncludeDeclaration + import mentions for the cross-doc gate)
+
+Anything outside the subset degrades to gap Expression/Statement nodes —
+the reference's ProblemExpression behavior.
+"""
+
+from __future__ import annotations
+
+import re
+
+from cpg_spark.frontends.base import DocGraph, Emitter
+from cpg_spark.frontends.eog import build_eog
+
+_PRIMITIVES = {
+    "int", "long", "short", "byte", "char", "float", "double", "boolean",
+    "bool", "void", "auto", "string", "String", "size_t", "unsigned",
+}
+
+_JAVA_MODIFIERS = {
+    "public", "private", "protected", "static", "final", "abstract",
+    "synchronized", "transient", "volatile", "native", "strictfp", "default",
+}
+
+_CPP_SPECIFIERS = {"virtual", "inline", "constexpr", "const", "static",
+                   "extern", "mutable", "explicit", "friend", "typename"}
+
+_KEYWORDS = {
+    "if", "else", "while", "do", "for", "switch", "case", "default",
+    "return", "break", "continue", "class", "struct", "new", "this",
+    "true", "false", "null", "nullptr", "try", "catch", "finally", "throw",
+    "throws", "package", "import", "using", "namespace", "enum", "delete",
+    "goto", "instanceof", "public", "private", "protected",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<comment>//[^\n]*|/\*.*?\*/)
+    | (?P<preproc>\#[^\n]*)
+    | (?P<annotation>@\w+)
+    | (?P<string>"(?:\\.|[^"\\])*")
+    | (?P<char>'(?:\\.|[^'\\])*')
+    | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?[fFdD]?|\.\d+[fFdD]?|\d+[fFdD])
+    | (?P<int>0[xX][0-9a-fA-F]+[lL]?|\d+[lLuU]*)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op><<=|>>=|->\*?|::|\+\+|--|&&|\|\||==|!=|<=|>=|\+=|-=|\*=|/=|%=|&=|\|=|\^=|<<|>>|[+\-*/%&|^<>=!~?:.,;(){}\[\]])
+    | (?P<ws>\s+)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_PREC = {
+    "?": 1,
+    "||": 2, "&&": 3, "|": 4, "^": 5, "&": 6,
+    "==": 7, "!=": 7,
+    "<": 8, "<=": 8, ">": 8, ">=": 8, "instanceof": 8,
+    "<<": 9, ">>": 9,
+    "+": 10, "-": 10,
+    "*": 11, "/": 11, "%": 11,
+}
+
+_ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "<<=",
+               ">>="}
+
+
+class Tok:
+    __slots__ = ("kind", "text", "line", "col")
+
+    def __init__(self, kind, text, line, col):
+        self.kind = kind
+        self.text = text
+        self.line = line
+        self.col = col
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    line, col = 1, 0
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            pos += 1
+            col += 1
+            continue
+        kind = m.lastgroup
+        text = m.group()
+        nls = text.count("\n")
+        if kind in ("ws", "comment", "annotation"):
+            pass
+        elif kind == "preproc":
+            toks.append(Tok("preproc", text, line, col))
+        else:
+            k = text if kind == "op" else kind
+            toks.append(Tok(k, text, line, col))
+        if nls:
+            line += nls
+            col = len(text) - text.rfind("\n") - 1
+        else:
+            col += len(text)
+        pos = m.end()
+    toks.append(Tok("eof", "", line, col))
+    return toks
+
+
+class CFamilyParseError(Exception):
+    pass
+
+
+class CFamilyFrontend(Emitter):
+    def __init__(self, doc_id: str, span_offset: int, source: str,
+                 module_name: str, dialect: str):
+        super().__init__(doc_id, span_offset, source, module_name)
+        self.dialect = dialect  # 'java' | 'cpp'
+        self.toks = tokenize(source)
+        self.i = 0
+        self.pending_refs: list = []
+        self.pending_calls: list = []
+        self.pending_members: list = []
+        self.records: dict[str, dict] = {}
+        self.imports: dict[str, str] = {}
+        self._functions_by_id: dict[str, dict] = {}
+        self._path_n = 0
+
+    # ------------------------------------------------------------- tokens
+    def peek(self, k: int = 0) -> Tok:
+        j = min(self.i + k, len(self.toks) - 1)
+        return self.toks[j]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        if self.i < len(self.toks) - 1:
+            self.i += 1
+        return t
+
+    def accept(self, kind: str) -> Tok | None:
+        if self.peek().kind == kind:
+            return self.next()
+        return None
+
+    def expect(self, kind: str) -> Tok:
+        t = self.peek()
+        if t.kind != kind:
+            raise CFamilyParseError(f"expected {kind}, got {t.kind}@{t.line}")
+        return self.next()
+
+    def _p(self, tag: str) -> str:
+        self._path_n += 1
+        return f"cf.{tag}.{self._path_n}"
+
+    def _tloc(self, t: Tok):
+        return (t.line, t.col, t.line, t.col + max(len(t.text), 1))
+
+    def _skip_modifiers(self) -> None:
+        mods = _JAVA_MODIFIERS if self.dialect == "java" else _CPP_SPECIFIERS
+        while self.peek().kind == "ident" and self.peek().text in mods:
+            self.next()
+
+    def _skip_balanced(self, open_k: str, close_k: str) -> None:
+        depth = 0
+        while self.peek().kind != "eof":
+            k = self.peek().kind
+            if k == open_k:
+                depth += 1
+            elif k == close_k:
+                depth -= 1
+                self.next()
+                if depth == 0:
+                    return
+                continue
+            self.next()
+
+    # --------------------------------------------------------------- file
+    def run(self) -> DocGraph:
+        tu_id = self.node("", "TranslationUnitDeclaration", self.module_name,
+                          None, code="")
+        ns_id = self.node("ns", "NamespaceDeclaration", self.module_name,
+                          None, code="")
+        self.ast_edge(tu_id, ns_id, "DECLARATIONS", 0)
+        self.enter_scope("module", self.module_name, ns_id)
+        di = 0
+        while self.peek().kind != "eof":
+            t = self.peek()
+            if t.kind == "preproc":
+                self._handle_preproc(self.next(), ns_id, di)
+            elif t.kind == ";":
+                self.next()
+            elif t.kind == "ident" and t.text == "package":
+                # package a.b.c; -> module name (java)
+                self.next()
+                parts = []
+                while self.peek().kind in ("ident", "."):
+                    tk = self.next()
+                    if tk.kind == "ident":
+                        parts.append(tk.text)
+                self.accept(";")
+                if parts:
+                    self.module_name = ".".join(parts)
+            elif t.kind == "ident" and t.text == "import":
+                self.next()
+                parts = []
+                while self.peek().kind in ("ident", ".", "*"):
+                    tk = self.next()
+                    if tk.kind == "ident":
+                        parts.append(tk.text)
+                self.accept(";")
+                if parts:
+                    mod = ".".join(parts[:-1]) or parts[0]
+                    iid = self.node(self._p("import"), "IncludeDeclaration",
+                                    ".".join(parts), self._tloc(t))
+                    self.ast_edge(ns_id, iid, "INCLUDES", di)
+                    self.imports[parts[-1]] = mod
+                    self.out.mentions.append(self._mention(
+                        iid, "import", parts[-1], base_type=mod))
+            elif t.kind == "ident" and t.text == "using":
+                while self.peek().kind not in (";", "eof"):
+                    self.next()
+                self.accept(";")
+            elif t.kind == "ident" and t.text in ("class", "struct"):
+                nid = self.parse_class(self._p("class"))
+                if nid:
+                    self.ast_edge(ns_id, nid, "DECLARATIONS", di)
+            elif t.kind == "ident" and t.text == "enum":
+                self.next()
+                if self.peek().kind == "ident":
+                    self.next()
+                if self.peek().kind == "{":
+                    self._skip_balanced("{", "}")
+                self.accept(";")
+            else:
+                nid = self.parse_member_or_global(self._p("top"), record=None,
+                                                  parent=ns_id, index=di)
+                if nid is None:
+                    self.next()  # unknown token: skip
+            di += 1
+        self._module_decls = dict(self.scopes[-1].decls)
+        self.leave_scope()
+        self._resolve_locally()
+        self._export_symbols()
+        return self.out
+
+    def _handle_preproc(self, t: Tok, ns_id: str, di: int) -> None:
+        m = re.match(r'#\s*include\s*[<"]([^>"]+)[>"]', t.text)
+        if m:
+            path = m.group(1)
+            iid = self.node(self._p("include"), "IncludeDeclaration", path,
+                            self._tloc(t))
+            self.ast_edge(ns_id, iid, "INCLUDES", di)
+            name = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            self.imports[name] = name
+            self.out.mentions.append(self._mention(iid, "import", name,
+                                                   base_type=name))
+
+    # ---------------------------------------------------------------- types
+    def _looks_like_type(self, k: int = 0) -> bool:
+        t = self.peek(k)
+        return t.kind == "ident" and (
+            t.text in _PRIMITIVES
+            or (t.text not in _KEYWORDS and t.text[0].isupper())
+            or t.text in self.records
+        )
+
+    def parse_type(self) -> str | None:
+        """Type = [const] Ident (::Ident|.Ident)* [<...>] [*&]* [\\[\\]]*"""
+        while self.peek().kind == "ident" and self.peek().text in (
+                "const", "unsigned", "signed"):
+            self.next()
+        if self.peek().kind != "ident" or self.peek().text in _KEYWORDS:
+            return None
+        name = self.next().text
+        while self.peek().kind in ("::", ".") and self.peek(1).kind == "ident":
+            self.next()
+            name += "." + self.next().text
+        if self.peek().kind == "<":
+            # generics / template args: consume balanced
+            depth = 0
+            j = self.i
+            while self.toks[j].kind != "eof":
+                if self.toks[j].kind == "<":
+                    depth += 1
+                elif self.toks[j].kind == ">":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif self.toks[j].kind in (";", "{", ")"):
+                    depth = -1
+                    break
+                j += 1
+            if depth == 0:
+                self.i = j + 1
+        suffix = ""
+        while self.peek().kind in ("*", "&"):
+            suffix += self.next().text if self.peek().kind == "*" else ""
+            if suffix.endswith("&"):
+                suffix = suffix[:-1]
+        while self.peek().kind == "[" and self.peek(1).kind == "]":
+            self.next()
+            self.next()
+            suffix += "[]"
+        return name + suffix
+
+    # --------------------------------------------------------------- class
+    def parse_class(self, path: str) -> str | None:
+        kw = self.next().text  # class | struct
+        if self.peek().kind != "ident":
+            return None
+        name_t = self.next()
+        name = name_t.text
+        rid = self.node(path, "RecordDeclaration", name, self._tloc(name_t),
+                        props={"kind": kw})
+        rec = {"decl_id": rid, "name": name, "fields": {}, "methods": {},
+               "ctors": [], "supers": []}
+        self.records[name] = rec
+        self.declare(name, rid, "record", name)
+        # supertypes: java `extends A implements B`, cpp `: public A`
+        if self.dialect == "java":
+            while self.peek().kind == "ident" and self.peek().text in (
+                    "extends", "implements"):
+                self.next()
+                while True:
+                    sup = self.parse_type()
+                    if sup:
+                        rec["supers"].append(sup)
+                        self.edge(rid, "SUPER_TYPE", self.type_node(sup))
+                    if not self.accept(","):
+                        break
+        elif self.accept(":"):
+            while True:
+                self._skip_modifiers()
+                if self.peek().kind == "ident" and self.peek().text in (
+                        "public", "private", "protected"):
+                    self.next()
+                sup = self.parse_type()
+                if sup:
+                    rec["supers"].append(sup)
+                    self.edge(rid, "SUPER_TYPE", self.type_node(sup))
+                if not self.accept(","):
+                    break
+        if self.peek().kind != "{":
+            self.accept(";")
+            return rid
+        self.expect("{")
+        self.enter_scope("record", name, rid)
+        mi = 0
+        while self.peek().kind not in ("}", "eof"):
+            t = self.peek()
+            if t.kind == ";":
+                self.next()
+                continue
+            if t.kind == "ident" and t.text in ("public", "private",
+                                                "protected") \
+                    and self.peek(1).kind == ":":
+                self.next()
+                self.next()
+                continue
+            got = self.parse_member_or_global(f"{path}.m[{mi}]", record=rec,
+                                              parent=rid, index=mi)
+            if got is None:
+                self.next()
+            mi += 1
+        self.expect("}")
+        self.leave_scope()
+        self.accept(";")
+        return rid
+
+    # ------------------------------------------------- members & functions
+    def parse_member_or_global(self, path: str, record, parent, index):
+        """Dispatch: method/ctor/field/global-var/free-function, or None."""
+        self._skip_modifiers()
+        t = self.peek()
+        if t.kind == "ident" and t.text in ("class", "struct"):
+            nid = self.parse_class(path + ".c")
+            if nid:
+                self.ast_edge(parent, nid, "DECLARATIONS", index)
+            return nid
+        # constructor: RecordName '(' inside its own record
+        if (record is not None and t.kind == "ident"
+                and t.text == record["name"] and self.peek(1).kind == "("):
+            return self.parse_function(path, None, record, parent, index,
+                                       ctor=True)
+        save = self.i
+        tname = self.parse_type()
+        if tname is None:
+            self.i = save
+            return None
+        if self.peek().kind != "ident":
+            self.i = save
+            return None
+        name_t = self.peek()
+        if self.peek(1).kind == "(":
+            return self.parse_function(path, tname, record, parent, index)
+        # field / variable (possibly comma-separated)
+        return self.parse_var_after_type(path, tname, record, parent, index)
+
+    def parse_function(self, path, ret_type, record, parent, index,
+                       ctor=False):
+        name_t = self.next()
+        name = name_t.text
+        if ctor:
+            label = "ConstructorDeclaration"
+        elif record is not None:
+            label = "MethodDeclaration"
+        else:
+            label = "FunctionDeclaration"
+        fid = self.node(path, label, name, self._tloc(name_t))
+        self.enter_scope("function", name, fid)
+        if record is not None:
+            # implicit receiver: `this`
+            rid_recv = self.node(path + ".this", "VariableDeclaration",
+                                 "this", None, is_implicit=True)
+            self.eval_type(rid_recv, record["name"])
+            self.edge(fid, "RECEIVER", rid_recv)
+            self.declare("this", rid_recv, "receiver", record["name"])
+        param_ids, param_names = [], []
+        self.expect("(")
+        pidx = 0
+        while self.peek().kind not in (")", "eof"):
+            self._skip_modifiers()
+            ptype = self.parse_type()
+            if self.peek().kind == "ident":
+                pt = self.next()
+                while self.peek().kind == "[":  # C array suffix: argv[]
+                    self._skip_balanced("[", "]")
+                    ptype = (ptype or "") + "[]"
+                pid = self.node(f"{path}.p[{pidx}]",
+                                "ParamVariableDeclaration", pt.text,
+                                self._tloc(pt), argument_index=pidx)
+                if ptype:
+                    self.eval_type(pid, ptype)
+                self.edge(fid, "PARAMETERS", pid, {"index": pidx})
+                self.ast_edge(fid, pid, "PARAMETERS", pidx)
+                self.declare(pt.text, pid, "param", ptype)
+                param_ids.append(pid)
+                param_names.append(pt.text)
+                pidx += 1
+            if not self.accept(","):
+                break
+        self.expect(")")
+        if ret_type:
+            self.eval_type(fid, ret_type)
+        # java `throws X`, cpp `const`/`override` before body
+        while self.peek().kind == "ident" and self.peek().text in (
+                "throws", "const", "override", "noexcept", "final"):
+            self.next()
+            while self.peek().kind == "ident" or self.peek().kind == ",":
+                if self.peek().kind == "ident" and self.peek(1).kind == "{":
+                    break
+                self.next()
+        if self.peek().kind == "{":
+            infos = self.parse_block(path + ".body", fid, "BODY")
+            build_eog(self, fid, infos)
+        else:
+            self.accept(";")  # declaration only (prototype)
+        self.leave_scope()
+        fn_info = {
+            "decl_id": fid, "kind": "function", "name": name,
+            "n_params": len(param_ids), "param_ids": param_ids,
+            "param_names": param_names,
+            "record": record["name"] if record else None,
+        }
+        self._functions_by_id[fid] = fn_info
+        if record is not None:
+            if ctor:
+                self.edge(record["decl_id"], "CONSTRUCTORS", fid,
+                          {"index": len(record["ctors"])})
+                self.ast_edge(record["decl_id"], fid, "CONSTRUCTORS",
+                              len(record["ctors"]))
+                record["ctors"].append(fid)
+            else:
+                self.edge(record["decl_id"], "METHODS", fid,
+                          {"index": len(record["methods"])})
+                self.ast_edge(record["decl_id"], fid, "METHODS",
+                              len(record["methods"]))
+                record["methods"].setdefault(name, []).append(fid)
+                # methods are resolvable from sibling scopes
+                self.scopes[-1].decls.setdefault(
+                    name, {"decl_id": fid, "kind": "function", "type": None,
+                           "fn": fn_info})
+        else:
+            self.declare(name, fid, "function", None)
+            self.scopes[-1].decls[name] = {"decl_id": fid, "kind": "function",
+                                           "type": None, "fn": fn_info}
+            self.ast_edge(parent, fid, "DECLARATIONS", index)
+        return fid
+
+    def parse_var_after_type(self, path, tname, record, parent, index):
+        """Fields (in record) or globals (module scope), comma-separated."""
+        ids = []
+        vi = 0
+        while self.peek().kind == "ident":
+            nt = self.next()
+            init_id = None
+            if self.accept("="):
+                init_id, _ = self.parse_expr(f"{path}.init[{vi}]")
+            if record is not None and not self.in_function():
+                fid = self.node(f"{path}.f[{vi}]", "FieldDeclaration",
+                                nt.text, self._tloc(nt))
+                self.eval_type(fid, tname)
+                if init_id:
+                    self.ast_edge(fid, init_id, "INITIALIZER", 0)
+                    self.edge(init_id, "DFG", fid)  # FieldDeclaration.java:100
+                self.edge(record["decl_id"], "FIELDS", fid,
+                          {"index": len(record["fields"])})
+                self.ast_edge(record["decl_id"], fid, "FIELDS",
+                              len(record["fields"]))
+                record["fields"][nt.text] = fid
+                self.scopes[-1].decls[nt.text] = {
+                    "decl_id": fid, "kind": "field", "type": tname}
+                ids.append(fid)
+            else:
+                vid = self.node(f"{path}.v[{vi}]", "VariableDeclaration",
+                                nt.text, self._tloc(nt))
+                self.eval_type(vid, tname)
+                if init_id:
+                    self.ast_edge(vid, init_id, "INITIALIZER", 0)
+                    self.edge(init_id, "DFG", vid)  # VariableDeclaration.java:118
+                self.declare(nt.text, vid, "var", tname)
+                ids.append(vid)
+            vi += 1
+            if not self.accept(","):
+                break
+        self.accept(";")
+        if not ids:
+            return None
+        ds = self.node(path, "DeclarationStatement", "", None, code="")
+        for j, nid in enumerate(ids):
+            self.ast_edge(ds, nid, "DECLARATIONS", j)
+        if record is None or self.in_function():
+            self.ast_edge(parent, ds, "DECLARATIONS" if not self.in_function()
+                          else "STATEMENTS", index)
+        return ds
+
+    # -------------------------------------------------------------- blocks
+    def parse_block(self, path: str, parent: str, field: str) -> list[dict]:
+        self.expect("{")
+        cid = self.node(path, "CompoundStatement", "", None, code="")
+        self.ast_edge(parent, cid, field, 0)
+        infos = []
+        si = 0
+        while self.peek().kind not in ("}", "eof"):
+            got = self.parse_stmt(f"{path}[{si}]", cid, si)
+            if got:
+                infos.append(got[1])
+            si += 1
+        self.expect("}")
+        return [{"kind": "compound", "nid": cid, "stmts": infos}]
+
+    # ---------------------------------------------------------- statements
+    def parse_stmt(self, path: str, parent: str, index: int):
+        t = self.peek()
+        if t.kind == ";":
+            self.next()
+            nid = self.node(path, "EmptyStatement", "", self._tloc(t))
+            self.ast_edge(parent, nid, "STATEMENTS", index)
+            return nid, {"kind": "plain", "nid": nid}
+        if t.kind == "{":
+            infos = self.parse_block(path, parent, "STATEMENTS")
+            return infos[0]["nid"], infos[0]
+        if t.kind == "ident":
+            kw = t.text
+            if kw == "if":
+                return self._attach(self.parse_if(path), parent, index)
+            if kw == "while":
+                return self._attach(self.parse_while(path), parent, index)
+            if kw == "do":
+                return self._attach(self.parse_do(path), parent, index)
+            if kw == "for":
+                return self._attach(self.parse_for(path), parent, index)
+            if kw == "switch":
+                return self._attach(self.parse_switch(path), parent, index)
+            if kw == "return":
+                return self._attach(self.parse_return(path), parent, index)
+            if kw == "break":
+                self.next()
+                self.accept(";")
+                nid = self.node(path, "BreakStatement", "", self._tloc(t))
+                return self._attach((nid, {"kind": "break", "nid": nid}),
+                                    parent, index)
+            if kw == "continue":
+                self.next()
+                self.accept(";")
+                nid = self.node(path, "ContinueStatement", "", self._tloc(t))
+                return self._attach((nid, {"kind": "continue", "nid": nid}),
+                                    parent, index)
+            if kw in ("throw", "delete", "goto", "try"):
+                # gap statements (reference logs NOT_IMPLEMENTED analogues)
+                while self.peek().kind not in (";", "{", "eof"):
+                    self.next()
+                if self.peek().kind == "{":
+                    self._skip_balanced("{", "}")
+                    while self.peek().kind == "ident" and self.peek().text in (
+                            "catch", "finally"):
+                        while self.peek().kind not in ("{", "eof"):
+                            self.next()
+                        self._skip_balanced("{", "}")
+                self.accept(";")
+                nid = self.node(path, "Statement", "", self._tloc(t), code=kw)
+                return self._attach((nid, {"kind": "plain", "nid": nid}),
+                                    parent, index)
+        # typed local declaration?
+        save = self.i
+        self._skip_modifiers()
+        if self._looks_like_type():
+            tname = self.parse_type()
+            if tname is not None and self.peek().kind == "ident" and \
+                    self.peek(1).kind in ("=", ";", ","):
+                got = self.parse_var_after_type(path, tname, None, parent,
+                                                index)
+                self.ast_edge(parent, got[0] if isinstance(got, tuple)
+                              else got, "STATEMENTS", index)
+                nid = got[0] if isinstance(got, tuple) else got
+                return nid, {"kind": "plain", "nid": nid}
+            self.i = save
+        else:
+            self.i = save
+        # expression statement
+        nid, _ = self.parse_expr(path)
+        self.accept(";")
+        self.ast_edge(parent, nid, "STATEMENTS", index)
+        return nid, {"kind": "plain", "nid": nid}
+
+    def _attach(self, pair, parent, index):
+        nid, info = pair
+        self.ast_edge(parent, nid, "STATEMENTS", index)
+        return nid, info
+
+    def parse_return(self, path: str):
+        t = self.next()
+        nid = self.node(path, "ReturnStatement", "", self._tloc(t))
+        if self.peek().kind not in (";", "}", "eof"):
+            vid, _ = self.parse_expr(path + ".v")
+            self.ast_edge(nid, vid, "RETURN_VALUE", 0)
+            self.edge(vid, "DFG", nid)  # ReturnStatement.java:53
+            fn = self.current_function()
+            if fn is not None and fn.node_id:
+                self.edge(vid, "DFG", fn.node_id)
+        self.accept(";")
+        return nid, {"kind": "return", "nid": nid}
+
+    def _paren_has_semi(self) -> bool:
+        """';' at depth 1 before the closing ')' — C++17 if-initializer."""
+        j, depth = self.i, 0
+        while self.toks[j].kind != "eof":
+            k = self.toks[j].kind
+            if k == "(":
+                depth += 1
+            elif k == ")":
+                depth -= 1
+                if depth == 0:
+                    return False
+            elif k == ";" and depth == 1:
+                return True
+            j += 1
+        return False
+
+    def parse_if(self, path: str):
+        t = self.next()
+        nid = self.node(path, "IfStatement", "", self._tloc(t))
+        has_init = self._paren_has_semi()
+        self.expect("(")
+        if has_init:
+            # C++17 `if (init; cond)` — the init declares into the current
+            # scope (close enough to the reference's handling for P/R)
+            self.parse_stmt(path + ".init", nid, 0)
+            self.accept(";")
+        cid, _ = self.parse_expr(path + ".c")
+        self.expect(")")
+        self.ast_edge(nid, cid, "CONDITION", 0)
+        then_infos = self._branch(path + ".then", nid, "THEN_STATEMENT")
+        info = {"kind": "if", "nid": nid, "cond": cid, "then": then_infos,
+                "orelse": None}
+        if self.peek().kind == "ident" and self.peek().text == "else":
+            self.next()
+            if self.peek().kind == "ident" and self.peek().text == "if":
+                enid, einfo = self.parse_if(path + ".elif")
+                self.ast_edge(nid, enid, "ELSE_STATEMENT", 0)
+                info["orelse"] = [einfo]
+            else:
+                info["orelse"] = self._branch(path + ".else", nid,
+                                              "ELSE_STATEMENT")
+        return nid, info
+
+    def _branch(self, path, parent, field):
+        if self.peek().kind == "{":
+            return self.parse_block(path, parent, field)
+        got = self.parse_stmt(path, parent, 0)
+        return [got[1]]
+
+    def parse_while(self, path: str):
+        t = self.next()
+        nid = self.node(path, "WhileStatement", "", self._tloc(t))
+        self.expect("(")
+        cid, _ = self.parse_expr(path + ".c")
+        self.expect(")")
+        self.ast_edge(nid, cid, "CONDITION", 0)
+        body = self._branch(path + ".body", nid, "STATEMENT")
+        return nid, {"kind": "while", "nid": nid, "cond": cid, "body": body}
+
+    def parse_do(self, path: str):
+        t = self.next()
+        nid = self.node(path, "DoStatement", "", self._tloc(t))
+        body = self._branch(path + ".body", nid, "STATEMENT")
+        cid = None
+        if self.peek().kind == "ident" and self.peek().text == "while":
+            self.next()
+            self.expect("(")
+            cid, _ = self.parse_expr(path + ".c")
+            self.expect(")")
+            self.accept(";")
+            self.ast_edge(nid, cid, "CONDITION", 0)
+        # do-while ~ body then while-loop shape
+        return nid, {"kind": "while", "nid": nid, "cond": cid or nid,
+                     "body": body}
+
+    def parse_for(self, path: str):
+        t = self.next()
+        self.expect("(")
+        # java foreach: for (T x : xs)
+        save = self.i
+        self._skip_modifiers()
+        tname = self.parse_type() if self._looks_like_type() else None
+        if tname is not None and self.peek().kind == "ident" and \
+                self.peek(1).kind == ":":
+            nid = self.node(path, "ForEachStatement", "", self._tloc(t))
+            vt = self.next()
+            vid = self.node(path + ".var", "VariableDeclaration", vt.text,
+                            self._tloc(vt))
+            self.eval_type(vid, tname)
+            self.declare(vt.text, vid, "var", tname)
+            self.ast_edge(nid, vid, "VARIABLE", 0)
+            self.next()  # ':'
+            iid, _ = self.parse_expr(path + ".iter")
+            self.ast_edge(nid, iid, "ITERABLE", 0)
+            self.edge(iid, "DFG", vid)
+            self.expect(")")
+            body = self._branch(path + ".body", nid, "STATEMENT")
+            return nid, {"kind": "foreach", "nid": nid, "body": body}
+        self.i = save
+        nid = self.node(path, "ForStatement", "", self._tloc(t))
+        init_info = cond_id = post_info = None
+        if self.peek().kind != ";":
+            got = self.parse_stmt(path + ".init", nid, 0)
+            init_info = got[1]
+        else:
+            self.next()
+        if self.peek().kind != ";":
+            cond_id, _ = self.parse_expr(path + ".c")
+            self.ast_edge(nid, cond_id, "CONDITION", 0)
+        self.accept(";")
+        if self.peek().kind != ")":
+            pid, _ = self.parse_expr(path + ".post")
+            self.ast_edge(nid, pid, "ITERATION_STATEMENT", 0)
+            post_info = {"kind": "plain", "nid": pid}
+        self.expect(")")
+        body = self._branch(path + ".body", nid, "STATEMENT")
+        return nid, {"kind": "for", "nid": nid, "init": init_info,
+                     "cond": cond_id, "post": post_info, "body": body}
+
+    def parse_switch(self, path: str):
+        t = self.next()
+        nid = self.node(path, "SwitchStatement", "", self._tloc(t))
+        self.expect("(")
+        sel, _ = self.parse_expr(path + ".sel")
+        self.expect(")")
+        self.ast_edge(nid, sel, "SELECTOR", 0)
+        self.expect("{")
+        cases = []
+        ci = 0
+        while self.peek().kind not in ("}", "eof"):
+            tt = self.peek()
+            if tt.kind == "ident" and tt.text == "case":
+                self.next()
+                cnid = self.node(f"{path}.case[{ci}]", "CaseStatement", "",
+                                 self._tloc(tt))
+                eid, _ = self.parse_expr(f"{path}.case[{ci}].e")
+                self.ast_edge(cnid, eid, "CASE_EXPRESSION", 0)
+                self.expect(":")
+                stmts = self._case_body(f"{path}.case[{ci}]", cnid)
+                self.ast_edge(nid, cnid, "STATEMENTS", ci)
+                cases.append({"nid": cnid, "stmts": stmts, "default": False})
+            elif tt.kind == "ident" and tt.text == "default":
+                self.next()
+                self.expect(":")
+                cnid = self.node(f"{path}.default", "DefaultStatement", "",
+                                 self._tloc(tt))
+                stmts = self._case_body(f"{path}.default", cnid)
+                self.ast_edge(nid, cnid, "STATEMENTS", ci)
+                cases.append({"nid": cnid, "stmts": stmts, "default": True})
+            else:
+                self.next()
+            ci += 1
+        self.expect("}")
+        return nid, {"kind": "switch", "nid": nid, "cond": sel, "cases": cases}
+
+    def _case_body(self, path, cnid):
+        infos = []
+        si = 0
+        while True:
+            tt = self.peek()
+            if tt.kind in ("}", "eof"):
+                break
+            if tt.kind == "ident" and tt.text in ("case", "default"):
+                break
+            got = self.parse_stmt(f"{path}.b[{si}]", cnid, si)
+            infos.append(got[1])
+            si += 1
+        return infos
+
+    # ----------------------------------------------------------- expressions
+    def parse_expr(self, path: str, min_prec: int = 1):
+        lhs = self.parse_unary(path + ".u")
+        lhs = self._binary_rhs(lhs, path, min_prec)
+        # assignment (right-assoc, lowest)
+        if self.peek().kind in _ASSIGN_OPS and min_prec <= 1:
+            op = self.next().text
+            rhs = self.parse_expr(path + ".r", 1)
+            return self._make_assign(lhs, op, rhs, path)
+        # ternary
+        if self.peek().kind == "?" and min_prec <= 1:
+            self.next()
+            tid, _ = self.parse_expr(path + ".t", 1)
+            self.accept(":")
+            eid, _ = self.parse_expr(path + ".e", 1)
+            nid = self.node(path + ".cond", "ConditionalExpression", "", None)
+            lid, _ = lhs
+            self.ast_edge(nid, lid, "CONDITION", 0)
+            self.ast_edge(nid, tid, "THEN_EXPR", 0)
+            self.ast_edge(nid, eid, "ELSE_EXPR", 0)
+            self.edge(tid, "DFG", nid)  # ConditionalExpression.java:73-89
+            self.edge(eid, "DFG", nid)
+            return nid, {"kind": "conditional", "name": "", "type": None}
+        return lhs
+
+    def _make_assign(self, lhs, op, rhs, path):
+        lid, lmeta = lhs
+        rid, rmeta = rhs
+        nid = self.node(path + ".asg", "BinaryOperator", op, None,
+                        props={"operator": op}, code=op)
+        self._mark_write(lid)
+        self.ast_edge(nid, lid, "LHS", 0)
+        self.ast_edge(nid, rid, "RHS", 0)
+        if op == "=":
+            # BinaryOperator.java:82-95
+            self.edge(rid, "DFG", lid)
+            self.edge(rid, "DFG", nid)
+        else:
+            # compound (BinaryOperator.java:96-108): lhs+rhs flow into the
+            # operator, operator flows back into lhs
+            self.edge(lid, "DFG", nid)
+            self.edge(rid, "DFG", nid)
+            self.edge(nid, "DFG", lid)
+        tp = rmeta.get("type") or lmeta.get("type")
+        if tp:
+            self.eval_type(nid, tp)
+        return nid, {"kind": "binop", "name": op, "type": tp}
+
+    def _binary_rhs(self, lhs, path: str, min_prec: int):
+        n = 0
+        while True:
+            t = self.peek()
+            key = t.text if (t.kind == "ident" and t.text == "instanceof") \
+                else t.kind
+            prec = _PREC.get(key)
+            if prec is None or prec < min_prec or key == "?":
+                return lhs
+            op = self.next().text
+            rhs = self.parse_unary(f"{path}.r{n}.u")
+            while True:
+                nt = self.peek()
+                nkey = nt.text if (nt.kind == "ident"
+                                   and nt.text == "instanceof") else nt.kind
+                nprec = _PREC.get(nkey)
+                if nprec is None or nprec <= prec or nkey == "?":
+                    break
+                rhs = self._binary_rhs(rhs, f"{path}.r{n}", prec + 1)
+            lid, lmeta = lhs
+            rid, rmeta = rhs
+            nid = self.node(f"{path}.b{n}", "BinaryOperator", op, None,
+                            props={"operator": op}, code=op)
+            self.ast_edge(nid, lid, "LHS", 0)
+            self.ast_edge(nid, rid, "RHS", 0)
+            self.edge(lid, "DFG", nid)
+            self.edge(rid, "DFG", nid)
+            if op in ("==", "!=", "<", "<=", ">", ">=", "&&", "||"):
+                tp = "boolean" if self.dialect == "java" else "bool"
+            else:
+                tp = (lmeta.get("type")
+                      if lmeta.get("type") == rmeta.get("type") else None)
+            if tp:
+                self.eval_type(nid, tp)
+            lhs = (nid, {"kind": "binop", "name": op, "type": tp})
+            n += 1
+
+    def parse_unary(self, path: str):
+        t = self.peek()
+        if t.kind in ("!", "-", "+", "~", "*", "&"):
+            op = self.next().text
+            iid, imeta = self.parse_unary(path + ".i")
+            nid = self.node(path, "UnaryOperator", op, self._tloc(t),
+                            props={"operator": op, "postfix": "false"})
+            self.ast_edge(nid, iid, "INPUT", 0)
+            self.edge(iid, "DFG", nid)
+            return nid, {"kind": "unary", "name": op,
+                         "type": imeta.get("type")}
+        if t.kind in ("++", "--"):
+            op = self.next().text
+            iid, _ = self.parse_unary(path + ".i")
+            nid = self.node(path, "UnaryOperator", op, self._tloc(t),
+                            props={"operator": op, "postfix": "false"})
+            self.ast_edge(nid, iid, "INPUT", 0)
+            # READWRITE (UnaryOperator.java:69-97)
+            self.edge(iid, "DFG", nid)
+            self.edge(nid, "DFG", iid)
+            self._mark_write(iid)
+            return nid, {"kind": "unary", "name": op, "type": None}
+        if t.kind == "ident" and t.text == "new":
+            return self.parse_new(path)
+        return self.parse_postfix(path)
+
+    def parse_new(self, path: str):
+        t = self.next()
+        tname = self.parse_type()
+        nid = self.node(path, "ConstructExpression", tname or "",
+                        self._tloc(t))
+        if tname:
+            self.eval_type(nid, tname)
+        rec = self.records.get(tname)
+        if rec:
+            self.edge(nid, "INSTANTIATES", rec["decl_id"])
+        args = []
+        if self.peek().kind == "(":
+            args = self._parse_args(nid, path)
+        elif self.peek().kind == "[":
+            self._skip_balanced("[", "]")
+        if rec and rec["ctors"]:
+            ctor = rec["ctors"][0]
+            self.edge(nid, "CONSTRUCTOR", ctor)
+            self._dfg_args_to_params(args, ctor)
+        return nid, {"kind": "construct", "name": tname, "type": tname}
+
+    def parse_postfix(self, path: str):
+        base = self.parse_operand(path)
+        n = 0
+        while True:
+            t = self.peek()
+            if t.kind in (".", "->", "::") and self.peek(1).kind == "ident":
+                self.next()
+                sel = self.next()
+                if self.peek().kind == "(":
+                    base = self.member_call(base, sel, f"{path}.mc{n}")
+                else:
+                    bid, bmeta = base
+                    nid = self.node(f"{path}.sel{n}", "MemberExpression",
+                                    sel.text, self._tloc(sel))
+                    self.ast_edge(nid, bid, "BASE", 0)
+                    self.pending_members.append(
+                        (nid, sel.text, bmeta.get("name"), list(self.scopes),
+                         None, "read"))
+                    base = (nid, {"kind": "member", "name": sel.text,
+                                  "base_name": bmeta.get("name"),
+                                  "type": None})
+            elif t.kind == "(" and base[1].get("kind") == "ref":
+                base = self.plain_call(base, f"{path}.call{n}")
+            elif t.kind == "(":
+                # call on an arbitrary expression
+                bid, bmeta = base
+                nid = self.node(f"{path}.call{n}", "CallExpression",
+                                bmeta.get("name") or "", None)
+                self.ast_edge(nid, bid, "CALLEE", 0)
+                self._parse_args(nid, f"{path}.call{n}")
+                base = (nid, {"kind": "call", "name": bmeta.get("name"),
+                              "type": None})
+            elif t.kind == "[":
+                self.next()
+                bid, _ = base
+                nid = self.node(f"{path}.idx{n}",
+                                "ArraySubscriptionExpression", "",
+                                self._tloc(t))
+                self.ast_edge(nid, bid, "ARRAY_EXPRESSION", 0)
+                self.edge(bid, "DFG", nid)  # ArraySubscription...java:60
+                if self.peek().kind != "]":
+                    sid, _ = self.parse_expr(f"{path}.idx{n}.s")
+                    self.ast_edge(nid, sid, "SUBSCRIPT_EXPRESSION", 0)
+                self.accept("]")
+                base = (nid, {"kind": "subscript", "name": "", "type": None})
+            elif t.kind in ("++", "--"):
+                op = self.next().text
+                bid, _ = base
+                nid = self.node(f"{path}.post{n}", "UnaryOperator", op,
+                                self._tloc(t),
+                                props={"operator": op, "postfix": "true"})
+                self.ast_edge(nid, bid, "INPUT", 0)
+                self.edge(bid, "DFG", nid)
+                self.edge(nid, "DFG", bid)
+                self._mark_write(bid)
+                base = (nid, {"kind": "unary", "name": op, "type": None})
+            else:
+                return base
+            n += 1
+
+    def parse_operand(self, path: str):
+        t = self.peek()
+        if t.kind == "int":
+            self.next()
+            nid = self.node(path, "Literal", t.text.rstrip("lLuU"),
+                            self._tloc(t), props={"value": t.text})
+            self.eval_type(nid, "int")
+            return nid, {"kind": "literal", "name": t.text, "type": "int"}
+        if t.kind == "float":
+            self.next()
+            nid = self.node(path, "Literal", t.text, self._tloc(t),
+                            props={"value": t.text})
+            tp = "float" if t.text[-1] in "fF" else "double"
+            self.eval_type(nid, tp)
+            return nid, {"kind": "literal", "name": t.text, "type": tp}
+        if t.kind == "string":
+            self.next()
+            val = t.text[1:-1]
+            nid = self.node(path, "Literal", val, self._tloc(t),
+                            props={"value": t.text})
+            self.eval_type(nid, "String" if self.dialect == "java"
+                           else "string")
+            return nid, {"kind": "literal", "name": val,
+                         "type": "String" if self.dialect == "java"
+                         else "string"}
+        if t.kind == "char":
+            self.next()
+            nid = self.node(path, "Literal", t.text.strip("'"),
+                            self._tloc(t), props={"value": t.text})
+            self.eval_type(nid, "char")
+            return nid, {"kind": "literal", "name": t.text, "type": "char"}
+        if t.kind == "ident" and t.text in ("true", "false"):
+            self.next()
+            nid = self.node(path, "Literal", t.text, self._tloc(t),
+                            props={"value": t.text})
+            self.eval_type(nid, "boolean" if self.dialect == "java"
+                           else "bool")
+            return nid, {"kind": "literal", "name": t.text, "type": "boolean"}
+        if t.kind == "ident" and t.text in ("null", "nullptr"):
+            self.next()
+            nid = self.node(path, "Literal", t.text, self._tloc(t),
+                            props={"value": t.text})
+            return nid, {"kind": "literal", "name": t.text, "type": None}
+        if t.kind == "ident" and t.text == "this":
+            self.next()
+            nid = self.node(path, "DeclaredReferenceExpression", "this",
+                            self._tloc(t))
+            self.pending_refs.append((nid, "this", list(self.scopes), "read"))
+            return nid, {"kind": "ref", "name": "this", "type": None}
+        if t.kind == "ident" and t.text not in _KEYWORDS:
+            self.next()
+            nid = self.node(path, "DeclaredReferenceExpression", t.text,
+                            self._tloc(t))
+            self.pending_refs.append((nid, t.text, list(self.scopes), "read"))
+            return nid, {"kind": "ref", "name": t.text, "type": None}
+        if t.kind == "(":
+            # cast `(Type) expr` vs parenthesized expr
+            save = self.i
+            self.next()
+            if self._looks_like_type():
+                tname = self.parse_type()
+                if tname and self.peek().kind == ")" and self.peek(1).kind in (
+                        "ident", "int", "float", "string", "char", "("):
+                    self.next()
+                    eid, _ = self.parse_unary(path + ".cast")
+                    nid = self.node(path, "CastExpression", tname,
+                                    self._tloc(t))
+                    self.ast_edge(nid, eid, "EXPRESSION", 0)
+                    self.eval_type(nid, tname)
+                    self.edge(eid, "DFG", nid)  # CastExpression.java:60
+                    return nid, {"kind": "cast", "name": tname, "type": tname}
+            self.i = save
+            self.next()
+            inner = self.parse_expr(path + ".par")
+            self.accept(")")
+            return inner
+        # gap operand
+        self.next()
+        nid = self.node(path, "Expression", "", self._tloc(t), code=t.text)
+        return nid, {"kind": "gap", "name": "", "type": None}
+
+    def plain_call(self, base, path: str):
+        bid, bmeta = base
+        name = bmeta.get("name") or ""
+        self._drop_pending_ref(bid)
+        rec_scope = self.current_record()
+        nid = self.node(path, "CallExpression", name, None,
+                        props={"fqn": name})
+        args = self._parse_args(nid, path)
+        # bare call inside a record body is an implicit this-call
+        if rec_scope is not None and name in self.records.get(
+                rec_scope.name, {}).get("methods", {}):
+            target = self.records[rec_scope.name]["methods"][name][0]
+            self.edge(nid, "CALLS", target)
+            self.edge(target, "DFG", nid)
+            self._dfg_args_to_params(args, target)
+        else:
+            self.pending_calls.append((nid, name, list(self.scopes), args))
+        return nid, {"kind": "call", "name": name, "type": None}
+
+    def member_call(self, base, sel: Tok, path: str):
+        bid, bmeta = base
+        name = sel.text
+        base_name = bmeta.get("name")
+        mid = self.node(path + ".m", "DeclaredReferenceExpression", name,
+                        self._tloc(sel))
+        nid = self.node(path, "MemberCallExpression", name, self._tloc(sel),
+                        props={"fqn": f"{base_name}.{name}" if base_name
+                               else name})
+        self.ast_edge(nid, bid, "BASE", 0)
+        self.ast_edge(nid, mid, "MEMBER", 0)
+        args = self._parse_args(nid, path)
+        self.pending_members.append(
+            (nid, name, base_name, list(self.scopes), args, "call"))
+        return nid, {"kind": "member_call", "name": name, "type": None}
+
+    def _parse_args(self, call_id: str, path: str):
+        self.expect("(")
+        args = []
+        idx = 0
+        while self.peek().kind not in (")", "eof"):
+            aid, _ = self.parse_expr(f"{path}.a[{idx}]")
+            self.edge(call_id, "ARGUMENTS", aid, {"index": idx})
+            self.ast_edge(call_id, aid, "ARGUMENTS", idx)
+            args.append({"arg_id": aid, "kw": None, "index": idx})
+            idx += 1
+            if not self.accept(","):
+                break
+        self.accept(")")
+        return args
+
+    def _drop_pending_ref(self, nid: str) -> None:
+        self.pending_refs = [p for p in self.pending_refs if p[0] != nid]
+
+    def _mark_write(self, nid: str) -> None:
+        for j, p in enumerate(self.pending_refs):
+            if p[0] == nid:
+                self.pending_refs[j] = (p[0], p[1], p[2], "write")
+        for j, p in enumerate(self.pending_members):
+            if p[0] == nid:
+                self.pending_members[j] = p[:5] + ("write",)
+
+    def _dfg_args_to_params(self, args, fn_id):
+        info = self._functions_by_id.get(fn_id)
+        if not info:
+            return
+        pids = info.get("param_ids") or []
+        for a in args or []:
+            if a["index"] < len(pids):
+                self.edge(a["arg_id"], "DFG", pids[a["index"]])
+
+    # ------------------------------------------------ deferred resolution
+    def _mention(self, mid, kind, name, base_type=None, scopes=None,
+                 n_args=None, arg_ids=None, n_kwargs=None):
+        return {
+            "mention_id": mid, "kind": kind, "name": name,
+            "base_type": base_type,
+            "scope_path": ".".join(s.name for s in (scopes or []) if s.name)
+            or self.module_name,
+            "doc_id": self.doc_id,
+            "n_args": n_args, "n_kwargs": n_kwargs, "arg_ids": arg_ids,
+        }
+
+    @staticmethod
+    def _lookup(scopes, name):
+        for s in reversed(scopes):
+            if name in s.decls:
+                return s.decls[name]
+        return None
+
+    def _resolve_locally(self):
+        for ref_id, name, scopes, access in self.pending_refs:
+            d = self._lookup(scopes, name)
+            if d is not None:
+                self.edge(ref_id, "REFERS_TO", d["decl_id"])
+                if access == "write":
+                    self.edge(ref_id, "DFG", d["decl_id"])
+                else:
+                    self.edge(d["decl_id"], "DFG", ref_id)
+                if d.get("type"):
+                    self.eval_type(ref_id, d["type"])
+            elif name in self.imports:
+                pass
+            else:
+                self.out.mentions.append(
+                    self._mention(ref_id, "ref", name, scopes=scopes))
+        for call_id, name, scopes, args in self.pending_calls:
+            d = self._lookup(scopes, name)
+            if d is not None and d["kind"] == "function":
+                fid = d["decl_id"]
+                self.edge(call_id, "CALLS", fid)
+                self.edge(fid, "DFG", call_id)
+                self._dfg_args_to_params(args, fid)
+            else:
+                self.out.mentions.append(self._mention(
+                    call_id, "call", name, scopes=scopes,
+                    n_args=len(args), n_kwargs=0,
+                    arg_ids=[a["arg_id"] for a in args]))
+        for mid, attr, base_name, scopes, args, access in self.pending_members:
+            base_type = None
+            if base_name == "this":
+                rec_s = None
+                for s in scopes:
+                    if s.kind == "record":
+                        rec_s = s
+                base_type = rec_s.name if rec_s else None
+            elif base_name:
+                bd = self._lookup(scopes, base_name)
+                if bd is not None:
+                    base_type = (bd.get("type") or "").rstrip("*[]") or None
+                elif base_name in self.imports:
+                    base_type = self.imports[base_name]
+                elif base_name in self.records:
+                    base_type = base_name  # static member access
+            rec = self.records.get(base_type) if base_type else None
+            if access == "call":
+                target = self._find_method(rec, attr)
+                if target is not None:
+                    self.edge(mid, "CALLS", target)
+                    self.edge(target, "DFG", mid)
+                    self._dfg_args_to_params(args, target)
+                else:
+                    self.out.mentions.append(self._mention(
+                        mid, "member_call", attr, base_type=base_type,
+                        scopes=scopes, n_args=len(args or []), n_kwargs=0,
+                        arg_ids=[a["arg_id"] for a in (args or [])]))
+            else:
+                fid = self._find_field(rec, attr)
+                if fid is not None:
+                    self.edge(mid, "REFERS_TO", fid)
+                    if access == "write":
+                        self.edge(mid, "DFG", fid)
+                    else:
+                        self.edge(fid, "DFG", mid)
+                else:
+                    self.out.mentions.append(self._mention(
+                        mid, "member_ref", attr, base_type=base_type,
+                        scopes=scopes))
+
+    def _find_method(self, rec, name, _depth=0):
+        if rec is None or _depth > 16:
+            return None
+        if name in rec["methods"]:
+            return rec["methods"][name][0]
+        for sup in rec["supers"]:
+            r = self._find_method(self.records.get(sup), name, _depth + 1)
+            if r is not None:
+                return r
+        return None
+
+    def _find_field(self, rec, name, _depth=0):
+        if rec is None or _depth > 16:
+            return None
+        if name in rec["fields"]:
+            return rec["fields"][name]
+        for sup in rec["supers"]:
+            r = self._find_field(self.records.get(sup), name, _depth + 1)
+            if r is not None:
+                return r
+        return None
+
+    # --------------------------------------------------------------- export
+    def _export_symbols(self):
+        for fid, info in self._functions_by_id.items():
+            self.out.symbols.append({
+                "decl_id": fid,
+                "kind": "method" if info.get("record") else "function",
+                "name": info["name"],
+                "fqn": (f"{self.module_name}.{info['record']}.{info['name']}"
+                        if info.get("record")
+                        else f"{self.module_name}.{info['name']}"),
+                "record": info.get("record"),
+                "module": self.module_name,
+                "doc_id": self.doc_id,
+                "n_params": info["n_params"],
+                "has_defaults": False,
+                "is_variadic": False,
+                "param_ids": info["param_ids"],
+                "param_names": info["param_names"],
+            })
+        for rname, rec in self.records.items():
+            self.out.symbols.append({
+                "decl_id": rec["decl_id"], "kind": "record", "name": rname,
+                "fqn": f"{self.module_name}.{rname}", "record": None,
+                "module": self.module_name, "doc_id": self.doc_id,
+                "n_params": None, "has_defaults": None, "is_variadic": None,
+                "param_ids": None, "param_names": None,
+            })
+            for fname, fid in rec["fields"].items():
+                self.out.symbols.append({
+                    "decl_id": fid, "kind": "field", "name": fname,
+                    "fqn": f"{self.module_name}.{rname}.{fname}",
+                    "record": rname, "module": self.module_name,
+                    "doc_id": self.doc_id, "n_params": None,
+                    "has_defaults": None, "is_variadic": None,
+                    "param_ids": None, "param_names": None,
+                })
+        for vname, d in getattr(self, "_module_decls", {}).items():
+            if d["kind"] == "var":
+                self.out.symbols.append({
+                    "decl_id": d["decl_id"], "kind": "var", "name": vname,
+                    "fqn": f"{self.module_name}.{vname}", "record": None,
+                    "module": self.module_name, "doc_id": self.doc_id,
+                    "n_params": None, "has_defaults": None,
+                    "is_variadic": None, "param_ids": None,
+                    "param_names": None,
+                })
+
+
+def _parse_cfamily(doc_id, span_offset, source, module_name, dialect):
+    if module_name is None:
+        module_name = doc_id.rsplit("/", 2)[-2] if "/" in doc_id else doc_id
+    fe = CFamilyFrontend(doc_id, span_offset, source, module_name, dialect)
+    try:
+        return fe.run()
+    except (CFamilyParseError, RecursionError, IndexError) as e:
+        out = DocGraph()
+        out.nodes.append({
+            "node_id": fe.make_id("problem", "ProblemDeclaration"),
+            "label": "ProblemDeclaration", "name": str(e)[:200], "code": None,
+            "doc_id": doc_id, "span_offset": span_offset, "loc": None,
+            "is_inferred": False, "is_implicit": False,
+            "argument_index": None, "props": {"problem": "CFamilyParseError"},
+        })
+        return out
+
+
+def parse_java_document(doc_id: str, span_offset: int, source: str,
+                        module_name: str | None = None) -> DocGraph:
+    return _parse_cfamily(doc_id, span_offset, source, module_name, "java")
+
+
+def parse_cpp_document(doc_id: str, span_offset: int, source: str,
+                       module_name: str | None = None) -> DocGraph:
+    return _parse_cfamily(doc_id, span_offset, source, module_name, "cpp")

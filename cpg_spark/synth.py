@@ -28,6 +28,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cpg_spark.fixtures_cfamily import CPP_FIXTURES, JAVA_FIXTURES
 from cpg_spark.fixtures_go import GO_FIXTURES
 from cpg_spark.fixtures_py import PY_FIXTURES
 from cpg_spark.schemas import DOCS_SCHEMA
@@ -68,6 +69,14 @@ def fixture_docs(spark: SparkSession, langs: tuple = ("python", "go")) -> DataFr
         for name, src in sorted(GO_FIXTURES.items()):
             rows.append({"doc_id": f"go/{name}/0001",
                          "spans": _interleave([("code/go", src)], name)})
+    if "java" in langs:
+        for name, src in sorted(JAVA_FIXTURES.items()):
+            rows.append({"doc_id": f"java/{name}/0001",
+                         "spans": _interleave([("code/java", src)], name)})
+    if "cpp" in langs:
+        for name, src in sorted(CPP_FIXTURES.items()):
+            rows.append({"doc_id": f"cpp/{name}/0001",
+                         "spans": _interleave([("code/cpp", src)], name)})
     return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
 
 
