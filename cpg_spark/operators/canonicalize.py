@@ -39,24 +39,25 @@ def type_alias_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def canonicalize_types(nodes: DataFrame, edges: DataFrame,
-                       max_rounds: int = 50):
-    """Returns (nodes', edges', component_map).
+def type_components(nodes: DataFrame, edges: DataFrame,
+                    max_rounds: int = 50) -> DataFrame:
+    """(node, component) map for aliased type nodes, or an empty frame.
 
-    * every EVAL_TYPE edge's obj is remapped to its component canonical
-    * non-canonical type nodes are dropped from the node table
-    * the map itself is returned for lineage/debugging
-    """
+    Run this against the CHEAP committed tables (pred-pushdown scan) —
+    the probe and CC must not drag the whole downstream edge plan along."""
     alias = type_alias_edges(nodes, edges).persist()
     if alias.limit(1).count() == 0:
         # no typedef chains in the corpus: skip the CC driver loop
         alias.unpersist()
         spark = nodes.sparkSession
-        empty = spark.createDataFrame([], "node string, component string")
-        return nodes, edges, empty
-    comp = connected_components(alias, max_rounds=max_rounds,
+        return spark.createDataFrame([], "node string, component string")
+    return connected_components(alias, max_rounds=max_rounds,
                                 checkpoint=False).persist()
 
+
+def remap_types(nodes: DataFrame, edges: DataFrame, comp: DataFrame):
+    """Apply a component map: EVAL_TYPE/SUPER_TYPE objs -> canonical,
+    non-canonical type nodes dropped.  Returns (nodes', edges')."""
     remap = comp.select(F.col("node").alias("obj"),
                         F.col("component").alias("canon"))
     remapped_edges = (
@@ -78,4 +79,14 @@ def canonicalize_types(nodes: DataFrame, edges: DataFrame,
         F.col("node").alias("node_id")
     )
     remapped_nodes = nodes.join(F.broadcast(non_canon), "node_id", "left_anti")
-    return remapped_nodes, remapped_edges, comp
+    return remapped_nodes, remapped_edges
+
+
+def canonicalize_types(nodes: DataFrame, edges: DataFrame,
+                       max_rounds: int = 50):
+    """Probe + CC + remap in one call (small-corpus convenience; the
+    pipeline calls type_components / remap_types separately so the CC
+    probe runs on the cheap committed scan)."""
+    comp = type_components(nodes, edges, max_rounds=max_rounds)
+    n2, e2 = remap_types(nodes, edges, comp)
+    return n2, e2, comp

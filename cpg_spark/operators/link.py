@@ -116,7 +116,7 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         F.col("n_params").alias("d_n_params"),
         F.col("param_ids").alias("d_param_ids"),
     )
-    dim_rows = fns.count()
+    dim_rows = fns.count() if strategy is None else None
 
     joined, used = _name_join(calls, fns, dim_rows, buckets, strategy)
     joined = _visibility_gate(joined, _imports_dim(mentions))
@@ -242,7 +242,7 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
         F.col("module").alias("d_module"),
         F.col("fqn").alias("d_fqn"),
     )
-    dim_rows = decls.count()
+    dim_rows = decls.count() if strategy is None else None
     joined, used = _name_join(refs, decls, dim_rows, buckets, strategy)
     joined = _visibility_gate(joined, _imports_dim(mentions))
 
@@ -288,3 +288,55 @@ def link_all(mentions: DataFrame, symbols: DataFrame,
     return call_edges.unionByName(ref_edges), inferred_nodes, {
         "calls": s1, "refs": s2,
     }
+
+
+def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
+                  edges: DataFrame, strategy: str | None = None,
+                  buckets: int = 16):
+    """One output frame (row_kind edge|node) carrying linked edges,
+    OVERRIDES edges and inferred nodes — materializing a SINGLE table lets
+    Catalyst reuse the name-join exchanges across the edge and
+    inferred-node branches instead of executing the join per output.
+    Returns (combined, stats)."""
+    from cpg_spark.operators.hierarchy import overrides_edges
+
+    if strategy is None:
+        # one aggregation job sizes both join dimensions (instead of two
+        # separate .count() jobs over the symbol table)
+        row = symbols.agg(
+            F.sum(F.when(F.col("kind").isin("function", "method"), 1)
+                  .otherwise(0)).alias("fns"),
+            F.sum(F.when(F.col("kind").isin("var", "function", "record",
+                                            "field"), 1)
+                  .otherwise(0)).alias("decls"),
+        ).first()
+        from cpg_spark.operators.joins import BROADCAST_MAX_ROWS
+
+        strat_calls = ("broadcast" if (row["fns"] or 0) <= BROADCAST_MAX_ROWS
+                       else "salted")
+        strat_refs = ("broadcast" if (row["decls"] or 0) <= BROADCAST_MAX_ROWS
+                      else "salted")
+    else:
+        strat_calls = strat_refs = strategy
+    call_edges, inferred_nodes, s1 = link_calls(mentions, symbols,
+                                                strat_calls, buckets)
+    ref_edges, s2 = link_refs(mentions, symbols, strat_refs, buckets)
+    all_edges = (
+        call_edges.unionByName(ref_edges)
+        .unionByName(overrides_edges(nodes, edges, symbols))
+        .withColumn("row_kind", F.lit("edge"))
+    )
+    nodes_part = inferred_nodes.withColumn("row_kind", F.lit("node"))
+    combined = all_edges.unionByName(nodes_part, allowMissingColumns=True)
+    return combined, {"calls": s1, "refs": s2}
+
+
+def split_linked(combined: DataFrame):
+    """(edges_linked, nodes_inferred) from the committed combined table."""
+    from cpg_spark.schemas import NODES_SCHEMA
+
+    edges = combined.filter(F.col("row_kind") == "edge").select(
+        "subj", "pred", "obj", "props", "doc_id")
+    node_cols = [f.name for f in NODES_SCHEMA.fields]
+    nodes = combined.filter(F.col("row_kind") == "node").select(*node_cols)
+    return edges, nodes

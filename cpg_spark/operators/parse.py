@@ -110,7 +110,16 @@ def _rows_for_doc(doc_id: str, spans) -> list[dict]:
                 "argument_index": n["argument_index"],
                 "props_json": json.dumps(n["props"]) if n["props"] else None,
             })
+        # per-doc (subj, pred, obj) dedup here makes the global edge table
+        # duplicate-free by construction (doc-scoped content-hash ids can
+        # only collide within one document) — materialize then skips the
+        # full-corpus edge shuffle
+        seen_e: set = set()
         for e in g.edges:
+            key = (e["subj"], e["pred"], e["obj"])
+            if key in seen_e:
+                continue
+            seen_e.add(key)
             rows.append({
                 "row_kind": "edge", "doc_id": e["doc_id"],
                 "subj": e["subj"], "pred": e["pred"], "obj": e["obj"],
@@ -139,8 +148,22 @@ def _rows_for_doc(doc_id: str, spans) -> list[dict]:
     return rows
 
 
-def parse_docs(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, spans) -> unified parse rows (PARSE_OUT_SCHEMA)."""
+def parse_docs(docs: DataFrame, target_partitions: int | None = None) -> DataFrame:
+    """docs(doc_id, spans) -> unified parse rows (PARSE_OUT_SCHEMA).
+
+    The docs checkpoint is small on disk, so a naive scan coalesces into
+    a handful of input partitions and the (CPU-bound) parse would run on
+    as few cores; an explicit doc_id-hash repartition to cluster
+    parallelism restores full fan-out — the docs rows are tiny, the
+    shuffle is cheap, the parse is not."""
+
+    if target_partitions is None:
+        try:
+            target_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+        except Exception:
+            target_partitions = None
+    if target_partitions and not docs.isStreaming:
+        docs = docs.repartition(target_partitions, "doc_id")
 
     def run(batches):
         for pdf in batches:

@@ -150,39 +150,58 @@ def _parse(spark, ctx):
 
 
 def _link(spark, ctx):
+    from cpg_spark.operators.link import link_combined
+
     nodes, edges, mentions, symbols = split_parse_output(ctx["cpg_raw"])
-    linked_edges, inferred_nodes, stats = link_all(mentions, symbols)
-    return (
-        {"edges_linked": linked_edges, "nodes_inferred": inferred_nodes},
-        stats,
-        {},
-    )
+    combined, stats = link_combined(mentions, symbols, nodes, edges)
+    return {"linked": combined}, stats, {}
 
 
 def _dfg_refine(spark, ctx):
-    from cpg_spark.operators.dfg_refine import refine_dfg
+    from cpg_spark.operators.dfg_refine import refine_dfg_delta
 
     nodes, edges, _, _ = split_parse_output(ctx["cpg_raw"])
-    adds, removes = refine_dfg(nodes, edges)
-    return (
-        {"dfg_adds": adds, "dfg_removes": removes},
-        {},
-        {},
-    )
+    # ONE output table carrying the action column — writing adds/removes
+    # separately would execute the cogroup kernel twice
+    return {"dfg_delta": refine_dfg_delta(nodes, edges)}, {}, {}
 
 
 def _materialize(spark, ctx):
-    from cpg_spark.operators.canonicalize import canonicalize_types
+    from cpg_spark.operators.canonicalize import remap_types, type_components
     from cpg_spark.operators.dfg_refine import apply_refinement
 
     nodes, edges, _, _ = split_parse_output(ctx["cpg_raw"])
-    all_nodes = nodes.unionByName(ctx["nodes_inferred"]).dropDuplicates(["node_id"])
-    refined = apply_refinement(edges, ctx["dfg_adds"], ctx["dfg_removes"])
-    all_edges = refined.unionByName(ctx["edges_linked"])
-    # alias canonicalization (SURVEY A1): typedef chains collapse to one
-    # canonical type node; EVAL_TYPE/SUPER_TYPE edges remapped
-    all_nodes, all_edges, comp = canonicalize_types(all_nodes, all_edges)
-    all_edges = all_edges.dropDuplicates(["subj", "pred", "obj"])
+    # doc-scoped node ids are globally unique by construction (the content
+    # hash includes doc_id); only Type nodes (canonical shared ids) and
+    # inferred nodes can collide across documents — dedup just those, and
+    # skip the full-corpus shuffle for the rest
+    from cpg_spark.operators.link import split_linked
+
+    edges_linked, nodes_inferred = split_linked(ctx["linked"])
+    shared_mask = (F.col("label") == "Type") | (F.col("is_inferred") == True)  # noqa: E712
+    all_nodes = (
+        nodes.filter(~shared_mask)
+        .unionByName(
+            nodes.filter(shared_mask)
+            .unionByName(nodes_inferred)
+            .dropDuplicates(["node_id"])
+        )
+    )
+    # alias canonicalization (SURVEY A1): the component map is computed
+    # from the committed tables FIRST (pred-pushdown scan + CC driver
+    # loop), so the probe never re-executes the refinement/union plan
+    comp = type_components(nodes, edges)
+    delta = ctx["dfg_delta"]
+    adds = delta.filter(F.col("action") == "add").drop("action")
+    removes = delta.filter(F.col("action") == "remove").drop("action")
+    refined = apply_refinement(edges, adds, removes)
+    all_edges = refined.unionByName(edges_linked)
+    all_nodes, all_edges = remap_types(all_nodes, all_edges, comp)
+    # edges are per-doc deduped at parse time; only SUPER_TYPE (type-node
+    # subjects are shared across docs) still needs a global dedup
+    st = all_edges.filter(F.col("pred") == "SUPER_TYPE").dropDuplicates(
+        ["subj", "pred", "obj"])
+    all_edges = all_edges.filter(F.col("pred") != "SUPER_TYPE").unionByName(st)
     return (
         {"nodes": all_nodes, "edges": all_edges,
          "type_components": comp},
