@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CPG pipeline (rows-only: no SQL equivalent of a code parser)
         "cpg_triples": Q.q_cpg_triples,
         "cpg_crossdoc_calls": Q.q_cpg_crossdoc_calls,
+        "cpg_dfg_refined": Q.q_cpg_dfg_refined,
+        "cpg_overrides": Q.q_cpg_overrides,
+        "cpg_value_eval": Q.q_cpg_value_eval,
         "cypher_params": Q.q_cypher_params,
     }
 

@@ -166,10 +166,18 @@ def parse_docs(docs: DataFrame, target_partitions: int | None = None) -> DataFra
         docs = docs.repartition(target_partitions, "doc_id")
 
     def run(batches):
+        # yield in bounded chunks: accumulating a whole 2048-doc input
+        # batch (~700k row dicts) before converting turns linear parse
+        # into superlinear GC churn; ~64k-row frames keep workers flat
+        out: list[dict] = []
         for pdf in batches:
-            out: list[dict] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 out.extend(_rows_for_doc(doc_id, spans))
+                if len(out) >= 65536:
+                    frame = pd.DataFrame(out, columns=_COLS, dtype=object)
+                    yield frame.where(frame.notna(), None)
+                    out = []
+        if out:
             # object-dtype frame + where(): missing keys must become None
             # (not pandas NaN, which breaks Arrow conversion of int cols)
             frame = pd.DataFrame(out, columns=_COLS, dtype=object)

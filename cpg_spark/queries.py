@@ -370,6 +370,70 @@ def q_cypher_params(spark, sf_dir):
     ).select("node_id", "label", "name", "doc_id").orderBy("node_id")
 
 
+def q_cpg_dfg_refined(spark, sf_dir):
+    """Control-flow-sensitive DFG refinement delta over the fixture corpus
+    (ControlFlowSensitiveDFGPass semantics; SURVEY C3)."""
+    from cpg_spark.operators.dfg_refine import refine_dfg_delta
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.synth import fixture_docs
+
+    raw = parse_docs(fixture_docs(spark)).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    return (
+        refine_dfg_delta(nodes, edges)
+        .groupBy("action")
+        .agg(F.count("*").alias("n_edges"))
+        .orderBy("action")
+    )
+
+
+def q_cpg_overrides(spark, sf_dir):
+    """OVERRIDES via record supertype closure (TypeHierarchyResolver
+    semantics; SURVEY J5) over a python hierarchy fixture."""
+    from cpg_spark.operators.hierarchy import overrides_edges
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    src = ("class Base:\n    def run(self):\n        pass\n\n"
+           "class Child(Base):\n    def run(self):\n        pass\n")
+    docs = spark.createDataFrame(
+        [{"doc_id": "py/ovr/0001",
+          "spans": [{"kind": "code/python", "text": src, "media_ref": None,
+                     "offset": 0}]}], schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, _, symbols = split_parse_output(raw)
+    ov = overrides_edges(nodes, edges, symbols)
+    return (
+        ov.join(nodes.select(F.col("node_id").alias("subj"),
+                             F.col("name").alias("method")), "subj")
+        .select("method", "pred").orderBy("method")
+    )
+
+
+def q_cpg_value_eval(spark, sf_dir):
+    """Constant evaluation fixpoint (ValueEvaluator semantics; SURVEY U1)
+    over a deterministic C++ snippet."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.operators.value_eval import evaluate_constants
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    src = ("int main() {\n  int b = 1 + 1;\n  int c = 5 - 2;\n"
+           "  int f = 2 * 5;\n  bool h = 5 < 3;\n}\n")
+    docs = spark.createDataFrame(
+        [{"doc_id": "cpp/veval/0001",
+          "spans": [{"kind": "code/cpp", "text": src, "media_ref": None,
+                     "offset": 0}]}], schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    vals = evaluate_constants(nodes, edges)
+    return (
+        vals.join(nodes.select("node_id", "label", "name"), "node_id")
+        .filter(F.col("label") == "VariableDeclaration")
+        .select("name", F.col("value").cast("long").alias("value_x1"))
+        .orderBy("name")
+    )
+
+
 def q_cpg_crossdoc_calls(spark, sf_dir):
     """Cross-document CALLS resolution over the generated corpus: callers
     in mod docs, callees in hub docs (broadcast symbol-table join path)."""

@@ -139,6 +139,87 @@ def generated_module(k: int, n_hubs: int, seed: int = 42) -> str:
         k=k, h=h, fn1=f"calc_{k}", fn2=f"main_{k}", zipf=_ZIPF_NAMES[r])
 
 
+_GO_TEMPLATE = '''\
+package mod{k}
+
+import ("hub{h}")
+
+func Calc{k}(a int, b int) int {{
+    c := a + b
+    if c > 10 {{
+        c = c - 1
+    }} else {{
+        c = c + 1
+    }}
+    return c
+}}
+
+func Main{k}() int {{
+    r := Calc{k}(1, 2)
+    q := hub{h}.Helper(r)
+    return q
+}}
+'''
+
+_JAVA_TEMPLATE = '''\
+public class Worker{k} {{
+  private int size = {k};
+
+  private int calc(int a, int b) {{
+    int c = a + b;
+    if (c > 10) {{
+      c = c - 1;
+    }}
+    return c;
+  }}
+
+  public int run() {{
+    int r = this.calc(1, 2);
+    this.size = r;
+    return this.size;
+  }}
+}}
+'''
+
+
+def generated_docs_multilang(spark: SparkSession, n_docs: int,
+                             n_hubs: int | None = None,
+                             seed: int = 42) -> DataFrame:
+    """Mixed-language scale corpus: ~60% python (hub/spoke), 25% go,
+    15% java — exercises every frontend's vectorized path at volume."""
+    if n_hubs is None:
+        n_hubs = max(1, n_docs // 50)
+
+    def gen(batches):
+        import pandas as _pd
+        for pdf in batches:
+            out = []
+            for k in pdf["id"]:
+                k = int(k)
+                if k < n_hubs:
+                    doc_key, kind = f"py/hub{k}/{k:08d}", "code/python"
+                    code = _HUB_TEMPLATE.format(h=k)
+                elif k % 20 < 12:
+                    doc_key, kind = f"py/mod{k}/{k:08d}", "code/python"
+                    code = generated_module(k, n_hubs, seed)
+                elif k % 20 < 17:
+                    doc_key, kind = f"go/mod{k}/{k:08d}", "code/go"
+                    code = _GO_TEMPLATE.format(k=k, h=_h(f"{seed}/gohub/{k}")
+                                               % max(n_hubs, 1))
+                else:
+                    doc_key, kind = f"java/Worker{k}/{k:08d}", "code/java"
+                    code = _JAVA_TEMPLATE.format(k=k)
+                out.append({"doc_id": doc_key,
+                            "spans": _interleave([(kind, code)], doc_key)})
+            yield _pd.DataFrame(out)
+
+    return (
+        spark.range(n_docs)
+        .repartition(max(32, n_docs // 2000))
+        .mapInPandas(gen, schema=DOCS_SCHEMA)
+    )
+
+
 def generated_docs(spark: SparkSession, n_docs: int, n_hubs: int | None = None,
                    seed: int = 42) -> DataFrame:
     """Scale corpus: ``n_docs`` modules calling into ``n_hubs`` hub modules.
