@@ -116,10 +116,38 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 8, band_size: int = 2, k: int = 3,
                   jaccard_pm_threshold: int = 800) -> DataFrame:
     """Full MinHash-LSH near-dup detection: candidates from banding,
-    verified with exact shingle Jaccard; returns (a, b, jaccard_pm)."""
+    verified with exact shingle Jaccard; returns (a, b, inter, jaccard_pm).
+
+    The Jaccard verification is restricted to the candidate pairs BEFORE
+    the shingle self-join — this is the whole point of LSH: the quadratic
+    intersection only materializes where bands collide."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
     cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
-    verified = shingle_pairs(df, text_col, id_col, k).join(cands, ["a", "b"])
+    sh = (
+        df.select(F.col(id_col).alias("doc"),
+                  F.explode(shingles(text_col, k)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.withColumnRenamed("doc", "a")
+        .join(cands, "a")
+        .join(sh.select(F.col("doc").alias("b2"), F.col("s").alias("s2")),
+              (F.col("s") == F.col("s2")) & (F.col("b") == F.col("b2")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    verified = (
+        inter
+        .join(sizes.select(F.col("doc").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a", "b", "inter",
+            F.floor(
+                F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).cast("long").alias("jaccard_pm"),
+        )
+    )
     return verified.filter(F.col("jaccard_pm") >= jaccard_pm_threshold)
 
 

@@ -50,6 +50,30 @@ def salted_equi_join(
     return f.join(d, cond, how).drop("_salt", "_dsalt")
 
 
+def skew_report(facts: DataFrame, key: str = "name", top_k: int = 8) -> dict:
+    """Per-key count histogram of the join key (SURVEY §7.3: 'verify with
+    per-key count histograms in metrics').  Returns
+    {key: count} for the hottest keys plus the skew ratio
+    max_key_count / mean_key_count — the number that decides whether the
+    salted path matters."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        facts.groupBy(key).count()
+        .orderBy(F.col("count").desc())
+        .limit(top_k)
+        .collect()
+    )
+    stats = facts.groupBy(key).count().agg(
+        F.max("count").alias("mx"), F.avg("count").alias("mean")
+    ).first()
+    return {
+        "hot_keys": {r[key]: r["count"] for r in rows},
+        "skew_ratio": round(float(stats["mx"]) / max(float(stats["mean"]), 1e-9), 1)
+        if stats["mx"] is not None else None,
+    }
+
+
 def linking_join(
     facts: DataFrame,
     dims: DataFrame,

@@ -154,6 +154,12 @@ def _link(spark, ctx):
 
     nodes, edges, mentions, symbols = split_parse_output(ctx["cpg_raw"])
     combined, stats = link_combined(mentions, symbols, nodes, edges)
+    if os.environ.get("CPG_SPARK_SKEW_REPORT") == "1":
+        # per-key histogram of the join key (SURVEY §7.3) — one extra
+        # aggregation job, so opt-in
+        from cpg_spark.operators.joins import skew_report
+
+        stats["mention_name_skew"] = skew_report(mentions)
     return {"linked": combined}, stats, {}
 
 
