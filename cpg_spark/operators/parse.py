@@ -86,6 +86,18 @@ def _rows_for_doc(doc_id: str, spans) -> list[dict]:
     rows: list[dict] = []
     if spans is None:
         return rows
+    # span-sequence invariant (BASELINE input_hint): offsets strictly
+    # increasing in array order; enforced in-flight (zero extra jobs —
+    # the former driver-side validation pass cost a full corpus scan)
+    prev = None
+    for span in spans:
+        off = span["offset"] if isinstance(span, dict) else span.offset
+        if prev is not None and off is not None and off <= prev:
+            raise ValueError(
+                f"span-sequence invariant violated in doc {doc_id}: "
+                f"offset {off} after {prev}")
+        if off is not None:
+            prev = off
     for span in spans:
         kind = span["kind"] if isinstance(span, dict) else span.kind
         text = span["text"] if isinstance(span, dict) else span.text

@@ -30,9 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cpg_spark import sinks
-from cpg_spark.operators.link import link_all
 from cpg_spark.operators.parse import parse_docs, split_parse_output
-from cpg_spark.synth import validate_span_invariant
 
 
 @dataclass
@@ -142,11 +140,10 @@ def _ingest(spark, ctx):
 
 
 def _parse(spark, ctx):
-    bad = validate_span_invariant(ctx["docs"]).count()
-    if bad:
-        raise ValueError(f"span-sequence invariant violated for {bad} docs")
+    # the span-sequence invariant is enforced inside the parse UDF
+    # (ValueError fails the stage) — no separate validation scan
     raw = parse_docs(ctx["docs"])
-    return {"cpg_raw": raw}, {"invariant_violations": bad}, {"cpg_raw": ["row_kind"]}
+    return {"cpg_raw": raw}, {}, {"cpg_raw": ["row_kind"]}
 
 
 def _link(spark, ctx):

@@ -204,6 +204,51 @@ def test_structure_recall(fact_sets):
         assert (doc, sl, sn, ol, on) in emitted, (pred, doc, sn, on)
 
 
+def test_keyword_argument_name_prop(spark):
+    """PythonFrontendTest.kt:141-143: bar(..., s2="another_string") — the
+    ARGUMENTS edge at index 1 carries props name='s2'."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.synth import fixture_docs
+
+    raw = parse_docs(fixture_docs(spark, langs=("python",))).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    args = (
+        edges.filter(F.col("pred") == "ARGUMENTS")
+        .filter(F.col("doc_id") == "py/function/0001")
+        .join(nodes.select(F.col("node_id").alias("subj"),
+                           F.col("name").alias("call_name")), "subj")
+        .filter(F.col("call_name") == "bar")
+        .select(F.col("props").getItem("index").alias("idx"),
+                F.col("props").getItem("name").alias("kw"))
+        .collect()
+    )
+    by_idx = {r["idx"]: r["kw"] for r in args}
+    assert by_idx.get("0") is None          # positional
+    assert by_idx.get("1") == "s2"          # keyword NAME property
+    raw.unpersist()
+
+
+def test_bad_span_order_fails_parse(spark):
+    """The span-sequence invariant is enforced inside the parse UDF."""
+    import pytest as _pytest
+
+    from cpg_spark.operators.parse import parse_docs
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "bad",
+          "spans": [
+              {"kind": "code/python", "text": "a = 1", "media_ref": None,
+               "offset": 2},
+              {"kind": "code/python", "text": "b = 2", "media_ref": None,
+               "offset": 1},
+          ]}],
+        schema=DOCS_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="span-sequence invariant"):
+        parse_docs(docs).count()
+
+
 def test_dfg_spot_checks(fact_sets):
     """DFG kernels: literal -> variable (VariableDeclaration.java:118),
     arg -> param (Util.java:321-342), value -> return."""
