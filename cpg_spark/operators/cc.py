@@ -104,26 +104,38 @@ def transitive_closure(
     child: str = "child",
     parent: str = "parent",
     max_iters: int = 30,
+    with_depth: bool = False,
 ) -> DataFrame:
-    """(descendant, ancestor) pairs — iterative join to fixpoint.
+    """(descendant, ancestor[, depth]) pairs — iterative join to fixpoint.
 
     The Spark form of the reference's supertype closure walk
     (``TypeHierarchyResolver.java:117-127``); hierarchies are shallow so the
-    loop runs ≤ depth iterations, each checkpointed."""
+    loop runs ≤ depth iterations, each checkpointed.
+
+    ``with_depth`` adds the minimal path length (direct parent = 1): the
+    BFS frontier reaches each pair at its minimal depth first and the
+    anti-join keeps only first sightings, so the recorded depth is minimal —
+    the ranking key for innermost-ancestor call resolution
+    (CallResolver.java:1707-1739 walks parents nearest-first)."""
     base = edges.select(
         F.col(child).alias("descendant"), F.col(parent).alias("ancestor")
     ).distinct()
+    if with_depth:
+        base = base.withColumn("depth", F.lit(1))
     closure = base.localCheckpoint(eager=True)
     frontier = closure
+    direct = base.select("descendant", "ancestor") if with_depth else base
     for _ in range(max_iters):
         nxt = (
             frontier.alias("f")
-            .join(base.alias("b"), F.col("f.ancestor") == F.col("b.descendant"))
+            .join(direct.alias("b"), F.col("f.ancestor") == F.col("b.descendant"))
             .select(
                 F.col("f.descendant").alias("descendant"),
                 F.col("b.ancestor").alias("ancestor"),
+                *([(F.col("f.depth") + 1).alias("depth")] if with_depth else []),
             )
-            .join(closure, ["descendant", "ancestor"], "left_anti")
+            .join(closure.select("descendant", "ancestor"),
+                  ["descendant", "ancestor"], "left_anti")
             .distinct()
             .localCheckpoint(eager=True)
         )

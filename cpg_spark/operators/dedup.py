@@ -39,14 +39,32 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 
 def shingle_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  k: int = 3) -> DataFrame:
+                  k: int = 3, max_df: int | None = None) -> DataFrame:
     """Candidate (a, b) doc pairs sharing >=1 k-shingle, with exact n-gram
     Jaccard similarity scaled to integer permille (jaccard_pm) so the SQL
-    oracle matches bit-for-bit."""
+    oracle matches bit-for-bit.
+
+    ``max_df`` is the stop-shingle guard (the scale knob): shingles whose
+    document frequency exceeds it are dropped from the shingle sets before
+    ANY join — without it one ubiquitous shingle ("the quick brown")
+    creates a quadratic bucket at corpus scale.  Jaccard then measures
+    overlap of the *informative* shingles only (both intersection and set
+    sizes use the filtered sets, so the measure stays self-consistent).
+    None = exact mode (the oracle-checked formulation)."""
     sh = (
         df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("s"))
         .distinct()
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        # broadcast anti-join: the hot-shingle dim is tiny by construction
+        # (shingles with df > cap are rare by Zipf), the shingle table huge
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("x")
@@ -88,17 +106,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
                         band_size: int = 2) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band are
-    candidates.  The shuffle key is (band_id, band_hash) — uniform."""
+    candidates.  The shuffle key is (band_id, band_hash) — uniform.
+
+    Banding is ONE explode projection over the signature frame (not a
+    union of per-band branches, which would re-execute the signature
+    aggregation subtree once per band — the round-1 59 s bench query)."""
     n_bands = num_hashes // band_size
-    bands = None
+    entries = []
     for b in range(n_bands):
         cols = [F.col(f"mh{j}") for j in range(b * band_size, (b + 1) * band_size)]
-        one = signatures.select(
-            F.col("doc"),
+        entries.append(F.struct(
             F.lit(b).alias("band_id"),
             F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
+        ))
+    bands = (
+        signatures.select("doc", F.explode(F.array(*entries)).alias("z"))
+        .select("doc", "z.band_id", "z.band_hash")
+    )
     return (
         bands.alias("x")
         .join(
@@ -120,14 +144,25 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     The Jaccard verification is restricted to the candidate pairs BEFORE
     the shingle self-join — this is the whole point of LSH: the quadratic
-    intersection only materializes where bands collide."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
+    intersection only materializes where bands collide.
+
+    The shingle table feeds THREE consumers (signatures, sizes, pairwise
+    intersection) and the signature frame two (x/y band sides) — both are
+    persisted so the explode+distinct shuffle and the 8-way min aggregation
+    each run exactly once (at cluster scale these become stage-checkpoint
+    tables instead)."""
     sh = (
         df.select(F.col(id_col).alias("doc"),
                   F.explode(shingles(text_col, k)).alias("s"))
         .distinct()
+        .persist()
     )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc").agg(*aggs).persist()
+    cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.withColumnRenamed("doc", "a")

@@ -28,14 +28,18 @@ from pyspark.sql import functions as F
 
 from cpg_spark.operators.joins import linking_join
 
-# blake2b(b'inferred\x1f...') replicated Spark-side is impractical; instead
-# inferred ids are computed with sha2 over the same key string — stable,
-# content-derived, and collision-safe for the join back.
+# Spark-side twin of cpg_spark.ids.inferred_id: sha2 over the identical
+# 5-field key string, so link-inferred and frontend-inferred ids for the
+# same logical symbol are equal and collapse at materialize.
 
 
-def _inferred_id_col(kind: str, name_col, sig_col):
-    key = F.concat_ws("\x1f", F.lit("inferred"), F.lit(kind), name_col,
-                      sig_col.cast("string"))
+def _inferred_id_col(kind: str, name_col, sig_col, container_col=None):
+    if container_col is None:
+        container_col = F.lit("")
+    key = F.concat_ws("\x1f", F.lit("inferred"), F.lit(kind),
+                      F.coalesce(name_col, F.lit("")),
+                      F.coalesce(sig_col.cast("string"), F.lit("")),
+                      F.coalesce(container_col, F.lit("")))
     return F.substring(F.sha2(key, 256), 1, 16)
 
 
@@ -78,7 +82,11 @@ def _visibility_gate(cand: DataFrame, imports: DataFrame) -> DataFrame:
         & (F.col("d_module") == F.col("imp_module")),
         "left_outer",
     ).drop("imp_doc_id")
-    same_module = F.expr("scope_path like concat(d_module, '%')")
+    # literal prefix test, NOT SQL LIKE: '_'/'%' in module names are
+    # wildcards under LIKE ('my_util' would prefix-match 'myxutil...'),
+    # and a null d_module must rank as not-same-module, not null-drop
+    same_module = (F.col("d_module").isNotNull()
+                   & F.col("scope_path").startswith(F.col("d_module")))
     return (
         gated.filter(
             same_module
@@ -97,8 +105,19 @@ def _visibility_gate(cand: DataFrame, imports: DataFrame) -> DataFrame:
 
 
 def link_calls(mentions: DataFrame, symbols: DataFrame,
-               strategy: str | None = None, buckets: int = 16):
+               strategy: str | None = None, buckets: int = 16,
+               closure: DataFrame | None = None):
     """Resolve ``call`` and ``member_call`` mentions.
+
+    ``closure`` is the record supertype closure
+    (descendant, ancestor, depth) from
+    :func:`cpg_spark.operators.hierarchy.supertype_record_closure`: member
+    calls whose base record does not declare the method resolve against
+    ancestor records' methods, nearest ancestor first — the reference's
+    ``getInvocationCandidatesFromParents`` walk
+    (CallResolver.java:1707-1739) with overriding-candidate ranking
+    (:1089-1127).  Without it (None), only exact-record matches resolve
+    and every inherited call mis-resolves to an inferred node.
 
     Returns (edges, inferred_nodes, stats).
     """
@@ -121,24 +140,53 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     joined, used = _name_join(calls, fns, dim_rows, buckets, strategy)
     joined = _visibility_gate(joined, _imports_dim(mentions))
 
-    # candidate filter: member calls must match the base record when the
-    # base type is known (CallResolver.java:1089-1127); plain calls must hit
+    # supertype walk: (base_type, d_record) ancestry pairs with minimal
+    # depth; the closure is records-with-ancestry only -> broadcast
+    if closure is None:
+        closure = mentions.sparkSession.createDataFrame(
+            [], "descendant string, ancestor string, depth int")
+    anc = closure.select(F.col("descendant").alias("_anc_child"),
+                         F.col("ancestor").alias("_anc_parent"),
+                         F.col("depth").alias("_anc_depth"))
+    joined = joined.join(
+        F.broadcast(anc),
+        (F.col("base_type") == F.col("_anc_child"))
+        & (F.col("d_record") == F.col("_anc_parent")),
+        "left_outer",
+    ).drop("_anc_child", "_anc_parent")
+
+    # candidate filter: member calls must match the base record OR one of
+    # its ancestor records when the base type is known
+    # (CallResolver.java:1089-1127 + :1707-1739); plain calls must hit
     # functions; arity must accept the positional args (python fixtures have
     # no overloads — arity equality, variadic/defaults relaxed later)
     cand = joined.filter(
         (
             (F.col("kind") == "member_call")
             & (F.col("d_kind") == "method")
-            & (F.col("base_type").isNull() | (F.col("base_type") == F.col("d_record")))
+            & (F.col("base_type").isNull()
+               | (F.col("base_type") == F.col("d_record"))
+               | F.col("_anc_depth").isNotNull())
         )
         | ((F.col("kind") == "call") & (F.col("d_kind") == "function"))
-    )
+    ).withColumn(
+        # exact record match outranks inherited; nearer ancestors outrank
+        # farther ones (overriding methods shadow overridden ones)
+        "_depth_rank",
+        F.when(F.col("base_type").isNotNull()
+               & (F.col("base_type") == F.col("d_record")), F.lit(0))
+        .when(F.col("_anc_depth").isNotNull(), F.col("_anc_depth"))
+        .otherwise(F.lit(0)),
+    ).drop("_anc_depth")
     same_module = (
-        F.when(F.expr("scope_path like concat(d_module, '%')"), F.lit(0)).otherwise(1)
+        F.when(F.col("d_module").isNotNull()
+               & F.col("scope_path").startswith(F.col("d_module")),
+               F.lit(0)).otherwise(1)
     )
     winners = _pick_winner(
-        cand.withColumn("_mod_rank", same_module), ["_mod_rank", "d_fqn"]
-    ).drop("_mod_rank")
+        cand.withColumn("_mod_rank", same_module),
+        ["_depth_rank", "_mod_rank", "d_fqn"],
+    ).drop("_mod_rank", "_depth_rank")
 
     calls_edges = winners.select(
         F.col("mention_id").alias("subj"), F.lit("CALLS").alias("pred"),
@@ -259,7 +307,9 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
         | ((F.col("kind") == "ref") & (F.col("d_kind") != "field"))
     )
     same_module = (
-        F.when(F.expr("scope_path like concat(d_module, '%')"), F.lit(0)).otherwise(1)
+        F.when(F.col("d_module").isNotNull()
+               & F.col("scope_path").startswith(F.col("d_module")),
+               F.lit(0)).otherwise(1)
     )
     winners = _pick_winner(
         cand.withColumn("_mod_rank", same_module), ["_mod_rank", "d_fqn"]
@@ -281,9 +331,20 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
 
 
 def link_all(mentions: DataFrame, symbols: DataFrame,
-             strategy: str | None = None, buckets: int = 16):
-    """Full linking stage. Returns (edges, inferred_nodes, stats)."""
-    call_edges, inferred_nodes, s1 = link_calls(mentions, symbols, strategy, buckets)
+             strategy: str | None = None, buckets: int = 16,
+             nodes: DataFrame | None = None,
+             edges: DataFrame | None = None):
+    """Full linking stage. Returns (edges, inferred_nodes, stats).
+
+    Pass ``nodes``/``edges`` to enable inherited member-call resolution
+    through the record supertype closure (computed here, depth-ranked)."""
+    closure = None
+    if nodes is not None and edges is not None:
+        from cpg_spark.operators.hierarchy import supertype_record_closure
+
+        closure = supertype_record_closure(nodes, edges, with_depth=True)
+    call_edges, inferred_nodes, s1 = link_calls(mentions, symbols, strategy,
+                                                buckets, closure=closure)
     ref_edges, s2 = link_refs(mentions, symbols, strategy, buckets)
     return call_edges.unionByName(ref_edges), inferred_nodes, {
         "calls": s1, "refs": s2,
@@ -298,7 +359,12 @@ def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
     Catalyst reuse the name-join exchanges across the edge and
     inferred-node branches instead of executing the join per output.
     Returns (combined, stats)."""
-    from cpg_spark.operators.hierarchy import overrides_edges
+    from cpg_spark.operators.hierarchy import (overrides_edges,
+                                               supertype_record_closure)
+
+    # ONE closure computation (depth-ranked) feeds both the inherited
+    # member-call walk and the OVERRIDES join
+    closure = supertype_record_closure(nodes, edges, with_depth=True)
 
     if strategy is None:
         # one aggregation job sizes both join dimensions (instead of two
@@ -319,11 +385,14 @@ def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
     else:
         strat_calls = strat_refs = strategy
     call_edges, inferred_nodes, s1 = link_calls(mentions, symbols,
-                                                strat_calls, buckets)
+                                                strat_calls, buckets,
+                                                closure=closure)
     ref_edges, s2 = link_refs(mentions, symbols, strat_refs, buckets)
     all_edges = (
         call_edges.unionByName(ref_edges)
-        .unionByName(overrides_edges(nodes, edges, symbols))
+        .unionByName(overrides_edges(nodes, edges, symbols,
+                                     closure=closure.select("descendant",
+                                                            "ancestor")))
         .withColumn("row_kind", F.lit("edge"))
     )
     nodes_part = inferred_nodes.withColumn("row_kind", F.lit("node"))

@@ -63,14 +63,29 @@ def q_label_filter_projection(spark, sf_dir):
 
 def q_by_name_lookup(spark, sf_dir):
     """Dotted-name declaration lookup (``byName``, Extensions.kt:73-110,
-    SURVEY Q3): split a dotted key and join through the containment dim."""
+    SURVEY Q3): a dotted key ``container.member`` is split, the container
+    resolved against the dimension, then the member resolved WITHIN that
+    container (containment join) — exactly the reference's
+    record-then-member walk.  The key set is derived deterministically
+    from the data itself (every 97th customer) so the check returns rows."""
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
+    keys = (
+        cust.filter(F.col("c_custkey") % 97 == 0)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(F.concat_ws(".", "n_name", "c_name").alias("dotted"))
+    )
+    split = keys.select(
+        "dotted",
+        F.split("dotted", "\\.").getItem(0).alias("container"),
+        F.split("dotted", "\\.").getItem(1).alias("member"),
+    )
     return (
-        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-        .filter(F.col("n_name").startswith("nation_1"))
-        .select("c_custkey", "c_name", "n_name")
-        .orderBy("c_custkey")
+        split.join(F.broadcast(nat), F.col("container") == nat.n_name)
+        .join(cust, (F.col("member") == cust.c_name)
+              & (cust.c_nationkey == F.col("n_nationkey")))
+        .select("dotted", "c_custkey", "n_name")
+        .orderBy("dotted")
     )
 
 
@@ -301,9 +316,13 @@ def q_ann_bruteforce_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """LSH-banded near-dup pairs; the oracle is the brute-force all-pairs
+    formulation, so this check also certifies LSH recall = 1 on the test
+    data (threshold 0.40 yields nonzero pairs — the synthetic embeddings
+    are random, max pairwise cosine ~0.46)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return (
-        ann.cosine_near_dup_pairs(emb, threshold_q6=0.60)
+        ann.cosine_near_dup_pairs(emb, threshold_q6=0.40)
         .select("a", "b")
         .orderBy("a", "b")
     )
@@ -332,7 +351,7 @@ def q_cpg_triples(spark, sf_dir):
 
     raw = parse_docs(fixture_docs(spark)).persist()
     nodes, edges, mentions, symbols = split_parse_output(raw)
-    linked, inferred, _ = link_all(mentions, symbols)
+    linked, inferred, _ = link_all(mentions, symbols, nodes=nodes, edges=edges)
     return (
         edges.select("subj", "pred", "obj")
         .unionByName(linked.select("subj", "pred", "obj"))
@@ -434,6 +453,69 @@ def q_cpg_value_eval(spark, sf_dir):
     )
 
 
+INHERIT_BASE_SRC = """\
+class Base:
+    def run(self):
+        pass
+    def shared(self):
+        pass
+
+class Mid(Base):
+    def shared(self):
+        pass
+"""
+
+INHERIT_CHILD_SRC = """\
+from baselib import Mid
+
+class Leaf(Mid):
+    def leaf_only(self):
+        pass
+
+def main():
+    x = Leaf()
+    x.run()
+    x.shared()
+    x.leaf_only()
+    x.mystery()
+"""
+
+
+def q_cpg_inherited_calls(spark, sf_dir):
+    """Member calls resolved through the record supertype closure across
+    documents (CallResolver.java:1707-1739 getInvocationCandidatesFromParents
+    + overriding ranking :1089-1127; SURVEY J3): ``x.run()`` on a Leaf
+    resolves to the inherited Base.run two levels up; ``x.shared()``
+    resolves to the NEAREST ancestor override (Mid.shared, not Base.shared);
+    an unknown method still falls through to one inferred node."""
+    from cpg_spark.operators.link import link_all
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "py/baselib/0001",
+          "spans": [{"kind": "code/python", "text": INHERIT_BASE_SRC,
+                     "media_ref": None, "offset": 0}]},
+         {"doc_id": "py/childlib/0001",
+          "spans": [{"kind": "code/python", "text": INHERIT_CHILD_SRC,
+                     "media_ref": None, "offset": 0}]}],
+        schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    linked, inferred, _ = link_all(mentions, symbols, nodes=nodes, edges=edges)
+    calls = linked.filter(F.col("pred") == "CALLS")
+    return (
+        calls.join(mentions.select(F.col("mention_id").alias("subj"),
+                                   F.col("name").alias("site")), "subj")
+        .join(symbols.select(F.col("decl_id").alias("obj"),
+                             F.col("record").alias("callee_record")),
+              "obj", "left")
+        .select("site", F.coalesce("callee_record",
+                                   F.lit("<inferred>")).alias("callee_record"))
+        .orderBy("site")
+    )
+
+
 def q_cpg_crossdoc_calls(spark, sf_dir):
     """Cross-document CALLS resolution over the generated corpus: callers
     in mod docs, callees in hub docs (broadcast symbol-table join path)."""
@@ -443,7 +525,7 @@ def q_cpg_crossdoc_calls(spark, sf_dir):
 
     raw = parse_docs(generated_docs(spark, 120, n_hubs=4)).persist()
     nodes, edges, mentions, symbols = split_parse_output(raw)
-    linked, _, _ = link_all(mentions, symbols)
+    linked, _, _ = link_all(mentions, symbols, nodes=nodes, edges=edges)
     calls = linked.filter(F.col("pred") == "CALLS")
     return (
         calls.join(
