@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_triples": Q.q_cpg_triples,
         "cpg_crossdoc_calls": Q.q_cpg_crossdoc_calls,
         "cpg_inherited_calls": Q.q_cpg_inherited_calls,
+        "cpg_overload_calls": Q.q_cpg_overload_calls,
         "cpg_dfg_refined": Q.q_cpg_dfg_refined,
         "cpg_overrides": Q.q_cpg_overrides,
         "cpg_value_eval": Q.q_cpg_value_eval,
@@ -406,6 +407,33 @@ def oracle_sql() -> dict[str, str]:
               ('run', 'Base'),
               ('shared', 'Mid')) AS t(site, callee_record)
             ORDER BY site
+        """,
+        # golden oracle: overload resolution over the embedded reference
+        # fixtures is a fixed table — display: 4+3 call sites, the 4
+        # declaration-file sites invoke prototype AND definition (2 edges
+        # each, CallResolverTest:317-330) and the 3 definition-file sites
+        # one edge each (4*2+3=11); multiply: 1 site via implicit cast;
+        # ambiguous_multiply: 1 site keeping both candidates
+        "cpg_overload_calls": """
+            SELECT * FROM (VALUES
+              ('ambiguous_multiply', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+              ('display', CAST(7 AS BIGINT), CAST(11 AS BIGINT)),
+              ('multiply', CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
+              AS t(site, n_sites, n_edges)
+            ORDER BY site
+        """,
+        # golden oracle: the constant-evaluation fixture folds to a fixed
+        # table (ValueEvaluator.kt:120-314 semantics — binops, DFG copy,
+        # subscript of an initializer list, conditional expression)
+        "cpg_value_eval": """
+            SELECT * FROM (VALUES
+              ('b', CAST(2 AS BIGINT)),
+              ('c', CAST(3 AS BIGINT)),
+              ('f', CAST(10 AS BIGINT)),
+              ('h', CAST(0 AS BIGINT)),
+              ('pick', CAST(7 AS BIGINT)),
+              ('sv', CAST(20 AS BIGINT))) AS t(name, value_x1)
+            ORDER BY name
         """,
         # ann_lsh_topk: approximate by design — rows-only check.
         # cpg_triples / cpg_crossdoc_calls: code parsing + entity linking has

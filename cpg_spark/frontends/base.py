@@ -25,18 +25,27 @@ from cpg_spark.ids import node_id as _hash_node_id, type_id
 
 @dataclass
 class DocGraph:
-    """Everything one document's parse emits."""
+    """Everything one document's parse emits.
+
+    ``id_log`` maps every minted location-derived node id back to its
+    (ast_path, label) key — the relocation table for pre-parse span dedup
+    (SURVEY S3): a graph parsed once under a sentinel document can be
+    re-keyed to any (doc_id, span_offset) by re-hashing the logged paths.
+    Content-derived ids (type_id / inferred_id) are doc-independent and
+    deliberately absent."""
 
     nodes: list = field(default_factory=list)
     edges: list = field(default_factory=list)
     mentions: list = field(default_factory=list)
     symbols: list = field(default_factory=list)
+    id_log: dict = field(default_factory=dict)
 
     def extend(self, other: "DocGraph") -> None:
         self.nodes.extend(other.nodes)
         self.edges.extend(other.edges)
         self.mentions.extend(other.mentions)
         self.symbols.extend(other.symbols)
+        self.id_log.update(other.id_log)
 
 
 class Scope:
@@ -78,7 +87,9 @@ class Emitter:
 
     # ----- ids ------------------------------------------------------------
     def make_id(self, path: str, label: str) -> str:
-        return _hash_node_id(self.doc_id, self.span_offset, path, label)
+        nid = _hash_node_id(self.doc_id, self.span_offset, path, label)
+        self.out.id_log[nid] = (path, label)
+        return nid
 
     # ----- source snippets ------------------------------------------------
     def snippet(self, start_line: int, start_col: int, end_line: int, end_col: int) -> str:

@@ -86,6 +86,13 @@ _PREC = {
 _ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "<<=",
                ">>="}
 
+# implicit-conversion groups for the overload ladder
+# (CallResolver.java:847-907 resolveWithImplicitCast subset): any numeric
+# converts to any numeric; string-likes interconvert
+_NUM_TYPES = {"int", "long", "short", "char", "float", "double", "bool",
+              "boolean", "byte", "unsigned", "size_t", "long long"}
+_STR_TYPES = {"string", "String", "char*", "char[]"}
+
 
 class Tok:
     __slots__ = ("kind", "text", "line", "col")
@@ -144,6 +151,10 @@ class CFamilyFrontend(Emitter):
         self.records: dict[str, dict] = {}
         self.imports: dict[str, str] = {}
         self._functions_by_id: dict[str, dict] = {}
+        # (record_name_or_'', fn_name) -> [fn_info, ...]: C++ overload sets
+        # (CallResolver.java keeps candidate lists per name; a plain dict
+        # scope entry would collapse overloads to the last declaration)
+        self._overloads: dict[tuple, list] = {}
         self._path_n = 0
 
     # ------------------------------------------------------------- tokens
@@ -435,28 +446,52 @@ class CFamilyFrontend(Emitter):
             self.eval_type(rid_recv, record["name"])
             self.edge(fid, "RECEIVER", rid_recv)
             self.declare("this", rid_recv, "receiver", record["name"])
-        param_ids, param_names = [], []
+        param_ids, param_names, param_types = [], [], []
+        n_defaults = 0
+        is_variadic = False
         self.expect("(")
         pidx = 0
         while self.peek().kind not in (")", "eof"):
             self._skip_modifiers()
+            if (self.peek().kind == "." and self.peek(1).kind == "."
+                    and self.peek(2).kind == "."):
+                self.next(); self.next(); self.next()
+                is_variadic = True
+                break
             ptype = self.parse_type()
+            if ptype is None:
+                if not self.accept(","):
+                    break
+                continue
+            pt = None
             if self.peek().kind == "ident":
                 pt = self.next()
                 while self.peek().kind == "[":  # C array suffix: argv[]
                     self._skip_balanced("[", "]")
                     ptype = (ptype or "") + "[]"
-                pid = self.node(f"{path}.p[{pidx}]",
-                                "ParamVariableDeclaration", pt.text,
-                                self._tloc(pt), argument_index=pidx)
-                if ptype:
-                    self.eval_type(pid, ptype)
-                self.edge(fid, "PARAMETERS", pid, {"index": pidx})
-                self.ast_edge(fid, pid, "PARAMETERS", pidx)
+            # unnamed parameters (prototypes like `void f(int, char)`)
+            # still count toward the signature
+            pid = self.node(f"{path}.p[{pidx}]",
+                            "ParamVariableDeclaration",
+                            pt.text if pt else "",
+                            self._tloc(pt) if pt else None,
+                            argument_index=pidx)
+            if ptype:
+                self.eval_type(pid, ptype)
+            self.edge(fid, "PARAMETERS", pid, {"index": pidx})
+            self.ast_edge(fid, pid, "PARAMETERS", pidx)
+            if pt is not None:
                 self.declare(pt.text, pid, "param", ptype)
-                param_ids.append(pid)
-                param_names.append(pt.text)
-                pidx += 1
+            # C++ default argument (CallResolver.java:980-1014): calls may
+            # omit this and every following parameter
+            if self.accept("="):
+                dflt, _ = self.parse_expr(f"{path}.p[{pidx}].d")
+                self.ast_edge(pid, dflt, "DEFAULT", 0)
+                n_defaults += 1
+            param_ids.append(pid)
+            param_names.append(pt.text if pt else "")
+            param_types.append(ptype)
+            pidx += 1
             if not self.accept(","):
                 break
         self.expect(")")
@@ -470,7 +505,8 @@ class CFamilyFrontend(Emitter):
                 if self.peek().kind == "ident" and self.peek(1).kind == "{":
                     break
                 self.next()
-        if self.peek().kind == "{":
+        has_body = self.peek().kind == "{"
+        if has_body:
             infos = self.parse_block(path + ".body", fid, "BODY")
             build_eog(self, fid, infos)
         else:
@@ -480,9 +516,13 @@ class CFamilyFrontend(Emitter):
             "decl_id": fid, "kind": "function", "name": name,
             "n_params": len(param_ids), "param_ids": param_ids,
             "param_names": param_names,
+            "param_types": param_types, "n_defaults": n_defaults,
+            "is_variadic": is_variadic, "is_definition": has_body,
             "record": record["name"] if record else None,
         }
         self._functions_by_id[fid] = fn_info
+        self._overloads.setdefault(
+            (record["name"] if record else "", name), []).append(fn_info)
         if record is not None:
             if ctor:
                 self.edge(record["decl_id"], "CONSTRUCTORS", fid,
@@ -1076,7 +1116,10 @@ class CFamilyFrontend(Emitter):
             nid = self.node(path, "DeclaredReferenceExpression", t.text,
                             self._tloc(t))
             self.pending_refs.append((nid, t.text, list(self.scopes), "read"))
-            return nid, {"kind": "ref", "name": t.text, "type": None}
+            # the declared type (if already in scope) feeds overload ranking
+            d = self.resolve(t.text)
+            return nid, {"kind": "ref", "name": t.text,
+                         "type": (d or {}).get("type")}
         if t.kind == "(":
             # cast `(Type) expr` vs parenthesized expr
             save = self.i
@@ -1111,15 +1154,13 @@ class CFamilyFrontend(Emitter):
         nid = self.node(path, "CallExpression", name, None,
                         props={"fqn": name})
         args = self._parse_args(nid, path)
-        # bare call inside a record body is an implicit this-call
-        if rec_scope is not None and name in self.records.get(
-                rec_scope.name, {}).get("methods", {}):
-            target = self.records[rec_scope.name]["methods"][name][0]
-            self.edge(nid, "CALLS", target)
-            self.edge(target, "DFG", nid)
-            self._dfg_args_to_params(args, target)
-        else:
-            self.pending_calls.append((nid, name, list(self.scopes), args))
+        # resolution is DEFERRED so overloads/methods declared later in
+        # the document participate (the reference resolves on the complete
+        # graph); a bare call inside a record body first tries the record's
+        # methods (implicit this-call), then module-level overloads
+        self.pending_calls.append(
+            (nid, name, list(self.scopes), args,
+             rec_scope.name if rec_scope else None))
         return nid, {"kind": "call", "name": name, "type": None}
 
     def member_call(self, base, sel: Tok, path: str):
@@ -1143,10 +1184,13 @@ class CFamilyFrontend(Emitter):
         args = []
         idx = 0
         while self.peek().kind not in (")", "eof"):
-            aid, _ = self.parse_expr(f"{path}.a[{idx}]")
+            aid, ameta = self.parse_expr(f"{path}.a[{idx}]")
             self.edge(call_id, "ARGUMENTS", aid, {"index": idx})
             self.ast_edge(call_id, aid, "ARGUMENTS", idx)
-            args.append({"arg_id": aid, "kw": None, "index": idx})
+            # the spelled argument type (literal / typed ref) feeds the
+            # overload-resolution ladder; None = unknown (wildcard)
+            args.append({"arg_id": aid, "kw": None, "index": idx,
+                         "type": (ameta or {}).get("type")})
             idx += 1
             if not self.accept(","):
                 break
@@ -1175,7 +1219,7 @@ class CFamilyFrontend(Emitter):
 
     # ------------------------------------------------ deferred resolution
     def _mention(self, mid, kind, name, base_type=None, scopes=None,
-                 n_args=None, arg_ids=None, n_kwargs=None):
+                 n_args=None, arg_ids=None, n_kwargs=None, arg_types=None):
         return {
             "mention_id": mid, "kind": kind, "name": name,
             "base_type": base_type,
@@ -1183,7 +1227,86 @@ class CFamilyFrontend(Emitter):
             or self.module_name,
             "doc_id": self.doc_id,
             "n_args": n_args, "n_kwargs": n_kwargs, "arg_ids": arg_ids,
+            "arg_types": arg_types,
         }
+
+    # ------------------------------------------------ overload ladder
+    # signature-compatibility subset of CallResolver.java:847-1014: arity
+    # with default arguments and variadics, exact type match outranking
+    # implicit numeric casts; ties keep ALL candidates (the reference's
+    # ambiguous-call behaviour emits every invokes edge)
+
+    def _sig_rank(self, fn, args):
+        np_ = fn.get("n_params")
+        if np_ is None:
+            return 0
+        nd = fn.get("n_defaults") or 0
+        na = len(args or [])
+        if fn.get("is_variadic"):
+            if na < np_ - nd:
+                return None
+        elif not (np_ - nd <= na <= np_):
+            return None
+        rank = 0
+        ptypes = fn.get("param_types") or []
+        for i, a in enumerate(args or []):
+            if i >= len(ptypes):
+                break
+            at, pt_ = a.get("type"), ptypes[i]
+            if not at or not pt_ or at == pt_:
+                continue
+            if at in _NUM_TYPES and pt_ in _NUM_TYPES:
+                rank = 1
+            elif at in _STR_TYPES and pt_ in _STR_TYPES:
+                rank = 1
+            else:
+                return None
+        return rank
+
+    def _overload_winners(self, cands, args):
+        best, best_rank = [], None
+        for fn in cands:
+            r = self._sig_rank(fn, args)
+            if r is None:
+                continue
+            if best_rank is None or r < best_rank:
+                best, best_rank = [fn], r
+            elif r == best_rank:
+                best.append(fn)
+        return best
+
+    def _method_winners(self, rec_name, name, args, _depth=0):
+        """Overload ladder over one record's methods, walking supertypes
+        nearest-first when the record itself has no viable candidate."""
+        rec = self.records.get(rec_name)
+        if rec is None or _depth > 16:
+            return []
+        fids = rec["methods"].get(name) or []
+        infos = [self._functions_by_id[f] for f in fids
+                 if f in self._functions_by_id]
+        winners = self._overload_winners(infos, args)
+        if winners:
+            return winners
+        for sup in rec["supers"]:
+            w = self._method_winners(sup, name, args, _depth + 1)
+            if w:
+                return w
+        return []
+
+    def _share_default_counts(self):
+        """A prototype and its definition share default arguments
+        (CallResolverTest: declaration and definition report the same
+        defaultParameters) — propagate the max count within each
+        same-signature overload group."""
+        for cands in self._overloads.values():
+            by_sig: dict = {}
+            for fn in cands:
+                key = (fn["n_params"], tuple(fn.get("param_types") or []))
+                by_sig.setdefault(key, []).append(fn)
+            for group in by_sig.values():
+                mx = max(f.get("n_defaults") or 0 for f in group)
+                for f in group:
+                    f["n_defaults"] = mx
 
     @staticmethod
     def _lookup(scopes, name):
@@ -1208,18 +1331,27 @@ class CFamilyFrontend(Emitter):
             else:
                 self.out.mentions.append(
                     self._mention(ref_id, "ref", name, scopes=scopes))
-        for call_id, name, scopes, args in self.pending_calls:
-            d = self._lookup(scopes, name)
-            if d is not None and d["kind"] == "function":
-                fid = d["decl_id"]
-                self.edge(call_id, "CALLS", fid)
-                self.edge(fid, "DFG", call_id)
-                self._dfg_args_to_params(args, fid)
+        self._share_default_counts()
+        for call_id, name, scopes, args, rec_name in self.pending_calls:
+            winners = []
+            if rec_name:  # implicit this-call candidates first
+                winners = self._method_winners(rec_name, name, args)
+            if not winners:
+                winners = self._overload_winners(
+                    self._overloads.get(("", name), []), args)
+            if winners:
+                # ties (ambiguous call / prototype+definition) keep every
+                # edge, matching the reference's multi-invokes
+                for fn in winners:
+                    self.edge(call_id, "CALLS", fn["decl_id"])
+                    self.edge(fn["decl_id"], "DFG", call_id)
+                self._dfg_args_to_params(args, winners[0]["decl_id"])
             else:
                 self.out.mentions.append(self._mention(
                     call_id, "call", name, scopes=scopes,
                     n_args=len(args), n_kwargs=0,
-                    arg_ids=[a["arg_id"] for a in args]))
+                    arg_ids=[a["arg_id"] for a in args],
+                    arg_types=[a.get("type") for a in args]))
         for mid, attr, base_name, scopes, args, access in self.pending_members:
             base_type = None
             if base_name == "this":
@@ -1238,16 +1370,19 @@ class CFamilyFrontend(Emitter):
                     base_type = base_name  # static member access
             rec = self.records.get(base_type) if base_type else None
             if access == "call":
-                target = self._find_method(rec, attr)
-                if target is not None:
-                    self.edge(mid, "CALLS", target)
-                    self.edge(target, "DFG", mid)
-                    self._dfg_args_to_params(args, target)
+                winners = (self._method_winners(base_type, attr, args)
+                           if base_type else [])
+                if winners:
+                    for fn in winners:
+                        self.edge(mid, "CALLS", fn["decl_id"])
+                        self.edge(fn["decl_id"], "DFG", mid)
+                    self._dfg_args_to_params(args, winners[0]["decl_id"])
                 else:
                     self.out.mentions.append(self._mention(
                         mid, "member_call", attr, base_type=base_type,
                         scopes=scopes, n_args=len(args or []), n_kwargs=0,
-                        arg_ids=[a["arg_id"] for a in (args or [])]))
+                        arg_ids=[a["arg_id"] for a in (args or [])],
+                        arg_types=[a.get("type") for a in (args or [])]))
             else:
                 fid = self._find_field(rec, attr)
                 if fid is not None:
@@ -1297,8 +1432,9 @@ class CFamilyFrontend(Emitter):
                 "module": self.module_name,
                 "doc_id": self.doc_id,
                 "n_params": info["n_params"],
-                "has_defaults": False,
-                "is_variadic": False,
+                "n_defaults": info.get("n_defaults", 0),
+                "is_variadic": info.get("is_variadic", False),
+                "param_types": info.get("param_types"),
                 "param_ids": info["param_ids"],
                 "param_names": info["param_names"],
             })

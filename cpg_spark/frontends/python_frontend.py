@@ -285,6 +285,7 @@ class PythonFrontend(Emitter):
                 self.edge(fid, "RECEIVER", rid)
                 self.declare(recv.arg, rid, "receiver", record["name"])
                 args = args[1:]
+        param_types = []
         for a in args:
             pid = self.node(f"{path}.p[{pidx}]", "ParamVariableDeclaration", a.arg,
                             _loc(a), argument_index=pidx)
@@ -297,9 +298,14 @@ class PythonFrontend(Emitter):
             self.declare(a.arg, pid, "param", tname)
             param_ids.append(pid)
             param_names.append(a.arg)
+            param_types.append(tname)
             pidx += 1
-        # vararg / kwonly / kw_defaults / kwarg / defaults: NOT_IMPLEMENTED
-        # in the reference (_statements.py:309-321)
+        # vararg / kwonly / kw_defaults / kwarg: NOT_IMPLEMENTED in the
+        # reference (_statements.py:309-321); the trailing positional
+        # `defaults` count and the *args flag ARE recorded for the
+        # link-stage signature-viability gate (CallResolver.java:980-1014)
+        n_defaults = len(node.args.defaults)
+        is_variadic = node.args.vararg is not None
 
         if node.body:
             body_id, infos = self.compound(node.body, path + ".body", fid, "BODY")
@@ -310,6 +316,8 @@ class PythonFrontend(Emitter):
             "decl_id": fid, "kind": "function", "name": name,
             "n_params": len(param_ids), "param_ids": param_ids,
             "param_names": param_names, "record": record["name"] if record else None,
+            "n_defaults": n_defaults, "param_types": param_types,
+            "is_variadic": is_variadic,
         }
         self._functions_by_id = getattr(self, "_functions_by_id", {})
         self._functions_by_id[fid] = fscope_decl
@@ -849,8 +857,9 @@ class PythonFrontend(Emitter):
                 "module": self.module_name,
                 "doc_id": self.doc_id,
                 "n_params": info["n_params"],
-                "has_defaults": False,
-                "is_variadic": False,
+                "n_defaults": info.get("n_defaults", 0),
+                "is_variadic": info.get("is_variadic", False),
+                "param_types": info.get("param_types"),
                 "param_ids": info["param_ids"],
                 "param_names": info["param_names"],
             })

@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 
 from cpg_spark.operators.joins import linking_join
 
+# implicit-conversion groups (CallResolver.java:847-907 subset), mirrored
+# from the frontend-local ladder (cfamily_frontend._NUM_TYPES) so local
+# and cross-document resolution agree
+_NUM_TYPES = ("int", "long", "short", "char", "float", "double", "bool",
+              "boolean", "byte", "unsigned", "size_t", "long long")
+_STR_TYPES = ("string", "String", "char*", "char[]", "str")
+
 # Spark-side twin of cpg_spark.ids.inferred_id: sha2 over the identical
 # 5-field key string, so link-inferred and frontend-inferred ids for the
 # same logical symbol are equal and collapse at materialize.
@@ -123,7 +130,7 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     """
     calls = mentions.filter(F.col("kind").isin("call", "member_call")).select(
         "mention_id", "kind", "name", "base_type", "scope_path", "doc_id",
-        "n_args", "arg_ids",
+        "n_args", "n_kwargs", "arg_ids", "arg_types",
     )
     fns = symbols.filter(F.col("kind").isin("function", "method")).select(
         F.col("decl_id").alias("d_decl_id"),
@@ -134,6 +141,9 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         F.col("fqn").alias("d_fqn"),
         F.col("n_params").alias("d_n_params"),
         F.col("param_ids").alias("d_param_ids"),
+        F.col("n_defaults").alias("d_n_defaults"),
+        F.col("param_types").alias("d_param_types"),
+        F.col("is_variadic").alias("d_is_variadic"),
     )
     dim_rows = fns.count() if strategy is None else None
 
@@ -155,11 +165,40 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         "left_outer",
     ).drop("_anc_child", "_anc_parent")
 
+    # signature viability (CallResolver.java:980-1014 defaults,
+    # :847-907 implicit casts): applied only where the frontend exported
+    # signature detail (d_n_defaults non-null) — a null-signature dim row
+    # falls back to name-level matching
+    nd = F.coalesce(F.col("d_n_defaults"), F.lit(0))
+    n_eff = F.coalesce(F.col("n_args"), F.lit(0)) + F.coalesce(
+        F.col("n_kwargs"), F.lit(0))
+    arity_ok = (
+        F.col("n_args").isNull() | F.col("d_n_params").isNull()
+        | F.col("d_n_defaults").isNull()
+        | ((n_eff >= F.col("d_n_params") - nd)
+           & (F.coalesce(F.col("d_is_variadic"), F.lit(False))
+              | (n_eff <= F.col("d_n_params"))))
+    )
+    # per-argument type compatibility: 0 = exact/unknown, 1 = implicit
+    # numeric or string cast, 99 = incompatible (candidate dropped)
+    _num = list(_NUM_TYPES)
+    _str = list(_STR_TYPES)
+    type_rank = F.when(
+        F.col("arg_types").isNull() | F.col("d_param_types").isNull(),
+        F.lit(0),
+    ).otherwise(F.coalesce(F.array_max(F.zip_with(
+        F.col("arg_types"), F.col("d_param_types"),
+        lambda a, p: F.when(a.isNull() | p.isNull() | (a == "") | (p == "")
+                            | (a == p), F.lit(0))
+        .when(a.isin(*_num) & p.isin(*_num), F.lit(1))
+        .when(a.isin(*_str) & p.isin(*_str), F.lit(1))
+        .otherwise(F.lit(99)),
+    )), F.lit(0)))
+
     # candidate filter: member calls must match the base record OR one of
     # its ancestor records when the base type is known
     # (CallResolver.java:1089-1127 + :1707-1739); plain calls must hit
-    # functions; arity must accept the positional args (python fixtures have
-    # no overloads — arity equality, variadic/defaults relaxed later)
+    # functions; the signature must accept the args
     cand = joined.filter(
         (
             (F.col("kind") == "member_call")
@@ -169,7 +208,9 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
                | F.col("_anc_depth").isNotNull())
         )
         | ((F.col("kind") == "call") & (F.col("d_kind") == "function"))
-    ).withColumn(
+    ).filter(arity_ok).withColumn(
+        "_type_rank", type_rank
+    ).filter(F.col("_type_rank") < 99).withColumn(
         # exact record match outranks inherited; nearer ancestors outrank
         # farther ones (overriding methods shadow overridden ones)
         "_depth_rank",
@@ -185,8 +226,13 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     )
     winners = _pick_winner(
         cand.withColumn("_mod_rank", same_module),
-        ["_depth_rank", "_mod_rank", "d_fqn"],
-    ).drop("_mod_rank", "_depth_rank")
+        # nearest record first (exact-before-inherited), then local
+        # scope, then exact-signature-before-cast — the CxxPrioResolution
+        # ordering (scope ladder outranks the cast ladder); d_decl_id
+        # last because overloads share one fqn (content-hash ids keep the
+        # tiebreak deterministic across runs/resumes)
+        ["_depth_rank", "_mod_rank", "_type_rank", "d_fqn", "d_decl_id"],
+    ).drop("_mod_rank", "_depth_rank", "_type_rank")
 
     calls_edges = winners.select(
         F.col("mention_id").alias("subj"), F.lit("CALLS").alias("pred"),

@@ -431,22 +431,30 @@ def q_cpg_overrides(spark, sf_dir):
 
 def q_cpg_value_eval(spark, sf_dir):
     """Constant evaluation fixpoint (ValueEvaluator semantics; SURVEY U1)
-    over a deterministic C++ snippet."""
+    over deterministic C++ + python snippets: binop folding, DFG copy,
+    subscript with constant index (ValueEvaluator.kt:269-294) and
+    conditional expression (:296-314)."""
     from cpg_spark.operators.parse import parse_docs, split_parse_output
     from cpg_spark.operators.value_eval import evaluate_constants
     from cpg_spark.schemas import DOCS_SCHEMA
 
     src = ("int main() {\n  int b = 1 + 1;\n  int c = 5 - 2;\n"
            "  int f = 2 * 5;\n  bool h = 5 < 3;\n}\n")
+    src_py = ("def f():\n    xs = [10, 20, 30]\n    sv = xs[1]\n"
+              "    pick = 7 if 2 > 1 else 9\n    return sv\n")
     docs = spark.createDataFrame(
         [{"doc_id": "cpp/veval/0001",
           "spans": [{"kind": "code/cpp", "text": src, "media_ref": None,
+                     "offset": 0}]},
+         {"doc_id": "py/veval/0001",
+          "spans": [{"kind": "code/python", "text": src_py, "media_ref": None,
                      "offset": 0}]}], schema=DOCS_SCHEMA)
     raw = parse_docs(docs).persist()
     nodes, edges, _, _ = split_parse_output(raw)
     vals = evaluate_constants(nodes, edges)
     return (
-        vals.join(nodes.select("node_id", "label", "name"), "node_id")
+        vals.filter(F.col("value").isNotNull())
+        .join(nodes.select("node_id", "label", "name"), "node_id")
         .filter(F.col("label") == "VariableDeclaration")
         .select("name", F.col("value").cast("long").alias("value_x1"))
         .orderBy("name")
@@ -512,6 +520,37 @@ def q_cpg_inherited_calls(spark, sf_dir):
               "obj", "left")
         .select("site", F.coalesce("callee_record",
                                    F.lit("<inferred>")).alias("callee_record"))
+        .orderBy("site")
+    )
+
+
+def q_cpg_overload_calls(spark, sf_dir):
+    """C-family overload resolution over the reference's
+    calls/{defaultargs,implicitcast} fixtures (CallResolverTest.java:248-460
+    semantics): default arguments admit shorter calls, implicit numeric
+    casts resolve, ambiguous calls keep every candidate, and a call invokes
+    both prototype and definition."""
+    from cpg_spark.fixtures_cfamily import CPP_FIXTURES
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    names = ["defaultInDeclaration", "defaultInDefinition", "implicitcast",
+             "ambiguouscall"]
+    docs = spark.createDataFrame(
+        [{"doc_id": f"cpp/{n}/0001",
+          "spans": [{"kind": "code/cpp", "text": CPP_FIXTURES[n],
+                     "media_ref": None, "offset": 0}]} for n in names],
+        schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    calls = edges.filter(F.col("pred") == "CALLS")
+    return (
+        calls.join(nodes.filter(F.col("label") == "CallExpression")
+                   .select(F.col("node_id").alias("subj"),
+                           F.col("name").alias("site")), "subj")
+        .groupBy("site")
+        .agg(F.count_distinct("subj").alias("n_sites"),
+             F.count("*").alias("n_edges"))
         .orderBy("site")
     )
 

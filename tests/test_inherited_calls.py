@@ -90,10 +90,10 @@ def test_exact_record_match_outranks_inherited(spark, parsed):
     # scope_path inside baselib so the same-module visibility arm applies
     m = mentions.sparkSession.createDataFrame(
         [("m1", "member_call", "shared", "Mid", "baselib.probe",
-          "py/baselib/0001", 0, 0, None)],
+          "py/baselib/0001", 0, 0, None, None)],
         "mention_id string, kind string, name string, base_type string, "
         "scope_path string, doc_id string, n_args int, n_kwargs int, "
-        "arg_ids array<string>")
+        "arg_ids array<string>, arg_types array<string>")
     edges_out, _, _ = link_calls(m, symbols, closure=closure)
     got = (
         edges_out.filter(F.col("pred") == "CALLS")

@@ -47,3 +47,50 @@ def test_constant_if_marks_false_branch(spark):
     ).count()
     assert marked_count == 1
     raw.unpersist()
+
+
+def test_computed_constant_condition(spark):
+    """UnreachableEOGPass + ValueEvaluator composition (the reference's
+    ifTrueComputed/ifFalseComputed cases, resources/passes/unreachable/):
+    `y = 6; if y < 10` prunes the else branch even though the condition
+    is not a literal."""
+    src = ("def f():\n    y = 6\n    if y < 10:\n        a = 1\n"
+           "    else:\n        a = 2\n")
+    docs = spark.createDataFrame(
+        [{"doc_id": "py/unreach_comp/0001",
+          "spans": [{"kind": "code/python", "text": src, "media_ref": None,
+                     "offset": 0}]}],
+        schema=DOCS_SCHEMA,
+    )
+    raw = parse_docs(docs).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    marked = mark_unreachable(nodes, edges)
+    eog = marked.filter(F.col("pred") == "EOG").select(
+        F.col("props").getItem("branch").alias("branch"),
+        F.col("props").getItem("unreachable").alias("unreachable"),
+    ).collect()
+    false_b = [r for r in eog if r["branch"] == "false"]
+    true_b = [r for r in eog if r["branch"] == "true"]
+    assert any(r["unreachable"] == "true" for r in false_b)
+    assert all(r["unreachable"] != "true" for r in true_b)
+    raw.unpersist()
+
+
+def test_literal_only_mode_still_works(spark):
+    src = "def f(x):\n    if False:\n        a = 1\n    else:\n        a = 2\n"
+    docs = spark.createDataFrame(
+        [{"doc_id": "py/unreach_lit/0001",
+          "spans": [{"kind": "code/python", "text": src, "media_ref": None,
+                     "offset": 0}]}],
+        schema=DOCS_SCHEMA,
+    )
+    raw = parse_docs(docs).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    marked = mark_unreachable(nodes, edges, evaluate=False)
+    eog = marked.filter(F.col("pred") == "EOG").select(
+        F.col("props").getItem("branch").alias("branch"),
+        F.col("props").getItem("unreachable").alias("unreachable"),
+    ).collect()
+    assert any(r["branch"] == "true" and r["unreachable"] == "true"
+               for r in eog)
+    raw.unpersist()

@@ -76,3 +76,66 @@ def test_ambiguous_write_is_not_constant(spark):
     assert got.get("b") == 7.0
     assert "a" not in got
     raw.unpersist()
+
+
+def _parse(spark, doc_id, kind, src):
+    docs = spark.createDataFrame(
+        [{"doc_id": doc_id,
+          "spans": [{"kind": kind, "text": src, "media_ref": None,
+                     "offset": 0}]}],
+        schema=DOCS_SCHEMA,
+    )
+    return split_parse_output(parse_docs(docs).persist())
+
+
+def _decl_values(nodes, vals):
+    named = (
+        vals.join(nodes.select("node_id", "label", "name"), "node_id")
+        .filter(F.col("label") == "VariableDeclaration")
+        .select("name", "value", "s_value")
+        .collect()
+    )
+    return {r["name"]: (r["value"], r["s_value"]) for r in named}
+
+
+def test_subscript_constant_index(spark):
+    """ValueEvaluator.kt:269-294: a[const] folds through the declaration's
+    initializer list."""
+    src = "def f():\n    xs = [10, 20, 30]\n    v = xs[1]\n    return v\n"
+    nodes, edges, _, _ = _parse(spark, "py/veval_sub/0001", "code/python", src)
+    got = _decl_values(nodes, evaluate_constants(nodes, edges))
+    assert got["v"] == (20.0, None)
+
+
+def test_conditional_expression_folds(spark):
+    """ValueEvaluator.kt:296-314: known condition picks the branch."""
+    src = "def f():\n    c = 7 if 2 > 1 else 9\n    d = 5 if 1 > 2 else 8\n"
+    nodes, edges, _, _ = _parse(spark, "py/veval_cond/0001", "code/python", src)
+    got = _decl_values(nodes, evaluate_constants(nodes, edges))
+    assert got["c"] == (7.0, None)
+    assert got["d"] == (8.0, None)
+
+
+def test_conditional_agreeing_branches(spark):
+    """Branches that agree fold even when the condition is unknown."""
+    src = "def f(x):\n    c = 4 if x else 4\n"
+    nodes, edges, _, _ = _parse(spark, "py/veval_agree/0001", "code/python", src)
+    got = _decl_values(nodes, evaluate_constants(nodes, edges))
+    assert got["c"] == (4.0, None)
+
+
+def test_string_concatenation(spark):
+    """ValueEvaluator.kt:120-243 string handling subset: '+' concatenates."""
+    src = 'def f():\n    s = "ab" + "cd"\n    n = "x"\n'
+    nodes, edges, _, _ = _parse(spark, "py/veval_str/0001", "code/python", src)
+    got = _decl_values(nodes, evaluate_constants(nodes, edges))
+    assert got["s"] == (None, "abcd")
+    assert got["n"] == (None, "x")
+
+
+def test_string_literal_true_is_not_bool(spark):
+    src = 'def f():\n    s = "True"\n'
+    nodes, edges, _, _ = _parse(spark, "py/veval_strbool/0001", "code/python",
+                                src)
+    got = _decl_values(nodes, evaluate_constants(nodes, edges))
+    assert got["s"] == (None, "True")
