@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_crossdoc_calls": Q.q_cpg_crossdoc_calls,
         "cpg_inherited_calls": Q.q_cpg_inherited_calls,
         "cpg_overload_calls": Q.q_cpg_overload_calls,
+        "cpg_fnptr_calls": Q.q_cpg_fnptr_calls,
+        "cpg_type_prop": Q.q_cpg_type_prop,
+        "cpg_compdb": Q.q_cpg_compdb,
         "cpg_dfg_refined": Q.q_cpg_dfg_refined,
         "cpg_overrides": Q.q_cpg_overrides,
         "cpg_value_eval": Q.q_cpg_value_eval,
@@ -407,6 +410,34 @@ def oracle_sql() -> dict[str, str]:
               ('run', 'Base'),
               ('shared', 'Mid')) AS t(site, callee_record)
             ORDER BY site
+        """,
+        # golden oracle: the embedded two-entry compilation database
+        # normalizes to a fixed options table (CompilationDatabase.kt)
+        "cpg_compdb": """
+            SELECT * FROM (VALUES
+              ('/src/lib/util.c', '/opt/inc', 'VERBOSE=0'),
+              ('/src/main.cpp', 'include;/usr/inc', 'DEBUG=1;MAX=4'))
+              AS t(abs_path, includes, defs)
+            ORDER BY abs_path
+        """,
+        # golden oracle: dataflow type propagation over the fixture yields
+        # a fixed table (TypeListeners semantics, HasType.java:56-65)
+        "cpg_type_prop": """
+            SELECT * FROM (VALUES
+              ('b', 'int'),
+              ('c', 'int'),
+              ('d', 'int')) AS t(name, type_name)
+            ORDER BY name
+        """,
+        # golden oracle: the function-pointer fixture resolves to a fixed
+        # table (f -> helper; conditionally-assigned g -> BOTH helper and
+        # other, CallResolver.java:1402-1434 multi-invokes)
+        "cpg_fnptr_calls": """
+            SELECT * FROM (VALUES
+              ('f', 'helper'),
+              ('g', 'helper'),
+              ('g', 'other')) AS t(site, callee)
+            ORDER BY site, callee
         """,
         # golden oracle: overload resolution over the embedded reference
         # fixtures is a fixed table — display: 4+3 call sites, the 4

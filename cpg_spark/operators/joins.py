@@ -58,15 +58,17 @@ def skew_report(facts: DataFrame, key: str = "name", top_k: int = 8) -> dict:
     salted path matters."""
     from pyspark.sql import functions as F
 
-    rows = (
-        facts.groupBy(key).count()
-        .orderBy(F.col("count").desc())
-        .limit(top_k)
-        .collect()
-    )
-    stats = facts.groupBy(key).count().agg(
-        F.max("count").alias("mx"), F.avg("count").alias("mean")
-    ).first()
+    # ONE aggregation job: per-key counts cached, consumed by both the
+    # top-k collect and the max/mean stats (the round-1 version ran the
+    # groupBy twice)
+    counts = facts.groupBy(key).count().persist()
+    try:
+        rows = counts.orderBy(F.col("count").desc()).limit(top_k).collect()
+        stats = counts.agg(
+            F.max("count").alias("mx"), F.avg("count").alias("mean")
+        ).first()
+    finally:
+        counts.unpersist()
     return {
         "hot_keys": {r[key]: r["count"] for r in rows},
         "skew_ratio": round(float(stats["mx"]) / max(float(stats["mean"]), 1e-9), 1)

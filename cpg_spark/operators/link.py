@@ -111,9 +111,120 @@ def _visibility_gate(cand: DataFrame, imports: DataFrame) -> DataFrame:
     )
 
 
+def symbol_dim(symbols: DataFrame) -> DataFrame:
+    """The ONE symbol dimension both linking joins share: every
+    resolvable kind, all signature columns.  Both joins must reference
+    the same frame so the physical plan reuses a single broadcast
+    exchange instead of building two driver-side hash relations."""
+    return symbols.filter(
+        F.col("kind").isin("function", "method", "var", "record", "field")
+    ).select(
+        F.col("decl_id").alias("d_decl_id"),
+        F.col("name").alias("d_name"),
+        F.col("kind").alias("d_kind"),
+        F.col("record").alias("d_record"),
+        F.col("module").alias("d_module"),
+        F.col("fqn").alias("d_fqn"),
+        F.col("n_params").alias("d_n_params"),
+        F.col("param_ids").alias("d_param_ids"),
+        F.col("n_defaults").alias("d_n_defaults"),
+        F.col("param_types").alias("d_param_types"),
+        F.col("is_variadic").alias("d_is_variadic"),
+    )
+
+
+def _function_pointer_targets(missed: DataFrame, nodes: DataFrame,
+                              edges: DataFrame, max_hops: int = 4):
+    """Resolve calls through function-valued variables by walking the DFG
+    backward (CallResolver.java:1402-1434 ``handleFunctionPointerCall``):
+    an unresolved call ``f(...)`` whose name matches a same-document
+    variable follows that variable's inbound DFG chain (assignment ->
+    reference -> declaration) up to a FunctionDeclaration.
+
+    Spark shape: the seed set is only the *missed* mentions (tiny after
+    the name join), so each hop is a small join against the DFG edge
+    table; the frontier stops at function nodes (walking past a function
+    would follow its return-value edges).  Returns (mention_id, fn_id)
+    pairs — ALL functions reachable, matching the reference's
+    multi-invokes for conditionally-assigned pointers."""
+    empty = missed.sparkSession.createDataFrame(
+        [], "mention_id string, fn_id string")
+    vars_ = nodes.filter(
+        F.col("label").isin("VariableDeclaration", "ParamVariableDeclaration")
+    ).select("doc_id", "name", F.col("node_id").alias("cur"))
+    seeds = (
+        missed.select("mention_id", "name", "doc_id")
+        .join(vars_, ["doc_id", "name"])
+        .select("mention_id", "cur")
+        .localCheckpoint(eager=True)
+    )
+    # the common corpus has FEW missed-call-names-that-are-variables;
+    # skip the walk (and its per-round scans of the DFG table) outright
+    if seeds.limit(1).count() == 0:
+        return empty
+    # one materialization of the reversed DFG feeds every hop instead of
+    # re-filtering the full edge table per round
+    dfg_rev = edges.filter(F.col("pred") == "DFG").select(
+        F.col("obj").alias("cur"), F.col("subj").alias("prev")).persist()
+    fn_ids = nodes.filter(F.col("label") == "FunctionDeclaration").select(
+        F.col("node_id").alias("cur"))
+    frontier = seeds
+    hits = None
+    try:
+        for _ in range(max_hops):
+            step = (
+                frontier.join(dfg_rev, "cur")
+                .select("mention_id", F.col("prev").alias("cur"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if step.limit(1).count() == 0:
+                break
+            h = step.join(fn_ids, "cur").select(
+                "mention_id", F.col("cur").alias("fn_id"))
+            hits = h if hits is None else hits.unionByName(h)
+            frontier = step.join(fn_ids, "cur", "left_anti")
+        if hits is None:
+            return empty
+        return hits.dropDuplicates(["mention_id", "fn_id"]).localCheckpoint(
+            eager=True)
+    finally:
+        dfg_rev.unpersist()
+
+
+def joined_mentions(mentions: DataFrame, symbols: DataFrame,
+                    strategy: str | None = None, buckets: int = 16,
+                    dim: DataFrame | None = None):
+    """ONE name join + visibility gate covering every resolvable mention
+    kind (calls, member calls, refs, member refs, imports).
+
+    The serial cost of the linking stage is the driver-side build of the
+    broadcast hash relation (or the salted dim explode): running the
+    calls and refs joins separately builds it twice — and column pruning
+    makes the two broadcast subtrees non-identical, so Catalyst cannot
+    reuse the exchange.  Joining once over the unified mention stream and
+    persisting the (gated) result gives exactly one dim build and one
+    probe pass; the per-kind candidate filters then run over the cached
+    join output.  Returns (joined_persisted, strategy_used, dim_rows)."""
+    facts = mentions.filter(F.col("kind").isin(
+        "call", "member_call", "ref", "member_ref", "import")).select(
+        "mention_id", "kind", "name", "base_type", "scope_path", "doc_id",
+        "n_args", "n_kwargs", "arg_ids", "arg_types")
+    if dim is None:
+        dim = symbol_dim(symbols)
+    dim_rows = dim.count() if strategy is None else None
+    joined, used = _name_join(facts, dim, dim_rows, buckets, strategy)
+    joined = _visibility_gate(joined, _imports_dim(mentions)).persist()
+    return joined, used, dim_rows
+
+
 def link_calls(mentions: DataFrame, symbols: DataFrame,
                strategy: str | None = None, buckets: int = 16,
-               closure: DataFrame | None = None):
+               closure: DataFrame | None = None,
+               nodes: DataFrame | None = None,
+               edges: DataFrame | None = None,
+               dim: DataFrame | None = None,
+               prejoined: DataFrame | None = None):
     """Resolve ``call`` and ``member_call`` mentions.
 
     ``closure`` is the record supertype closure
@@ -132,23 +243,17 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         "mention_id", "kind", "name", "base_type", "scope_path", "doc_id",
         "n_args", "n_kwargs", "arg_ids", "arg_types",
     )
-    fns = symbols.filter(F.col("kind").isin("function", "method")).select(
-        F.col("decl_id").alias("d_decl_id"),
-        F.col("name").alias("d_name"),
-        F.col("kind").alias("d_kind"),
-        F.col("record").alias("d_record"),
-        F.col("module").alias("d_module"),
-        F.col("fqn").alias("d_fqn"),
-        F.col("n_params").alias("d_n_params"),
-        F.col("param_ids").alias("d_param_ids"),
-        F.col("n_defaults").alias("d_n_defaults"),
-        F.col("param_types").alias("d_param_types"),
-        F.col("is_variadic").alias("d_is_variadic"),
-    )
-    dim_rows = fns.count() if strategy is None else None
-
-    joined, used = _name_join(calls, fns, dim_rows, buckets, strategy)
-    joined = _visibility_gate(joined, _imports_dim(mentions))
+    if prejoined is not None:
+        # shared single-join path (see joined_mentions)
+        joined = prejoined.filter(F.col("kind").isin("call", "member_call"))
+        used, dim_rows = strategy or "prejoined", None
+    else:
+        # standalone path: the UNFILTERED shared dim joins here; the
+        # candidate filter below already restricts d_kind
+        fns = symbol_dim(symbols) if dim is None else dim
+        dim_rows = fns.count() if strategy is None else None
+        joined, used = _name_join(calls, fns, dim_rows, buckets, strategy)
+        joined = _visibility_gate(joined, _imports_dim(mentions))
 
     # supertype walk: (base_type, d_record) ancestry pairs with minimal
     # depth; the closure is records-with-ancestry only -> broadcast
@@ -232,7 +337,10 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         # last because overloads share one fqn (content-hash ids keep the
         # tiebreak deterministic across runs/resumes)
         ["_depth_rank", "_mod_rank", "_type_rank", "d_fqn", "d_decl_id"],
-    ).drop("_mod_rank", "_depth_rank", "_type_rank")
+    ).drop("_mod_rank", "_depth_rank", "_type_rank").persist()
+    # persist: FOUR consumers (CALLS edges, fn->call DFG, arg->param zip,
+    # the missed anti-join) would otherwise each re-evaluate the ranking
+    # window over the full joined frame
 
     calls_edges = winners.select(
         F.col("mention_id").alias("subj"), F.lit("CALLS").alias("pred"),
@@ -270,10 +378,30 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
     )
 
-    # misses -> inferred FunctionDeclaration (deterministic id on
-    # (name, arity) so identical misses across 10^12 docs collapse to ONE
-    # canonical inferred node instead of exploding the node table)
+    # misses -> (1) function-pointer backward-DFG resolution where the
+    # graph is available, then (2) inferred FunctionDeclaration
+    # (deterministic id on (name, arity) so identical misses across 10^12
+    # docs collapse to ONE canonical inferred node)
     missed = calls.join(winners.select("mention_id"), "mention_id", "left_anti")
+    fp_calls = None
+    if nodes is not None and edges is not None:
+        fp = _function_pointer_targets(missed, nodes, edges)
+        fp_calls = (
+            fp.select(
+                F.col("mention_id").alias("subj"),
+                F.lit("CALLS").alias("pred"),
+                F.col("fn_id").alias("obj"))
+            .join(missed.select(F.col("mention_id").alias("subj"), "doc_id"),
+                  "subj")
+            .withColumn("props", F.create_map().cast("map<string,string>"))
+            .select("subj", "pred", "obj", "props", "doc_id")
+        )
+        fp_dfg = fp_calls.select(
+            F.col("obj").alias("subj"), F.lit("DFG").alias("pred"),
+            F.col("subj").alias("obj"), "props", "doc_id")
+        fp_calls = fp_calls.unionByName(fp_dfg)
+        missed = missed.join(fp.select("mention_id").distinct(),
+                             "mention_id", "left_anti")
     inferred_sig = F.coalesce(F.col("n_args"), F.lit(0))
     missed_ids = missed.withColumn(
         "inf_id", _inferred_id_col("FunctionDeclaration", F.col("name"), inferred_sig)
@@ -302,11 +430,12 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         F.create_map().cast("map<string,string>").alias("props"), "doc_id",
     )
 
-    edges = calls_edges.unionByName(fn_dfg).unionByName(arg_param).unionByName(
-        inferred_calls
-    )
+    out_edges = calls_edges.unionByName(fn_dfg).unionByName(
+        arg_param).unionByName(inferred_calls)
+    if fp_calls is not None:
+        out_edges = out_edges.unionByName(fp_calls)
     stats = {"strategy": used, "dim_rows": dim_rows}
-    return edges, inferred_nodes, stats
+    return out_edges, inferred_nodes, stats
 
 
 def _name_join(facts: DataFrame, dims: DataFrame, dim_rows: int, buckets: int,
@@ -319,26 +448,48 @@ def _name_join(facts: DataFrame, dims: DataFrame, dim_rows: int, buckets: int,
 
 
 def link_refs(mentions: DataFrame, symbols: DataFrame,
-              strategy: str | None = None, buckets: int = 16):
+              strategy: str | None = None, buckets: int = 16,
+              dim: DataFrame | None = None,
+              prejoined: DataFrame | None = None):
     """Resolve ``ref`` / ``member_ref`` / ``import`` mentions against
     module-level declarations (vars, functions, records) and record fields —
-    the VariableUsageResolver cascade (J2).  Returns (edges, stats)."""
+    the VariableUsageResolver cascade (J2).  Returns (edges, stats).
+
+    ``dim`` is the shared symbol dimension (see :func:`symbol_dim`) —
+    unfiltered so its broadcast exchange is reused with link_calls';
+    kind restrictions happen in the candidate filter."""
     refs = mentions.filter(
         F.col("kind").isin("ref", "member_ref", "import")
     ).select("mention_id", "kind", "name", "base_type", "scope_path", "doc_id")
-    decls = symbols.filter(
-        F.col("kind").isin("var", "function", "record", "field")
-    ).select(
-        F.col("decl_id").alias("d_decl_id"),
-        F.col("name").alias("d_name"),
-        F.col("kind").alias("d_kind"),
-        F.col("record").alias("d_record"),
-        F.col("module").alias("d_module"),
-        F.col("fqn").alias("d_fqn"),
+    decls = symbol_dim(symbols) if dim is None else dim
+    star_src = refs
+    # asterisk expansion (ImportResolver.java:62-120): a wildcard import
+    # refers to EVERY module-level symbol of its source module — a
+    # module-keyed join instead of the name join (records' members are
+    # excluded like the reference's top-level-declarations walk)
+    star = refs.filter((F.col("kind") == "import") & (F.col("name") == "*"))
+    star_refers = (
+        star.join(decls.filter(F.col("d_record").isNull()),
+                  star["base_type"] == decls["d_module"])
+        .select(
+            F.col("mention_id").alias("subj"),
+            F.lit("REFERS_TO").alias("pred"),
+            F.col("d_decl_id").alias("obj"),
+            F.create_map().cast("map<string,string>").alias("props"),
+            "doc_id",
+        )
     )
-    dim_rows = decls.count() if strategy is None else None
-    joined, used = _name_join(refs, decls, dim_rows, buckets, strategy)
-    joined = _visibility_gate(joined, _imports_dim(mentions))
+    if prejoined is not None:
+        # shared single-join path: star mentions never match a name, so
+        # they are absent from the inner-joined frame by construction
+        joined = prejoined.filter(
+            F.col("kind").isin("ref", "member_ref", "import"))
+        used, dim_rows = strategy or "prejoined", None
+    else:
+        refs = refs.join(star.select("mention_id"), "mention_id", "left_anti")
+        dim_rows = decls.count() if strategy is None else None
+        joined, used = _name_join(refs, decls, dim_rows, buckets, strategy)
+        joined = _visibility_gate(joined, _imports_dim(mentions))
 
     cand = joined.filter(
         # member refs need a field of the matching record when base known
@@ -348,9 +499,10 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
             & (F.col("base_type").isNull() | (F.col("base_type") == F.col("d_record")))
         )
         # import mentions must match a symbol of the named source module
-        | ((F.col("kind") == "import")
+        | ((F.col("kind") == "import") & (F.col("d_kind") != "method")
            & (F.col("base_type").isNull() | (F.col("base_type") == F.col("d_module"))))
-        | ((F.col("kind") == "ref") & (F.col("d_kind") != "field"))
+        | ((F.col("kind") == "ref")
+           & ~F.col("d_kind").isin("field", "method"))
     )
     same_module = (
         F.when(F.col("d_module").isNotNull()
@@ -359,7 +511,7 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
     )
     winners = _pick_winner(
         cand.withColumn("_mod_rank", same_module), ["_mod_rank", "d_fqn"]
-    ).drop("_mod_rank")
+    ).drop("_mod_rank").persist()  # two consumers: REFERS_TO + DFG
 
     refers = winners.select(
         F.col("mention_id").alias("subj"), F.lit("REFERS_TO").alias("pred"),
@@ -373,7 +525,8 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
         F.col("mention_id").alias("obj"),
         F.create_map().cast("map<string,string>").alias("props"), "doc_id",
     )
-    return refers.unionByName(dfg), {"strategy": used, "dim_rows": dim_rows}
+    return refers.unionByName(dfg).unionByName(star_refers), {
+        "strategy": used, "dim_rows": dim_rows}
 
 
 def link_all(mentions: DataFrame, symbols: DataFrame,
@@ -389,9 +542,15 @@ def link_all(mentions: DataFrame, symbols: DataFrame,
         from cpg_spark.operators.hierarchy import supertype_record_closure
 
         closure = supertype_record_closure(nodes, edges, with_depth=True)
-    call_edges, inferred_nodes, s1 = link_calls(mentions, symbols, strategy,
-                                                buckets, closure=closure)
-    ref_edges, s2 = link_refs(mentions, symbols, strategy, buckets)
+    dim = symbol_dim(symbols)
+    joined, used, _ = joined_mentions(mentions, symbols, strategy, buckets,
+                                      dim=dim)
+    call_edges, inferred_nodes, s1 = link_calls(mentions, symbols, used,
+                                                buckets, closure=closure,
+                                                nodes=nodes, edges=edges,
+                                                dim=dim, prejoined=joined)
+    ref_edges, s2 = link_refs(mentions, symbols, used, buckets, dim=dim,
+                              prejoined=joined)
     return call_edges.unionByName(ref_edges), inferred_nodes, {
         "calls": s1, "refs": s2,
     }
@@ -412,28 +571,22 @@ def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
     # member-call walk and the OVERRIDES join
     closure = supertype_record_closure(nodes, edges, with_depth=True)
 
+    dim = symbol_dim(symbols)
     if strategy is None:
-        # one aggregation job sizes both join dimensions (instead of two
-        # separate .count() jobs over the symbol table)
-        row = symbols.agg(
-            F.sum(F.when(F.col("kind").isin("function", "method"), 1)
-                  .otherwise(0)).alias("fns"),
-            F.sum(F.when(F.col("kind").isin("var", "function", "record",
-                                            "field"), 1)
-                  .otherwise(0)).alias("decls"),
-        ).first()
+        # ONE sizing job over the shared dimension (both joins use it)
         from cpg_spark.operators.joins import BROADCAST_MAX_ROWS
 
-        strat_calls = ("broadcast" if (row["fns"] or 0) <= BROADCAST_MAX_ROWS
-                       else "salted")
-        strat_refs = ("broadcast" if (row["decls"] or 0) <= BROADCAST_MAX_ROWS
-                      else "salted")
-    else:
-        strat_calls = strat_refs = strategy
+        n_dim = dim.count()
+        strategy = "broadcast" if n_dim <= BROADCAST_MAX_ROWS else "salted"
+    joined, used, _ = joined_mentions(mentions, symbols, strategy, buckets,
+                                      dim=dim)
     call_edges, inferred_nodes, s1 = link_calls(mentions, symbols,
-                                                strat_calls, buckets,
-                                                closure=closure)
-    ref_edges, s2 = link_refs(mentions, symbols, strat_refs, buckets)
+                                                used, buckets,
+                                                closure=closure,
+                                                nodes=nodes, edges=edges,
+                                                dim=dim, prejoined=joined)
+    ref_edges, s2 = link_refs(mentions, symbols, used, buckets, dim=dim,
+                              prejoined=joined)
     all_edges = (
         call_edges.unionByName(ref_edges)
         .unionByName(overrides_edges(nodes, edges, symbols,

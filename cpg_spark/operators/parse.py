@@ -216,40 +216,55 @@ def _relocated_rows(entry, doc_id: str, offset: int) -> list[dict]:
 
 
 class _SpanParseCache:
-    """Per-partition bounded LRU of sentinel-parsed span row templates,
-    keyed by (kind, sha1(text)).  With the span stream repartitioned on
-    the (salted) content hash, duplicates of a span colocate, so each
-    distinct span parses at most salt-K times across the whole corpus."""
+    """Per-partition two-sighting parse cache, keyed by (kind, sha1(text)).
+
+    First sighting of a span parses DIRECTLY under its real (doc, offset)
+    — an all-distinct corpus pays zero dedup overhead beyond the content
+    shuffle (the round-2 scaling bench showed sentinel-parse+relocate on
+    every miss taxed distinct corpora ~40%).  The second sighting parses
+    once more under the sentinel document and caches a relocatable row
+    template; every further duplicate is a cheap relocation.  With the
+    span stream repartitioned on the salted content hash, duplicates
+    colocate, so a span duplicated N times parses at most 2×salt-K times
+    total instead of N."""
 
     def __init__(self, cap: int = 256):
         from collections import OrderedDict
 
         self._d: "OrderedDict" = OrderedDict()
+        self._first: set = set()  # sha1 digests of once-seen spans
         self.cap = cap
         self.parses = 0
         self.hits = 0
 
-    def get(self, kind: str, text: str):
+    def rows_for(self, kind: str, text: str, doc_id: str, offset: int):
         import hashlib
 
         from cpg_spark.frontends import FRONTENDS
 
+        parser = FRONTENDS.get(kind)
+        if parser is None:
+            return None
         key = (kind, hashlib.sha1(text.encode("utf-8", "replace")).digest())
         ent = self._d.get(key)
         if ent is not None:
             self._d.move_to_end(key)
             self.hits += 1
-            return ent
-        parser = FRONTENDS.get(kind)
-        if parser is None:
-            return None
-        g = parser(_SENT_DOC, 0, text)
+            return _relocated_rows(ent, doc_id, offset)
+        if key in self._first:
+            # a real duplicate: build the relocatable template now
+            g = parser(_SENT_DOC, 0, text)
+            self.parses += 1
+            ent = (_graph_rows(g, _SENT_DOC, 0), g.id_log)
+            self._d[key] = ent
+            if len(self._d) > self.cap:
+                self._d.popitem(last=False)
+            self._first.discard(key)
+            return _relocated_rows(ent, doc_id, offset)
+        self._first.add(key)
+        g = parser(doc_id, offset, text)
         self.parses += 1
-        ent = (_graph_rows(g, _SENT_DOC, 0), g.id_log)
-        self._d[key] = ent
-        if len(self._d) > self.cap:
-            self._d.popitem(last=False)
-        return ent
+        return _graph_rows(g, doc_id, offset)
 
 
 def _rows_for_doc(doc_id: str, spans) -> list[dict]:
@@ -375,10 +390,10 @@ def _parse_docs_dedup(docs: DataFrame,
                         f"offset {offset} after {prev}")
                 if text is None or offset is None:
                     continue
-                ent = cache.get(kind, str(text))
-                if ent is None:
+                rows = cache.rows_for(kind, str(text), doc_id, int(offset))
+                if rows is None:
                     continue  # non-code span
-                out.extend(_relocated_rows(ent, doc_id, int(offset)))
+                out.extend(rows)
                 if len(out) >= 65536:
                     frame = pd.DataFrame(out, columns=_COLS, dtype=object)
                     yield frame.where(frame.notna(), None)

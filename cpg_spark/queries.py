@@ -524,6 +524,123 @@ def q_cpg_inherited_calls(spark, sf_dir):
     )
 
 
+FNPTR_SRC = """\
+def helper(x):
+    return x + 1
+
+def other(x):
+    return x - 1
+
+def main(flag):
+    f = helper
+    y = f(3)
+    if flag:
+        g = helper
+    else:
+        g = other
+    z = g(4)
+    return y + z
+"""
+
+
+def q_cpg_fnptr_calls(spark, sf_dir):
+    """Function-pointer call resolution via backward DFG walk
+    (CallResolver.java:1402-1434): ``f = helper; f(3)`` resolves to
+    helper; a conditionally-assigned pointer resolves to BOTH reachable
+    functions (the reference's multi-invokes)."""
+    from cpg_spark.operators.link import link_all
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "py/fnptr/0001",
+          "spans": [{"kind": "code/python", "text": FNPTR_SRC,
+                     "media_ref": None, "offset": 0}]}], schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    linked, inferred, _ = link_all(mentions, symbols, nodes=nodes, edges=edges)
+    calls = linked.filter(F.col("pred") == "CALLS")
+    return (
+        calls.join(mentions.select(F.col("mention_id").alias("subj"),
+                                   F.col("name").alias("site")), "subj")
+        .join(nodes.select(F.col("node_id").alias("obj"),
+                           F.col("name").alias("callee")), "obj")
+        .select("site", "callee")
+        .orderBy("site", "callee")
+    )
+
+
+TYPE_PROP_SRC = """\
+def helper(x):
+    return 1
+
+def main():
+    a = 1
+    b = a
+    c = helper(a)
+    d = c
+    return d
+"""
+
+
+def q_cpg_type_prop(spark, sf_dir):
+    """Dataflow type propagation (HasType.java:56-65 TypeListeners):
+    variables typed only through assignments / call returns gain
+    Origin=DATAFLOW types — b from a, c from helper()'s return literal
+    through the Return->Function->Call DFG chain, d from c."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.operators.type_prop import propagate_types
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "py/tprop/0001",
+          "spans": [{"kind": "code/python", "text": TYPE_PROP_SRC,
+                     "media_ref": None, "offset": 0}]}], schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    types = propagate_types(nodes, edges)
+    return (
+        types.filter(F.col("origin") == "DATAFLOW")
+        .join(nodes.select("node_id", "label", "name"), "node_id")
+        .filter(F.col("label") == "VariableDeclaration")
+        .select("name", "type_name")
+        .orderBy("name")
+    )
+
+
+def q_cpg_compdb(spark, sf_dir):
+    """Compilation-database source (SURVEY S4; CompilationDatabase.kt):
+    both JSON schema forms normalize, -I/-D options extract per TU."""
+    import json
+    import os
+    import tempfile
+
+    from cpg_spark.sources.compdb import read_compilation_database
+
+    compdb = [
+        {"directory": "/src",
+         "arguments": ["clang++", "-Iinclude", "-I/usr/inc", "-DDEBUG",
+                       "-DMAX=4", "-c", "main.cpp"],
+         "file": "main.cpp"},
+        {"directory": "/src/lib",
+         "command": "gcc -I/opt/inc -DVERBOSE=0 -c /src/lib/util.c",
+         "file": "/src/lib/util.c"},
+    ]
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "compile_commands.json")
+    with open(p, "w") as fh:
+        json.dump(compdb, fh)
+    df = read_compilation_database(spark, p)
+    return df.select(
+        "abs_path",
+        F.concat_ws(";", "include_dirs").alias("includes"),
+        F.concat_ws(";", F.sort_array(F.transform(
+            F.map_entries("defines"),
+            lambda e: F.concat_ws("=", e["key"], e["value"]),
+        ))).alias("defs"),
+    ).orderBy("abs_path")
+
+
 def q_cpg_overload_calls(spark, sf_dir):
     """C-family overload resolution over the reference's
     calls/{defaultargs,implicitcast} fixtures (CallResolverTest.java:248-460

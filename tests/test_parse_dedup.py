@@ -32,13 +32,18 @@ def test_dedup_output_identical_to_direct(spark):
     assert direct == dedup
 
 
-def test_identical_spans_parse_once():
-    """N occurrences of one span -> ONE frontend invocation."""
+def test_duplicated_span_parses_at_most_twice():
+    """N occurrences of one span -> at most TWO frontend invocations
+    (first sighting direct, second builds the relocatable template, the
+    rest relocate); a distinct span parses exactly once with no
+    sentinel/template overhead."""
     cache = _SpanParseCache()
-    g1 = cache.get("code/python", PY_SRC)
-    g2 = cache.get("code/python", PY_SRC)
-    assert g1 is g2
-    assert cache.parses == 1 and cache.hits == 1
+    for i in range(6):
+        rows = cache.rows_for("code/python", PY_SRC, f"py/d{i}/0001", 0)
+        assert rows
+    assert cache.parses == 2 and cache.hits == 4
+    cache.rows_for("code/python", "x = 1\n", "py/solo/0001", 0)
+    assert cache.parses == 3  # distinct span: one direct parse
 
 
 def test_duplicate_spans_get_distinct_ids(spark):
