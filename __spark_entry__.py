@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_fnptr_calls": Q.q_cpg_fnptr_calls,
         "cpg_type_prop": Q.q_cpg_type_prop,
         "cpg_compdb": Q.q_cpg_compdb,
+        "cpg_typenorm": Q.q_cpg_typenorm,
+        "cpg_unreachable": Q.q_cpg_unreachable,
         "cpg_dfg_refined": Q.q_cpg_dfg_refined,
         "cpg_overrides": Q.q_cpg_overrides,
         "cpg_value_eval": Q.q_cpg_value_eval,
@@ -410,6 +412,29 @@ def oracle_sql() -> dict[str, str]:
               ('run', 'Base'),
               ('shared', 'Mid')) AS t(site, callee_record)
             ORDER BY site
+        """,
+        # golden oracle: alias type spellings collapse to one canonical
+        # Type node each (TypeParser.java semantics — n_nodes=1 proves
+        # 'unsigned long long' and 'unsigned long long int' share a node)
+        "cpg_typenorm": """
+            SELECT * FROM (VALUES
+              ('const char*', CAST(1 AS BIGINT)),
+              ('int', CAST(1 AS BIGINT)),
+              ('long int', CAST(1 AS BIGINT)),
+              ('string', CAST(1 AS BIGINT)),
+              ('unsigned long long int', CAST(1 AS BIGINT)))
+              AS t(type_name, n_nodes)
+            ORDER BY type_name
+        """,
+        # golden oracle: one branch of each if is provably dead — the
+        # computed `y = 6; if y < 10` kills its false branch, the literal
+        # `if False` its true branch (UnreachableEOGPass + ValueEvaluator)
+        "cpg_unreachable": """
+            SELECT * FROM (VALUES
+              ('false', CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+              ('true', CAST(2 AS BIGINT), CAST(1 AS BIGINT)))
+              AS t(branch, n_edges, n_unreachable)
+            ORDER BY branch
         """,
         # golden oracle: the embedded two-entry compilation database
         # normalizes to a fixed options table (CompilationDatabase.kt)

@@ -35,6 +35,7 @@ import re
 
 from cpg_spark.frontends.base import DocGraph, Emitter
 from cpg_spark.frontends.eog import build_eog
+from cpg_spark.frontends.typeparser import normalize_type
 
 _PRIMITIVES = {
     "int", "long", "short", "byte", "char", "float", "double", "boolean",
@@ -46,7 +47,9 @@ _JAVA_MODIFIERS = {
     "synchronized", "transient", "volatile", "native", "strictfp", "default",
 }
 
-_CPP_SPECIFIERS = {"virtual", "inline", "constexpr", "const", "static",
+# NOTE: `const` is NOT skipped here — it is part of the spelled type and
+# flows into parse_type -> normalize_type (qualifier-position preserving)
+_CPP_SPECIFIERS = {"virtual", "inline", "constexpr", "static",
                    "extern", "mutable", "explicit", "friend", "typename"}
 
 _KEYWORDS = {
@@ -88,9 +91,14 @@ _ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "<<=",
 
 # implicit-conversion groups for the overload ladder
 # (CallResolver.java:847-907 resolveWithImplicitCast subset): any numeric
-# converts to any numeric; string-likes interconvert
+# converts to any numeric; string-likes interconvert.  Includes the
+# canonical multiword spellings normalize_type produces.
 _NUM_TYPES = {"int", "long", "short", "char", "float", "double", "bool",
-              "boolean", "byte", "unsigned", "size_t", "long long"}
+              "boolean", "byte", "unsigned", "size_t", "long long",
+              "long int", "short int", "unsigned int", "long long int",
+              "unsigned long int", "unsigned long long int",
+              "unsigned short int", "unsigned char", "signed char",
+              "long double"}
 _STR_TYPES = {"string", "String", "char*", "char[]"}
 
 
@@ -296,16 +304,32 @@ class CFamilyFrontend(Emitter):
         )
 
     def parse_type(self) -> str | None:
-        """Type = [const] Ident (::Ident|.Ident)* [<...>] [*&]* [\\[\\]]*"""
+        """Type = [qualifiers] Ident (::Ident|.Ident)* [<...>] [*&]* [\\[\\]]*
+        — the spelled string is canonicalized through
+        frontends.typeparser.normalize_type (SURVEY U3), so every alias
+        spelling of one type mints the same content-hash Type id."""
+        prefix: list[str] = []
         while self.peek().kind == "ident" and self.peek().text in (
-                "const", "unsigned", "signed"):
-            self.next()
+                "const", "unsigned", "signed", "volatile"):
+            prefix.append(self.next().text)
         if self.peek().kind != "ident" or self.peek().text in _KEYWORDS:
-            return None
-        name = self.next().text
+            if prefix and prefix[-1] in ("unsigned", "signed"):
+                # bare 'unsigned' / 'unsigned long' style: implied int
+                name = ""
+            else:
+                return None
+        else:
+            name = self.next().text
+        # multiword primitives: long long, long long int, long double ...
+        if name in ("long", "short", ""):
+            while (self.peek().kind == "ident"
+                   and self.peek().text in ("long", "int", "double",
+                                            "char", "short")):
+                name = (name + " " + self.next().text).strip()
         while self.peek().kind in ("::", ".") and self.peek(1).kind == "ident":
             self.next()
             name += "." + self.next().text
+        name = " ".join(prefix + [name]).strip()
         if self.peek().kind == "<":
             # generics / template args: consume balanced
             depth = 0
@@ -332,7 +356,7 @@ class CFamilyFrontend(Emitter):
             self.next()
             self.next()
             suffix += "[]"
-        return name + suffix
+        return normalize_type(name + suffix)
 
     # --------------------------------------------------------------- class
     def parse_class(self, path: str) -> str | None:

@@ -92,28 +92,47 @@ def _plane_sign(vec_col, plane: int, seed: int = 42):
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_planes: int = 8, dim: int | None = None,
-                    seed: int = 42) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH buckets, exact cosine within
-    colliding buckets.  Recall < 1 by design; the test suite measures it
-    against brute force.  ``dim`` is unused (kept for API compat) — plane
-    weights are md5-derived per element index, so the corpus shuffles once
+                    seed: int = 42, n_tables: int = 2) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets, exact cosine
+    within colliding buckets.  Recall < 1 by design; the test suite
+    measures it against brute force.
+
+    ``n_tables`` independent hash tables (disjoint plane sets) are the
+    standard recall lever at scale: a neighbor missed by one table's
+    bucketing is caught by another — per-pair miss probability decays
+    exponentially in tables at the cost of ``n_tables``x candidate
+    volume.  ``dim`` is unused (kept for API compat) — plane weights are
+    md5-derived per element index, so the corpus shuffles once per table
     on bucket id with no driver-side dimension probe."""
 
-    def bucket_col(vc):
-        return F.concat(*[_plane_sign(vc, p, seed) for p in range(n_planes)])
+    def entries(vc):
+        out = []
+        for t in range(n_tables):
+            bucket = F.concat(*[
+                _plane_sign(vc, t * n_planes + p, seed)
+                for p in range(n_planes)
+            ])
+            out.append(F.struct(F.lit(t).alias("table_id"),
+                                bucket.alias("bucket")))
+        return F.explode(F.array(*out))
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv"),
-                      bucket_col(F.col(vec_col)).alias("bucket"))
+                      entries(F.col(vec_col)).alias("z")
+                      ).select("neighbor_id", "cv", "z.table_id", "z.bucket")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
-                       bucket_col(F.col(vec_col)).alias("bucket"))
-    sim = (
-        c.join(F.broadcast(q), "bucket")
+                       entries(F.col(vec_col)).alias("z")
+                       ).select("query_id", "qv", "z.table_id", "z.bucket")
+    cands = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                F.round(cosine_sim_col(F.col("qv"), F.col("cv")), 6).alias("sim_q6"))
+        # a pair colliding in several tables scores once
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    sim = cands.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_sim_col(F.col("qv"), F.col("cv")), 6).alias("sim_q6"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_q6").desc(), F.col("neighbor_id").asc()
     )

@@ -608,6 +608,62 @@ def q_cpg_type_prop(spark, sf_dir):
     )
 
 
+def q_cpg_typenorm(spark, sf_dir):
+    """Type-string normalization (SURVEY U3; TypeParser.java semantics):
+    alias spellings of one type collapse to ONE canonical Type node —
+    'unsigned long long' == 'unsigned long long int', 'long' == 'long int';
+    qualifier position survives ('const char*')."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    src = ("unsigned long long a = 1;\n"
+           "unsigned long long int b = 2;\n"
+           "long c = 3;\n"
+           "long int d = 4;\n"
+           "const char *e = \"x\";\n")
+    docs = spark.createDataFrame(
+        [{"doc_id": "cpp/tnorm/0001",
+          "spans": [{"kind": "code/cpp", "text": src, "media_ref": None,
+                     "offset": 0}]}], schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, _, _, _ = split_parse_output(raw)
+    return (
+        nodes.filter(F.col("label") == "Type")
+        .groupBy(F.col("name").alias("type_name"))
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("type_name")
+    )
+
+
+def q_cpg_unreachable(spark, sf_dir):
+    """Unreachable-EOG marking with computed constants (SURVEY C4;
+    UnreachableEOGPass.kt:39-90 + ValueEvaluator): `y = 6; if y < 10`
+    prunes the false branch although the condition is not a literal."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.operators.unreachable import mark_unreachable
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    src = ("def f():\n    y = 6\n    if y < 10:\n        a = 1\n"
+           "    else:\n        a = 2\n"
+           "    if False:\n        b = 1\n    else:\n        b = 2\n")
+    docs = spark.createDataFrame(
+        [{"doc_id": "py/unreach/0001",
+          "spans": [{"kind": "code/python", "text": src, "media_ref": None,
+                     "offset": 0}]}], schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    marked = mark_unreachable(nodes, edges)
+    return (
+        marked.filter(F.col("pred") == "EOG")
+        .filter(F.col("props").getItem("branch").isNotNull())
+        .groupBy(F.col("props").getItem("branch").alias("branch"))
+        .agg(F.count("*").alias("n_edges"),
+             F.sum(F.when(F.col("props").getItem("unreachable") == "true",
+                          1).otherwise(0)).cast("bigint").alias("n_unreachable"))
+        .orderBy("branch")
+    )
+
+
 def q_cpg_compdb(spark, sf_dir):
     """Compilation-database source (SURVEY S4; CompilationDatabase.kt):
     both JSON schema forms normalize, -I/-D options extract per TU."""
