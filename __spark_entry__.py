@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": Q.q_quality_features,
         "lang_id": Q.q_lang_id,
         "doc_fingerprint": Q.q_doc_fingerprint,
+        "token_counts": Q.q_token_counts,
         # similarity search
         "ann_bruteforce_topk": Q.q_ann_bruteforce_topk,
         "embedding_neardup": Q.q_embedding_neardup,
@@ -366,6 +367,14 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(string_split(text, ' '),
                                       x -> CAST(len(x) AS BIGINT))),
                      (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+                     AS INT) AS bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         "ann_bruteforce_topk": """

@@ -47,6 +47,34 @@ def stopword_count(col: str | Column) -> Column:
     ).cast("int")
 
 
+# GPT-2-style pretokenizer subset (contractions, letter runs, digit runs,
+# punctuation runs, each optionally space-prefixed) — expressible in BOTH
+# Java regex (Spark) and RE2 (DuckDB) so the oracle is bit-identical; a
+# real BPE merges within these pretokens, so this count upper-bounds and
+# tracks BPE token counts for data-budget estimation
+BPE_PRETOKEN_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+)
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Count of BPE-style pretokens (JVM-side regexp_count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PRETOKEN_RE)).cast("int")
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens) — whitespace and BPE-ish token
+    counts per document, both pure Catalyst expressions."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("ws_tokens"),
+        bpe_token_count(text_col).alias("bpe_tokens"),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / distinct-ratio / stopword-ratio quality scoring — the
     integer formulation keeps Spark and the SQL oracle bit-identical.

@@ -301,6 +301,11 @@ def q_doc_fingerprint(spark, sf_dir):
     return textops.fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish pretoken counts (training-data budget ops)."""
+    return textops.token_counts(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
