@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": Q.q_ann_bruteforce_topk,
         "embedding_neardup": Q.q_embedding_neardup,
         "ann_lsh_topk": Q.q_ann_lsh_topk,  # rows-only (approximate by design)
+        "ann_ivf_topk": Q.q_ann_ivf_topk,
         # multimodal plumbing (rows-only: stubbed decode kernel)
         "media_feature_extract": Q.q_media_features,
         # CPG pipeline (rows-only: no SQL equivalent of a code parser)
@@ -400,6 +401,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # brute-force oracle vs Spark's LSH-banded implementation: equality
         # additionally certifies LSH recall = 1 at this threshold/data
+        # IVF with exhaustive probing is exactly brute force (same oracle,
+        # IVF physical shape: centroid train loop + inverted-list join)
+        "ann_ivf_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id AS neighbor_id,
+                         CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+            sim AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qv, cv) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(cv, cv))), 6) AS sim_q6
+              FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+            ),
+            r AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim_q6 DESC,
+                                                     neighbor_id ASC) AS "rank"
+                  FROM sim)
+            SELECT query_id, neighbor_id, "rank" FROM r
+            WHERE "rank" <= 5 ORDER BY query_id, "rank"
+        """,
         "embedding_neardup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings WHERE vec_id < 300)

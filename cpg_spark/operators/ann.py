@@ -143,6 +143,104 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _centroid_array_col(centroids: list[list[float]]):
+    """Literal array<array<double>> of centroids (tiny: C x dim)."""
+    return F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+
+
+def _nearest_centroids_col(vec_col, centroids: list[list[float]],
+                           n: int = 1):
+    """Indices of the ``n`` nearest centroids (by cosine) as an array —
+    pure expression over the literal centroid array, no join."""
+    cents = _centroid_array_col(centroids)
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (-cosine_sim_col(vec_col, c)).alias("negsim"),
+            i.alias("cid")),
+    )
+    return F.slice(F.transform(F.array_sort(scored), lambda s: s["cid"]),
+                   1, n)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, n_probe: int = 4, iters: int = 3,
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path the
+    task brief names besides LSH bucketing.
+
+    Train: k-means centroids via a short Lloyd driver loop — assignment
+    is a pure expression against the literal centroid array (C is tiny),
+    the update is one per-dimension aggregation whose C x dim result is
+    collected to the driver (the only driver-side data, by design).
+    Deterministic init: the ``n_centroids`` corpus rows with the smallest
+    md5(id) — reproducible across runs/resumes, no RNG state.
+
+    Search: the corpus partitions into C inverted lists (one shuffle on
+    centroid id); each query probes its ``n_probe`` nearest lists and
+    scores exact cosine only there.  Expected work per query =
+    n_probe/C of the corpus; recall rises with n_probe and reaches
+    exact at n_probe = C."""
+    c0 = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.concat(F.lit(f"{seed}|"),
+                                F.col(id_col).cast("string"))))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in c0]
+
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"),
+            _nearest_centroids_col(F.col(vec_col), centroids, 1)
+            .getItem(0).alias("cid"),
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in means:
+            upd.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [upd[ci][p] for p in range(len(centroids[0]))]
+            if ci in upd else centroids[ci]
+            for ci in range(len(centroids))
+        ]
+
+    lists = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _nearest_centroids_col(F.col(vec_col), centroids, 1)
+        .getItem(0).alias("cid"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(_nearest_centroids_col(F.col(vec_col), centroids,
+                                         n_probe)).alias("cid"),
+    )
+    sim = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id",
+                F.round(cosine_sim_col(F.col("qv"), F.col("cv")), 6)
+                .alias("sim_q6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_q6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim_q6")
+    )
+
+
 def cosine_near_dup_pairs(corpus: DataFrame, threshold_q6: float = 0.95,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",

@@ -343,6 +343,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF inverted-list ANN with exhaustive probing (n_probe = C), which
+    is provably identical to brute force — so the brute-force SQL is an
+    EXACT oracle while the plan is the IVF shape (centroid train loop +
+    inverted-list join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return (
+        ann.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # CPG pipeline queries (no SQL equivalent — rows-only driver checks)
 # ---------------------------------------------------------------------------

@@ -72,3 +72,17 @@ def test_no_nested_loop_join_in_neardup_plan(emb):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_topk_recall_and_exhaustive_exactness(emb):
+    """IVF: probing more lists raises recall; probing ALL lists equals
+    the exact brute-force result."""
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = _topk_sets(ann.brute_force_topk(emb, queries, k=5))
+    few = _topk_sets(ann.ivf_topk(emb, queries, k=5, n_centroids=8,
+                                  n_probe=2))
+    allp = _topk_sets(ann.ivf_topk(emb, queries, k=5, n_centroids=8,
+                                   n_probe=8))
+    assert _recall(allp, exact) == 1.0  # exhaustive probing == exact
+    assert _recall(few, exact) <= 1.0
+    assert _recall(few, exact) >= 0.3  # 2/8 lists probed
