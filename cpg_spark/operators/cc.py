@@ -141,6 +141,9 @@ def transitive_closure(
         )
         if nxt.limit(1).count() == 0:
             break
-        closure = closure.unionByName(nxt).localCheckpoint(eager=True)
+        # both sides are already checkpointed — a lazy union keeps the
+        # lineage flat without paying one more materialization job per
+        # round (hierarchies are shallow: the union chain stays short)
+        closure = closure.unionByName(nxt)
         frontier = nxt
     return closure

@@ -73,7 +73,9 @@ def propagate_types(nodes: DataFrame, edges: DataFrame,
         )
         if step.limit(1).count() == 0:
             break
-        pairs = pairs.unionByName(step).localCheckpoint(eager=True)
+        # both sides already materialized — lazy union keeps the lineage
+        # flat (≤ max_iters checkpointed legs) without an extra job/round
+        pairs = pairs.unionByName(step)
         frontier = step
     flowed = pairs.join(declared_ids, "node_id", "left_anti")
     unambiguous = (

@@ -34,6 +34,20 @@ from cpg_spark.operators.parse import parse_docs, split_parse_output
 
 
 @dataclass
+class Passthrough:
+    """Stage output that is ALREADY a committed table: record its source
+    URI in the commit marker / lineage instead of re-writing the data.
+
+    The motivating case is ingest over an existing input table (the
+    north_rule input is an Iceberg table that is durable before the job
+    starts): stage-1 re-writing the whole corpus would double the I/O of
+    the entire job at 100 TB for zero resume value."""
+
+    df: DataFrame
+    source: str
+
+
+@dataclass
 class StageResult:
     name: str
     outputs: dict[str, str]  # table name -> uri
@@ -97,20 +111,31 @@ class Pipeline:
         t0 = time.time()
         probe = sinks.table_uri(self.workdir, self.run_id, stage.name, "_stage_done")
         if resume and sinks.is_committed(probe):
-            # all outputs of this stage are committed: reload them
-            stage_dir = os.path.join(self.workdir, self.run_id, stage.name)
-            outputs = {
-                n: os.path.join(stage_dir, n)
-                for n in os.listdir(stage_dir)
-                if not n.startswith("_")
-            }
+            # all outputs of this stage are committed: reload them.  The
+            # commit marker records the output URIs (incl. passthrough
+            # sources outside the stage dir); fall back to a dir listing
+            # for markers written by older runs.
+            outputs = sinks.committed_outputs(probe)
+            if outputs is None:
+                stage_dir = os.path.join(self.workdir, self.run_id, stage.name)
+                outputs = {
+                    n: os.path.join(stage_dir, n)
+                    for n in os.listdir(stage_dir)
+                    if not n.startswith("_")
+                }
             dfs = {n: sinks.read_table(self.spark, u) for n, u in outputs.items()}
             self.results.append(StageResult(stage.name, outputs, 0, True))
             return dfs
 
         out_dfs, metrics, partition_by = stage.fn(self.spark, ctx)
         outputs = {}
+        returned: dict[str, DataFrame] = {}
         for name, df in out_dfs.items():
+            if isinstance(df, Passthrough):
+                # already durable: commit by reference, zero write I/O
+                outputs[name] = df.source
+                returned[name] = df.df
+                continue
             uri = sinks.table_uri(self.workdir, self.run_id, stage.name, name)
             sinks.write_table(df, uri, partition_by.get(name))
             outputs[name] = uri
@@ -118,25 +143,58 @@ class Pipeline:
         # rename (an Iceberg catalog commit gives true atomicity on a
         # cluster); zero Spark jobs
         sinks.write_commit_marker(probe, {"run_id": self.run_id,
-                                          "stage": stage.name})
+                                          "stage": stage.name,
+                                          "outputs": outputs})
         wall_ms = int((time.time() - t0) * 1000)
         self._lineage(stage.name, outputs, wall_ms, False, metrics)
         self.results.append(StageResult(stage.name, outputs, wall_ms, False,
                                         metrics))
         # hand back re-read frames so downstream stages consume the committed
-        # checkpoint (cuts lineage, enables pushdown on the parquet scan)
-        return {n: sinks.read_table(self.spark, u) for n, u in outputs.items()}
+        # checkpoint (cuts lineage, enables pushdown on the parquet scan);
+        # passthrough outputs are already scans of committed tables
+        return {
+            n: returned.get(n) or sinks.read_table(self.spark, u)
+            for n, u in outputs.items()
+        }
 
 
 # ---------------------------------------------------------------------------
 # the flagship CPG stages
 # ---------------------------------------------------------------------------
 
+def _scan_source(df: DataFrame) -> str | None:
+    """Return the source directory when ``df`` is a bare table/parquet scan
+    (no transformations on top), else None.  Only a bare scan is safe to
+    commit by reference — any projection/filter/UDF on top must be
+    materialized for downstream resume to see the same rows."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        lines = [ln for ln in plan.splitlines() if ln.strip()]
+        if len(lines) != 1 or not lines[0].lstrip().startswith("Relation"):
+            return None
+        files = df.inputFiles()
+        if not files:
+            return None
+        common = os.path.commonpath([os.path.dirname(f.replace("file:", ""))
+                                     for f in files])
+        return common if os.path.isdir(common) else None
+    except Exception:
+        return None
+
+
 def _ingest(spark, ctx):
-    # single pass: write the docs checkpoint; the span invariant is
-    # validated by _parse against the committed table (parquet re-scan is
-    # cheaper than running the generator twice)
-    return {"docs": ctx["docs"]}, {}, {}
+    # If the input is already a committed table (the production shape: the
+    # north_rule input Iceberg table exists and is durable before the job
+    # starts), commit stage-1 BY REFERENCE — re-writing the corpus here
+    # would double the whole job's I/O at 100 TB for zero resume value.
+    # Synthesized / in-flight inputs still get a real checkpoint write so
+    # resume has a stable snapshot.  The span invariant is validated by
+    # _parse in-UDF either way.
+    docs = ctx["docs"]
+    src = _scan_source(docs)
+    if src:
+        return {"docs": Passthrough(docs, src)}, {"input_source": src}, {}
+    return {"docs": docs}, {}, {}
 
 
 def _parse(spark, ctx):

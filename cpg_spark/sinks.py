@@ -67,6 +67,21 @@ def is_committed(uri: str) -> bool:
     )
 
 
+def committed_outputs(marker_uri: str) -> dict[str, str] | None:
+    """Output-name -> table URI mapping recorded in a stage commit marker
+    (supports passthrough outputs living outside the stage dir); None when
+    the marker predates the outputs field or is unreadable."""
+    import json
+
+    path = (marker_uri if marker_uri.endswith(".json")
+            else os.path.join(marker_uri, "_COMMIT.json"))
+    try:
+        with open(path) as fh:
+            return json.load(fh).get("outputs")
+    except Exception:
+        return None
+
+
 def partition_row_counts(uri: str) -> list[tuple[int, int]]:
     """(partition_id, rows) per part file, from parquet footers — no Spark
     job, no data scan.  Lineage at file granularity ≙ write-partition

