@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_compdb": Q.q_cpg_compdb,
         "cpg_typenorm": Q.q_cpg_typenorm,
         "cpg_unreachable": Q.q_cpg_unreachable,
+        "cpg_llvm_triples": Q.q_cpg_llvm_triples,
+        "cpg_llvm_compress": Q.q_cpg_llvm_compress,
         "cpg_dfg_refined": Q.q_cpg_dfg_refined,
         "cpg_overrides": Q.q_cpg_overrides,
         "cpg_value_eval": Q.q_cpg_value_eval,
@@ -468,6 +470,32 @@ def oracle_sql() -> dict[str, str]:
               ('true', CAST(2 AS BIGINT), CAST(1 AS BIGINT)))
               AS t(branch, n_edges, n_unreachable)
             ORDER BY branch
+        """,
+        # golden oracle: the LLVM phi/branch fixture's edge profile —
+        # conditional-br EOG, phi DFG fan-in, local CALLS (counts verified
+        # against the pure-python frontend emission)
+        "cpg_llvm_triples": """
+            SELECT * FROM (VALUES
+              ('AST', CAST(33 AS BIGINT)),
+              ('CALLS', CAST(1 AS BIGINT)),
+              ('DFG', CAST(23 AS BIGINT)),
+              ('EOG', CAST(13 AS BIGINT)),
+              ('EVAL_TYPE', CAST(19 AS BIGINT)),
+              ('REFERS_TO', CAST(7 AS BIGINT)))
+              AS t(pred, n_edges)
+            ORDER BY pred
+        """,
+        # golden oracle: single-entry labels A/B inline (2 of 4 gotos
+        # dropped); multi-entry `continue` keeps its 2 gotos
+        # (CompressLLVMPass.kt:38-160)
+        "cpg_llvm_compress": """
+            SELECT * FROM (VALUES
+              ('ConditionalExpression', CAST(1 AS BIGINT)),
+              ('GotoStatement', CAST(2 AS BIGINT)),
+              ('IfStatement', CAST(1 AS BIGINT)),
+              ('LabelStatement', CAST(3 AS BIGINT)))
+              AS t(label, n_nodes)
+            ORDER BY label
         """,
         # golden oracle: the embedded two-entry compilation database
         # normalizes to a fixed options table (CompilationDatabase.kt)

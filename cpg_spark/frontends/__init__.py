@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from .cfamily_frontend import parse_cpp_document, parse_java_document
 from .go_frontend import parse_go_document
+from .llvm_frontend import parse_llvm_document
 from .python_frontend import parse_python_document
 
 # span kind -> parser; extended as more frontends land (SURVEY.md §2.2)
@@ -25,6 +26,7 @@ FRONTENDS = {
     "code/go": parse_go_document,
     "code/java": parse_java_document,
     "code/cpp": parse_cpp_document,
+    "code/llvm": parse_llvm_document,
 }
 
 

@@ -769,3 +769,62 @@ def q_cpg_crossdoc_calls(spark, sf_dir):
         .agg(F.count("*").alias("n_callers"))
         .orderBy("callee_name")
     )
+
+
+_LLVM_PHI_FIXTURE = """
+declare i32 @rand() nounwind
+
+define i32 @main() {
+  %x = call i32 @rand()
+  %cond = icmp eq i32 %x, 10
+  br i1 %cond, label %A, label %B
+
+A:
+  %a = mul i32 %x, 32768
+  br label %continue
+
+B:
+  %b = add i32 %x, 7
+  br label %continue
+
+continue:
+  %y = phi i32 [ %a, %A ], [ %b, %B ]
+  ret i32 %y
+}
+"""
+
+
+def _llvm_fixture_graph(spark):
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "ll/fix/0001",
+          "spans": [{"kind": "code/llvm", "text": _LLVM_PHI_FIXTURE,
+                     "media_ref": None, "offset": 0}]}], schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    return split_parse_output(raw)
+
+
+def q_cpg_llvm_triples(spark, sf_dir):
+    """LLVM-IR frontend (SURVEY F5): the phi/branch fixture paraphrasing
+    cpg-language-llvm/src/test/resources/llvm/phi.ll parses into the edge
+    profile below — conditional br EOG, phi DFG fan-in, local CALLS."""
+    _, edges, _, _ = _llvm_fixture_graph(spark)
+    return (edges.groupBy("pred").agg(F.count("*").alias("n_edges"))
+            .orderBy("pred"))
+
+
+def q_cpg_llvm_compress(spark, sf_dir):
+    """CompressLLVMPass analogue (SURVEY C5; CompressLLVMPass.kt:38-160):
+    single-entry labels (A, B) inline into the IfStatement branches — their
+    two gotos disappear; the two multi-entry gotos into `continue` stay."""
+    from cpg_spark.operators.compress_llvm import compress_llvm
+
+    nodes, edges, _, _ = _llvm_fixture_graph(spark)
+    n2, _ = compress_llvm(nodes, edges)
+    return (n2.filter(F.col("label").isin(
+                "GotoStatement", "LabelStatement", "IfStatement",
+                "ConditionalExpression"))
+            .groupBy("label").agg(F.count("*").alias("n_nodes"))
+            .orderBy("label"))
