@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_unreachable": Q.q_cpg_unreachable,
         "cpg_llvm_triples": Q.q_cpg_llvm_triples,
         "cpg_llvm_compress": Q.q_cpg_llvm_compress,
+        "cpg_ts_triples": Q.q_cpg_ts_triples,
+        "cpg_ps_triples": Q.q_cpg_ps_triples,
         "cpg_dfg_refined": Q.q_cpg_dfg_refined,
         "cpg_overrides": Q.q_cpg_overrides,
         "cpg_value_eval": Q.q_cpg_value_eval,
@@ -482,6 +484,38 @@ def oracle_sql() -> dict[str, str]:
               ('EOG', CAST(13 AS BIGINT)),
               ('EVAL_TYPE', CAST(19 AS BIGINT)),
               ('REFERS_TO', CAST(7 AS BIGINT)))
+              AS t(pred, n_edges)
+            ORDER BY pred
+        """,
+        # golden oracle: the three TS reference-paraphrase fixtures'
+        # edge profile (counts verified against the pure-python frontend
+        # emission; TypeScriptLanguageFrontendTest semantics)
+        "cpg_ts_triples": """
+            SELECT * FROM (VALUES
+              ('AST', CAST(52 AS BIGINT)),
+              ('CALLS', CAST(1 AS BIGINT)),
+              ('CONSTRUCTORS', CAST(1 AS BIGINT)),
+              ('DFG', CAST(38 AS BIGINT)),
+              ('EOG', CAST(14 AS BIGINT)),
+              ('EVAL_TYPE', CAST(16 AS BIGINT)),
+              ('FIELDS', CAST(2 AS BIGINT)),
+              ('METHODS', CAST(1 AS BIGINT)),
+              ('REFERS_TO', CAST(11 AS BIGINT)),
+              ('SUPER_TYPE', CAST(1 AS BIGINT)))
+              AS t(pred, n_edges)
+            ORDER BY pred
+        """,
+        # golden oracle: the three PowerShell reference fixtures'
+        # (function/if/loop .ps1) edge profile, verified against the
+        # pure-python frontend emission (PowerShellFrontendTest semantics)
+        "cpg_ps_triples": """
+            SELECT * FROM (VALUES
+              ('AST', CAST(119 AS BIGINT)),
+              ('CALLS', CAST(2 AS BIGINT)),
+              ('DFG', CAST(100 AS BIGINT)),
+              ('EOG', CAST(45 AS BIGINT)),
+              ('EVAL_TYPE', CAST(64 AS BIGINT)),
+              ('REFERS_TO', CAST(23 AS BIGINT)))
               AS t(pred, n_edges)
             ORDER BY pred
         """,

@@ -18,7 +18,9 @@ from __future__ import annotations
 from .cfamily_frontend import parse_cpp_document, parse_java_document
 from .go_frontend import parse_go_document
 from .llvm_frontend import parse_llvm_document
+from .ps_frontend import parse_ps_document
 from .python_frontend import parse_python_document
+from .ts_frontend import parse_ts_document
 
 # span kind -> parser; extended as more frontends land (SURVEY.md §2.2)
 FRONTENDS = {
@@ -27,6 +29,9 @@ FRONTENDS = {
     "code/java": parse_java_document,
     "code/cpp": parse_cpp_document,
     "code/llvm": parse_llvm_document,
+    "code/typescript": parse_ts_document,
+    "code/javascript": parse_ts_document,
+    "code/powershell": parse_ps_document,
 }
 
 

@@ -828,3 +828,157 @@ def q_cpg_llvm_compress(spark, sf_dir):
                 "ConditionalExpression"))
             .groupBy("label").agg(F.count("*").alias("n_nodes"))
             .orderBy("label"))
+
+
+# TypeScript fixtures paraphrasing the reference's TS test resources
+# (cpg-core/src/test/resources/typescript/{function.ts,component.tsx,
+# fetch.ts}) — same programs the reference's TypeScriptLanguageFrontendTest
+# asserts over.
+_TS_FUNCTION_FIXTURE = """
+function someFunction(): Number {
+    const i = someOtherFunction("hello");
+    return i;
+}
+
+function someOtherFunction(s: String): Number {
+    return s.length;
+}
+"""
+
+_TS_COMPONENT_FIXTURE = """
+export interface UsersState {
+    users: string[];
+}
+
+export class Users extends Component {
+    state: UsersState;
+
+    constructor(props: {}) {
+        this.state = { users: [] }
+    }
+
+    render() {
+        const { users } = this.state;
+        return users;
+    }
+}
+"""
+
+_TS_CHAIN_FIXTURE = """
+function handleSubmit(event: any) {
+    const apiUrl = `/api/v1/groups`;
+    const token = localStorage.getItem("access_token");
+
+    fetch(apiUrl, { method: 'POST', body: token })
+    .then((res) => {
+        const group = res.json();
+        console.log(group);
+    });
+}
+"""
+
+
+# PowerShell fixtures: the reference's own test resources
+# (cpg-language-powershell/src/test/resources/powershell/{function,if,
+# loop}.ps1, asserted by PowerShellFrontendTest.kt).
+_PS_FUNCTION_FIXTURE = """
+function test {
+    $a = 2
+}
+function test2 {
+    param (
+        [string] $value,
+        [string] $test,
+        [string] $test2
+    )
+    Write-Host 555
+}
+
+function test3($testValue1, $testValue2) {
+    Write-Host $testValue1
+    test2 "hi" "some string" "more string"
+    test2 -value "im value" -test2 "im test2" -test "im test"
+    Write-Host("function", "hi")
+    Write-Host "testing", "array", 5
+}
+"""
+
+_PS_IF_FIXTURE = """
+$i=2
+if ($i -eq 2) {
+    $i = 5
+} elseif($i -lt 5) {
+    $i = 40
+} else {
+    $i -= 20
+}
+"""
+
+_PS_LOOP_FIXTURE = """
+for ($i = 0; $i -lt 5; $i++) {
+    $a = 5
+}
+
+$i = 0
+while ($i -lt 5) {
+    $a = 5
+    $i++
+}
+
+$i = 0
+do {
+    $a = 5
+    $i++
+} while($i -lt 5)
+
+$i = 0
+do {
+    $a = 5
+    $i++
+} until($i -gt 5)
+
+$arr = @(50, 20, 42)
+foreach($a in $arr) {
+    Write-Host $a
+    $b = $a + 2
+}
+"""
+
+
+def q_cpg_ps_triples(spark, sf_dir):
+    """PowerShell frontend (SURVEY F7): the reference's own function/if/
+    loop fixtures (named-arg re-ordering, elseif nesting, all four loop
+    forms incl. do-until's implicit negation) parse into the edge profile
+    below (PowerShellFrontendTest.kt semantics)."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": f"ps/fix/000{i + 1}",
+          "spans": [{"kind": "code/powershell", "text": src,
+                     "media_ref": None, "offset": 0}]}
+         for i, src in enumerate([_PS_FUNCTION_FIXTURE, _PS_IF_FIXTURE,
+                                  _PS_LOOP_FIXTURE])], schema=DOCS_SCHEMA)
+    _, edges, _, _ = split_parse_output(parse_docs(docs))
+    return (edges.groupBy("pred").agg(F.count("*").alias("n_edges"))
+            .orderBy("pred"))
+
+
+def q_cpg_ts_triples(spark, sf_dir):
+    """TypeScript frontend (SURVEY F6): the three reference-paraphrase
+    fixtures (forward-ref call, class/interface with SUPER_TYPE + `this`
+    field resolution, fluent fetch chain with arrow lambda) parse into
+    the edge profile below."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": f"ts/fix/000{i + 1}",
+          "spans": [{"kind": "code/typescript", "text": src,
+                     "media_ref": None, "offset": 0}]}
+         for i, src in enumerate([_TS_FUNCTION_FIXTURE,
+                                  _TS_COMPONENT_FIXTURE,
+                                  _TS_CHAIN_FIXTURE])], schema=DOCS_SCHEMA)
+    _, edges, _, _ = split_parse_output(parse_docs(docs))
+    return (edges.groupBy("pred").agg(F.count("*").alias("n_edges"))
+            .orderBy("pred"))
