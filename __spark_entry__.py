@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_triples": Q.q_cpg_triples,
         "cpg_crossdoc_calls": Q.q_cpg_crossdoc_calls,
         "cpg_inherited_calls": Q.q_cpg_inherited_calls,
+        "cpg_calls_cpp": Q.q_cpg_calls_cpp,
         "cpg_overload_calls": Q.q_cpg_overload_calls,
         "cpg_fnptr_calls": Q.q_cpg_fnptr_calls,
         "cpg_type_prop": Q.q_cpg_type_prop,
@@ -449,6 +450,40 @@ def oracle_sql() -> dict[str, str]:
               ('run', 'Base'),
               ('shared', 'Mid')) AS t(site, callee_record)
             ORDER BY site
+        """,
+        # golden oracle: CallResolverTest.testCpp expectations over the
+        # reference's calls.cpp — overload selection by exact signature
+        # incl. const char* vs string-literal implicit match (lines are
+        # the three overload declarations per target group), implicit-this
+        # + supertype-walk resolution (superTarget hit twice: unqualified
+        # and via e.), override dispatch keeping both SuperClass::
+        # overridingTarget (10) and External's override (18), one inferred
+        # node per unknown (int,int,int) signature (line -1), a method
+        # invoked from a free function (invoke, 23), and NO row for
+        # u.unknownTarget() (unknown-class gate)
+        "cpg_calls_cpp": """
+            SELECT * FROM (VALUES
+              ('externalTarget', -1, TRUE,  CAST(1 AS BIGINT)),
+              ('externalTarget', 15, FALSE, CAST(1 AS BIGINT)),
+              ('externalTarget', 16, FALSE, CAST(1 AS BIGINT)),
+              ('externalTarget', 17, FALSE, CAST(1 AS BIGINT)),
+              ('functionTarget', -1, TRUE,  CAST(1 AS BIGINT)),
+              ('functionTarget',  1, FALSE, CAST(1 AS BIGINT)),
+              ('functionTarget',  2, FALSE, CAST(1 AS BIGINT)),
+              ('functionTarget',  3, FALSE, CAST(1 AS BIGINT)),
+              ('innerTarget',    -1, TRUE,  CAST(1 AS BIGINT)),
+              ('innerTarget',    28, FALSE, CAST(1 AS BIGINT)),
+              ('innerTarget',    29, FALSE, CAST(1 AS BIGINT)),
+              ('innerTarget',    30, FALSE, CAST(1 AS BIGINT)),
+              ('invoke',         23, FALSE, CAST(1 AS BIGINT)),
+              ('overridingTarget', 10, FALSE, CAST(1 AS BIGINT)),
+              ('overridingTarget', 18, FALSE, CAST(1 AS BIGINT)),
+              ('superTarget',    -1, TRUE,  CAST(1 AS BIGINT)),
+              ('superTarget',     7, FALSE, CAST(2 AS BIGINT)),
+              ('superTarget',     8, FALSE, CAST(2 AS BIGINT)),
+              ('superTarget',     9, FALSE, CAST(2 AS BIGINT)))
+              AS t(target, target_line, inferred, n_calls)
+            ORDER BY target, target_line
         """,
         # golden oracle: alias type spellings collapse to one canonical
         # Type node each (TypeParser.java semantics — n_nodes=1 proves

@@ -1277,6 +1277,13 @@ class CFamilyFrontend(Emitter):
             if i >= len(ptypes):
                 break
             at, pt_ = a.get("type"), ptypes[i]
+            # top-level cv-qualifiers / references are held out of the
+            # signature (const char* accepts a string literal — the
+            # reference compares bare TypeParser names here)
+            if at:
+                at = at.removeprefix("const ").rstrip("&")
+            if pt_:
+                pt_ = pt_.removeprefix("const ").rstrip("&")
             if not at or not pt_ or at == pt_:
                 continue
             if at in _NUM_TYPES and pt_ in _NUM_TYPES:
@@ -1371,8 +1378,14 @@ class CFamilyFrontend(Emitter):
                     self.edge(fn["decl_id"], "DFG", call_id)
                 self._dfg_args_to_params(args, winners[0]["decl_id"])
             else:
+                # base_type = enclosing record (if any): an unqualified
+                # call inside a method is an implicit-this call first
+                # (JLS 15.12.1 / CallResolver method scope), so the link
+                # stage can match inherited methods through the supertype
+                # walk before falling back to free functions
                 self.out.mentions.append(self._mention(
-                    call_id, "call", name, scopes=scopes,
+                    call_id, "call", name, base_type=rec_name or None,
+                    scopes=scopes,
                     n_args=len(args), n_kwargs=0,
                     arg_ids=[a["arg_id"] for a in args],
                     arg_types=[a.get("type") for a in args]))
@@ -1493,7 +1506,16 @@ class CFamilyFrontend(Emitter):
 
 def _parse_cfamily(doc_id, span_offset, source, module_name, dialect):
     if module_name is None:
-        module_name = doc_id.rsplit("/", 2)[-2] if "/" in doc_id else doc_id
+        if dialect == "java":
+            # Java visibility is the PACKAGE, not the file: files without
+            # a ``package`` statement share the default package and see
+            # each other without imports (JLS 7.4.2; the reference
+            # resolves across same-package files with no ImportResolver
+            # involvement).  A ``package a.b;`` statement overrides this
+            # during parse.
+            module_name = "<default>"
+        else:
+            module_name = doc_id.rsplit("/", 2)[-2] if "/" in doc_id else doc_id
     fe = CFamilyFrontend(doc_id, span_offset, source, module_name, dialect)
     try:
         return fe.run()

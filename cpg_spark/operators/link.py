@@ -35,6 +35,14 @@ _NUM_TYPES = ("int", "long", "short", "char", "float", "double", "bool",
               "boolean", "byte", "unsigned", "size_t", "long long")
 _STR_TYPES = ("string", "String", "char*", "char[]", "str")
 
+
+def _canon_sig_type(col):
+    """Signature-position canonicalization: top-level cv-qualifiers and
+    references do not participate in overload viability (the reference
+    compares TypeParser names with qualifiers held out of the signature —
+    CallResolverTest matches ``const char*`` params against ``char*``)."""
+    return F.regexp_replace(F.regexp_replace(col, "^const ", ""), "&$", "")
+
 # Spark-side twin of cpg_spark.ids.inferred_id: sha2 over the identical
 # 5-field key string, so link-inferred and frontend-inferred ids for the
 # same logical symbol are equal and collapse at materialize.
@@ -243,6 +251,7 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         "mention_id", "kind", "name", "base_type", "scope_path", "doc_id",
         "n_args", "n_kwargs", "arg_ids", "arg_types",
     )
+    fns = symbol_dim(symbols) if dim is None else dim
     if prejoined is not None:
         # shared single-join path (see joined_mentions)
         joined = prejoined.filter(F.col("kind").isin("call", "member_call"))
@@ -250,7 +259,6 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     else:
         # standalone path: the UNFILTERED shared dim joins here; the
         # candidate filter below already restricts d_kind
-        fns = symbol_dim(symbols) if dim is None else dim
         dim_rows = fns.count() if strategy is None else None
         joined, used = _name_join(calls, fns, dim_rows, buckets, strategy)
         joined = _visibility_gate(joined, _imports_dim(mentions))
@@ -292,7 +300,8 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         F.col("arg_types").isNull() | F.col("d_param_types").isNull(),
         F.lit(0),
     ).otherwise(F.coalesce(F.array_max(F.zip_with(
-        F.col("arg_types"), F.col("d_param_types"),
+        F.transform(F.col("arg_types"), _canon_sig_type),
+        F.transform(F.col("d_param_types"), _canon_sig_type),
         lambda a, p: F.when(a.isNull() | p.isNull() | (a == "") | (p == "")
                             | (a == p), F.lit(0))
         .when(a.isin(*_num) & p.isin(*_num), F.lit(1))
@@ -313,15 +322,28 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
                | F.col("_anc_depth").isNotNull())
         )
         | ((F.col("kind") == "call") & (F.col("d_kind") == "function"))
+        # unqualified call inside a method: base_type = enclosing record
+        # (set by the frontend) — implicit-this candidates are the
+        # record's own and inherited methods (JLS 15.12.1 / the
+        # CallResolver method-scope ladder)
+        | ((F.col("kind") == "call") & (F.col("d_kind") == "method")
+           & F.col("base_type").isNotNull()
+           & ((F.col("base_type") == F.col("d_record"))
+              | F.col("_anc_depth").isNotNull()))
     ).filter(arity_ok).withColumn(
         "_type_rank", type_rank
     ).filter(F.col("_type_rank") < 99).withColumn(
         # exact record match outranks inherited; nearer ancestors outrank
-        # farther ones (overriding methods shadow overridden ones)
+        # farther ones (overriding methods shadow overridden ones); for an
+        # unqualified call with record context, a free-function match
+        # ranks BELOW any method match (innermost scope wins)
         "_depth_rank",
         F.when(F.col("base_type").isNotNull()
+               & F.col("d_record").isNotNull()
                & (F.col("base_type") == F.col("d_record")), F.lit(0))
         .when(F.col("_anc_depth").isNotNull(), F.col("_anc_depth"))
+        .when((F.col("kind") == "call") & (F.col("d_kind") == "function")
+              & F.col("base_type").isNotNull(), F.lit(500))
         .otherwise(F.lit(0)),
     ).drop("_anc_depth")
     same_module = (
@@ -402,6 +424,30 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         fp_calls = fp_calls.unionByName(fp_dfg)
         missed = missed.join(fp.select("mention_id").distinct(),
                              "mention_id", "left_anti")
+    # unknown-class gate (CallResolverTest.ensureNoUnknownClassDummies):
+    # a member call whose base type names NO record anywhere in the corpus
+    # gets neither an inferred target nor a CALLS edge — the reference
+    # only infers into known classes.  Module-qualified calls (Go
+    # ``fmt.Printf``, Python ``mod.fn``) are NOT class members: a base
+    # that names an imported module or any known module stays inferrable.
+    # All three name sets are distinct projections of frames already in
+    # the plan (no extra scan).
+    known_bases = (
+        fns.filter(F.col("d_kind") == "record")
+        .select(F.col("d_name").alias("base_type"))
+        .unionByName(fns.select(F.col("d_module").alias("base_type")))
+        .unionByName(mentions.filter(F.col("kind") == "import")
+                     .select(F.col("base_type")))
+        .filter(F.col("base_type").isNotNull())
+        .distinct()
+        .withColumn("_base_known", F.lit(True))
+    )
+    missed = (
+        missed.join(known_bases, "base_type", "left")
+        .filter((F.col("kind") != "member_call")
+                | F.col("base_type").isNull() | F.col("_base_known"))
+        .drop("_base_known")
+    )
     inferred_sig = F.coalesce(F.col("n_args"), F.lit(0))
     missed_ids = missed.withColumn(
         "inf_id", _inferred_id_col("FunctionDeclaration", F.col("name"), inferred_sig)
@@ -529,6 +575,32 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
         "strategy": used, "dim_rows": dim_rows}
 
 
+def override_dispatch(calls_edges: DataFrame, overrides: DataFrame) -> DataFrame:
+    """Extra CALLS edges for dynamic dispatch
+    (CallResolver.java:1089-1127 getOverridingCandidates / issue #204
+    semantics: ``invokes`` keeps both the statically-resolved method and
+    every method overriding it — the runtime receiver may be any subtype).
+
+    ``calls_edges``: any frame of CALLS edge rows (frontend-local AND
+    link-resolved — dispatch applies to both);
+    ``overrides``: (subj=sub_method, pred=OVERRIDES, obj=super_method)
+    rows from :func:`cpg_spark.operators.hierarchy.overrides_edges`
+    (transitive by construction — closure-joined)."""
+    ov = overrides.select(F.col("obj").alias("obj"),
+                          F.col("subj").alias("_sub"))
+    return (
+        calls_edges.filter(F.col("pred") == "CALLS")
+        .join(ov, "obj")
+        .select(
+            "subj", F.lit("CALLS").alias("pred"),
+            F.col("_sub").alias("obj"),
+            F.create_map().cast("map<string,string>").alias("props"),
+            "doc_id",
+        )
+        .dropDuplicates(["subj", "obj"])
+    )
+
+
 def link_all(mentions: DataFrame, symbols: DataFrame,
              strategy: str | None = None, buckets: int = 16,
              nodes: DataFrame | None = None,
@@ -536,7 +608,9 @@ def link_all(mentions: DataFrame, symbols: DataFrame,
     """Full linking stage. Returns (edges, inferred_nodes, stats).
 
     Pass ``nodes``/``edges`` to enable inherited member-call resolution
-    through the record supertype closure (computed here, depth-ranked)."""
+    through the record supertype closure (computed here, depth-ranked)
+    plus override-dispatch CALLS edges over the combined local+linked
+    call set."""
     closure = None
     if nodes is not None and edges is not None:
         from cpg_spark.operators.hierarchy import supertype_record_closure
@@ -551,7 +625,18 @@ def link_all(mentions: DataFrame, symbols: DataFrame,
                                                 dim=dim, prejoined=joined)
     ref_edges, s2 = link_refs(mentions, symbols, used, buckets, dim=dim,
                               prejoined=joined)
-    return call_edges.unionByName(ref_edges), inferred_nodes, {
+    linked = call_edges.unionByName(ref_edges)
+    if closure is not None:
+        from cpg_spark.operators.hierarchy import overrides_edges
+
+        ov = overrides_edges(nodes, edges, symbols,
+                             closure=closure.select("descendant", "ancestor"))
+        local_calls = edges.select("subj", "pred", "obj", "props", "doc_id")
+        linked = linked.unionByName(
+            override_dispatch(local_calls.unionByName(
+                call_edges.select("subj", "pred", "obj", "props", "doc_id")),
+                ov))
+    return linked, inferred_nodes, {
         "calls": s1, "refs": s2,
     }
 
@@ -587,11 +672,18 @@ def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
                                                 dim=dim, prejoined=joined)
     ref_edges, s2 = link_refs(mentions, symbols, used, buckets, dim=dim,
                               prejoined=joined)
+    ov = overrides_edges(nodes, edges, symbols,
+                         closure=closure.select("descendant", "ancestor"))
+    # dynamic dispatch over BOTH frontend-local and link-resolved CALLS
+    # (see override_dispatch) — ov is reused for the OVERRIDES rows below
+    dispatch = override_dispatch(
+        edges.select("subj", "pred", "obj", "props", "doc_id").unionByName(
+            call_edges.select("subj", "pred", "obj", "props", "doc_id")),
+        ov)
     all_edges = (
         call_edges.unionByName(ref_edges)
-        .unionByName(overrides_edges(nodes, edges, symbols,
-                                     closure=closure.select("descendant",
-                                                            "ancestor")))
+        .unionByName(dispatch)
+        .unionByName(ov)
         .withColumn("row_kind", F.lit("edge"))
     )
     nodes_part = inferred_nodes.withColumn("row_kind", F.lit("node"))

@@ -543,6 +543,52 @@ def q_cpg_inherited_calls(spark, sf_dir):
     )
 
 
+def q_cpg_calls_cpp(spark, sf_dir):
+    """CallResolverTest.testCpp parity over the reference's own
+    calls.cpp fixture (cpg-core/src/test/resources/calls/calls.cpp):
+    per-target invocation counts after overload selection (exact
+    signature beats implicit cast), implicit-this + supertype-walk
+    resolution, override dispatch (issue #204 keeps both the static
+    target and the override), unknown-signature inference, and the
+    unknown-class gate (no row for unknownTarget)."""
+    from cpg_spark.fixtures_cfamily import CPP_FIXTURES
+    from cpg_spark.operators.link import link_all
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "cpp/calls/0001",
+          "spans": [{"kind": "code/cpp", "text": CPP_FIXTURES["calls"],
+                     "media_ref": None, "offset": 1}]}],
+        schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    linked, inferred, _ = link_all(mentions, symbols, nodes=nodes,
+                                   edges=edges)
+    all_calls = (
+        edges.select("subj", "pred", "obj")
+        .unionByName(linked.select("subj", "pred", "obj"))
+        .filter(F.col("pred") == "CALLS")
+    )
+    targets = (
+        nodes.select("node_id", "name",
+                     F.coalesce(F.col("loc.start_line"),
+                                F.lit(-1)).alias("target_line"),
+                     "is_inferred")
+        .unionByName(
+            inferred.select("node_id", "name",
+                            F.lit(-1).alias("target_line"), "is_inferred"))
+        .dropDuplicates(["node_id"])
+    )
+    return (
+        all_calls.join(targets, all_calls["obj"] == targets["node_id"])
+        .groupBy(F.col("name").alias("target"), "target_line",
+                 F.col("is_inferred").alias("inferred"))
+        .agg(F.count("*").alias("n_calls"))
+        .orderBy("target", "target_line")
+    )
+
+
 FNPTR_SRC = """\
 def helper(x):
     return x + 1

@@ -162,6 +162,8 @@ func Main{k}() int {{
 '''
 
 _JAVA_TEMPLATE = '''\
+package worker{k};
+
 public class Worker{k} {{
   private int size = {k};
 
