@@ -163,7 +163,7 @@ def _function_pointer_targets(missed: DataFrame, nodes: DataFrame,
     seeds = (
         missed.select("mention_id", "name", "doc_id")
         .join(vars_, ["doc_id", "name"])
-        .select("mention_id", "cur")
+        .select("mention_id", "cur", "doc_id")
         .localCheckpoint(eager=True)
     )
     # the common corpus has FEW missed-call-names-that-are-variables;
@@ -171,9 +171,19 @@ def _function_pointer_targets(missed: DataFrame, nodes: DataFrame,
     if seeds.limit(1).count() == 0:
         return empty
     # one materialization of the reversed DFG feeds every hop instead of
-    # re-filtering the full edge table per round
-    dfg_rev = edges.filter(F.col("pred") == "DFG").select(
-        F.col("obj").alias("cur"), F.col("subj").alias("prev")).persist()
+    # re-filtering the full edge table per round — restricted to the seed
+    # documents (frontend DFG is doc-local at link time, so chains cannot
+    # leave them): at corpus scale this turns a full-DFG cache into a
+    # sliver proportional to the fnptr-call docs
+    # plain semi-join (AQE promotes it to broadcast when the doc list is
+    # small; at corpus scale it may not be)
+    seed_docs = seeds.select("doc_id").distinct()
+    dfg_rev = (
+        edges.filter(F.col("pred") == "DFG")
+        .join(seed_docs, "doc_id", "left_semi")
+        .select(F.col("obj").alias("cur"), F.col("subj").alias("prev"))
+        .persist()
+    )
     fn_ids = nodes.filter(F.col("label") == "FunctionDeclaration").select(
         F.col("node_id").alias("cur"))
     frontier = seeds

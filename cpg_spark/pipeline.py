@@ -258,7 +258,11 @@ def _materialize(spark, ctx):
     removes = delta.filter(F.col("action") == "remove").drop("action")
     refined = apply_refinement(edges, adds, removes)
     all_edges = refined.unionByName(edges_linked)
-    all_nodes, all_edges = remap_types(all_nodes, all_edges, comp)
+    # comp is either persisted CC output or a local empty relation — the
+    # isEmpty probe is free either way, and skipping the remap saves two
+    # joins over the full edge set on alias-free corpora
+    if not comp.isEmpty():
+        all_nodes, all_edges = remap_types(all_nodes, all_edges, comp)
     # edges are per-doc deduped at parse time; only SUPER_TYPE (type-node
     # subjects are shared across docs) still needs a global dedup.  The
     # split below consumes all_edges TWICE; without a persist each branch
