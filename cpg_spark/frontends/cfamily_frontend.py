@@ -580,6 +580,30 @@ class CFamilyFrontend(Emitter):
             init_id = None
             if self.accept("="):
                 init_id, _ = self.parse_expr(f"{path}.init[{vi}]")
+            elif (self.dialect == "cpp" and self.peek().kind == "("
+                  and tname in self.records):
+                # C++ direct-initialization ``A a2(5);`` — initializer is
+                # a ConstructExpression resolved through the ctor
+                # overload ladder (ConstructorsTest)
+                cid = self.node(f"{path}.ctor[{vi}]", "ConstructExpression",
+                                tname, self._tloc(nt))
+                self.eval_type(cid, tname)
+                self.edge(cid, "INSTANTIATES",
+                          self.records[tname]["decl_id"])
+                args = self._parse_args(cid, f"{path}.ctor[{vi}]")
+                self._resolve_ctor(cid, tname, args)
+                init_id = cid
+            elif (self.dialect == "cpp" and tname in self.records
+                  and self.peek().kind in (";", ",")):
+                # C++ stack default-construction ``A a1;`` — the reference
+                # attaches an implicit no-arg ConstructExpression
+                cid = self.node(f"{path}.ctor[{vi}]", "ConstructExpression",
+                                tname, self._tloc(nt), is_implicit=True)
+                self.eval_type(cid, tname)
+                self.edge(cid, "INSTANTIATES",
+                          self.records[tname]["decl_id"])
+                self._resolve_ctor(cid, tname, [])
+                init_id = cid
             if record is not None and not self.in_function():
                 fid = self.node(f"{path}.f[{vi}]", "FieldDeclaration",
                                 nt.text, self._tloc(nt))
@@ -691,7 +715,9 @@ class CFamilyFrontend(Emitter):
         if self._looks_like_type():
             tname = self.parse_type()
             if tname is not None and self.peek().kind == "ident" and \
-                    self.peek(1).kind in ("=", ";", ","):
+                    (self.peek(1).kind in ("=", ";", ",")
+                     or (self.peek(1).kind == "("
+                         and tname in self.records)):
                 got = self.parse_var_after_type(path, tname, None, parent,
                                                 index)
                 self.ast_edge(parent, got[0] if isinstance(got, tuple)
@@ -1020,11 +1046,23 @@ class CFamilyFrontend(Emitter):
             args = self._parse_args(nid, path)
         elif self.peek().kind == "[":
             self._skip_balanced("[", "]")
-        if rec and rec["ctors"]:
-            ctor = rec["ctors"][0]
+        self._resolve_ctor(nid, tname, args)
+        return nid, {"kind": "construct", "name": tname, "type": tname}
+
+    def _resolve_ctor(self, nid, tname, args):
+        """CONSTRUCTOR edge via the overload ladder (ConstructorsTest /
+        CallResolver.java:1209-1250): arity + defaults + implicit-cast
+        ranking over the record's constructors — not merely the first."""
+        rec = self.records.get(tname)
+        if not rec or not rec["ctors"]:
+            return
+        cands = [self._functions_by_id[c] for c in rec["ctors"]
+                 if c in self._functions_by_id]
+        winners = self._overload_winners(cands, args)
+        if winners:
+            ctor = winners[0]["decl_id"]
             self.edge(nid, "CONSTRUCTOR", ctor)
             self._dfg_args_to_params(args, ctor)
-        return nid, {"kind": "construct", "name": tname, "type": tname}
 
     def parse_postfix(self, path: str):
         base = self.parse_operand(path)
@@ -1175,6 +1213,19 @@ class CFamilyFrontend(Emitter):
         name = bmeta.get("name") or ""
         self._drop_pending_ref(bid)
         rec_scope = self.current_record()
+        if name in self.records:
+            # ctor detection (ConstructorsTest copy-init ``A a = A(5);``):
+            # a call whose callee names a record IS a ConstructExpression
+            # (the reference rewrites these in the frontends); only
+            # records already seen apply — the subset parser resolves
+            # ctor edges inline, not in the deferred pass
+            nid = self.node(path, "ConstructExpression", name, None,
+                            props={"fqn": name})
+            self.eval_type(nid, name)
+            self.edge(nid, "INSTANTIATES", self.records[name]["decl_id"])
+            args = self._parse_args(nid, path)
+            self._resolve_ctor(nid, name, args)
+            return nid, {"kind": "construct", "name": name, "type": name}
         nid = self.node(path, "CallExpression", name, None,
                         props={"fqn": name})
         args = self._parse_args(nid, path)

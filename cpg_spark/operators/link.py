@@ -506,14 +506,19 @@ def _name_join(facts: DataFrame, dims: DataFrame, dim_rows: int, buckets: int,
 def link_refs(mentions: DataFrame, symbols: DataFrame,
               strategy: str | None = None, buckets: int = 16,
               dim: DataFrame | None = None,
-              prejoined: DataFrame | None = None):
+              prejoined: DataFrame | None = None,
+              closure: DataFrame | None = None):
     """Resolve ``ref`` / ``member_ref`` / ``import`` mentions against
     module-level declarations (vars, functions, records) and record fields —
     the VariableUsageResolver cascade (J2).  Returns (edges, stats).
 
     ``dim`` is the shared symbol dimension (see :func:`symbol_dim`) —
     unfiltered so its broadcast exchange is reused with link_calls';
-    kind restrictions happen in the candidate filter."""
+    kind restrictions happen in the candidate filter.  ``closure`` (the
+    record supertype closure) lets member refs reach INHERITED fields —
+    ``child.inheritedField`` resolves against ancestor records' fields,
+    nearest ancestor first (VariableUsageResolver.java:375-407
+    resolveMember walks superTypesMap)."""
     refs = mentions.filter(
         F.col("kind").isin("ref", "member_ref", "import")
     ).select("mention_id", "kind", "name", "base_type", "scope_path", "doc_id")
@@ -547,27 +552,53 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
         joined, used = _name_join(refs, decls, dim_rows, buckets, strategy)
         joined = _visibility_gate(joined, _imports_dim(mentions))
 
+    # inherited-field walk: (base_type, d_record) ancestry pairs, nearest
+    # ancestor first — mirrors the member-call supertype walk
+    if closure is None:
+        closure = mentions.sparkSession.createDataFrame(
+            [], "descendant string, ancestor string, depth int")
+    anc = closure.select(F.col("descendant").alias("_anc_child"),
+                         F.col("ancestor").alias("_anc_parent"),
+                         F.col("depth").alias("_anc_depth"))
+    joined = joined.join(
+        F.broadcast(anc),
+        (F.col("base_type") == F.col("_anc_child"))
+        & (F.col("d_record") == F.col("_anc_parent")),
+        "left_outer",
+    ).drop("_anc_child", "_anc_parent")
     cand = joined.filter(
-        # member refs need a field of the matching record when base known
+        # member refs need a field of the matching record OR one of its
+        # ancestor records when the base is known
         (
             (F.col("kind") == "member_ref")
             & (F.col("d_kind") == "field")
-            & (F.col("base_type").isNull() | (F.col("base_type") == F.col("d_record")))
+            & (F.col("base_type").isNull()
+               | (F.col("base_type") == F.col("d_record"))
+               | F.col("_anc_depth").isNotNull())
         )
         # import mentions must match a symbol of the named source module
         | ((F.col("kind") == "import") & (F.col("d_kind") != "method")
            & (F.col("base_type").isNull() | (F.col("base_type") == F.col("d_module"))))
         | ((F.col("kind") == "ref")
            & ~F.col("d_kind").isin("field", "method"))
-    )
+    ).withColumn(
+        "_depth_rank",
+        F.when(F.col("base_type").isNotNull()
+               & F.col("d_record").isNotNull()
+               & (F.col("base_type") == F.col("d_record")), F.lit(0))
+        .when(F.col("_anc_depth").isNotNull(), F.col("_anc_depth"))
+        .otherwise(F.lit(0)),
+    ).drop("_anc_depth")
     same_module = (
         F.when(F.col("d_module").isNotNull()
                & F.col("scope_path").startswith(F.col("d_module")),
                F.lit(0)).otherwise(1)
     )
     winners = _pick_winner(
-        cand.withColumn("_mod_rank", same_module), ["_mod_rank", "d_fqn"]
-    ).drop("_mod_rank").persist()  # two consumers: REFERS_TO + DFG
+        cand.withColumn("_mod_rank", same_module),
+        ["_depth_rank", "_mod_rank", "d_fqn"],
+    ).drop("_mod_rank", "_depth_rank").persist()
+    # persist: two consumers (REFERS_TO + DFG)
 
     refers = winners.select(
         F.col("mention_id").alias("subj"), F.lit("REFERS_TO").alias("pred"),
@@ -634,7 +665,7 @@ def link_all(mentions: DataFrame, symbols: DataFrame,
                                                 nodes=nodes, edges=edges,
                                                 dim=dim, prejoined=joined)
     ref_edges, s2 = link_refs(mentions, symbols, used, buckets, dim=dim,
-                              prejoined=joined)
+                              prejoined=joined, closure=closure)
     linked = call_edges.unionByName(ref_edges)
     if closure is not None:
         from cpg_spark.operators.hierarchy import overrides_edges
@@ -681,7 +712,7 @@ def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
                                                 nodes=nodes, edges=edges,
                                                 dim=dim, prejoined=joined)
     ref_edges, s2 = link_refs(mentions, symbols, used, buckets, dim=dim,
-                              prejoined=joined)
+                              prejoined=joined, closure=closure)
     ov = overrides_edges(nodes, edges, symbols,
                          closure=closure.select("descendant", "ancestor"))
     # dynamic dispatch over BOTH frontend-local and link-resolved CALLS

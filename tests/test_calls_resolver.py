@@ -146,3 +146,91 @@ def test_java_override_dispatch(java_calls):
     hits = _targets(java_calls, "overridingTarget")
     assert {(c["target_doc"], c["target_line"]) for c in hits} == {
         ("java/SuperClass/0001", 6), ("java/External/0001", 8)}
+
+
+# ---------------------------------------------------------------------------
+# remaining CallResolverTest legs: partial defaults, defaults in methods,
+# declaration-order-independent resolution
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def more_cpp(spark):
+    rows = [(f"cpp/{n}/0001", [("code/cpp", CPP_FIXTURES[n], None, 1)])
+            for n in ("partialDefaults", "defaultInMethod",
+                      "prio_defined", "prio_undefined")]
+    return _run(spark, rows)
+
+
+def test_partial_defaults(more_cpp):
+    """testPartialDefaultArguments: add(int,int,int=3,int=4) — add() has
+    too few args and resolves to ONE inferred target; add(1,2) and
+    add(1,2,5,6) resolve to the real declaration."""
+    hits = _targets(more_cpp, "add")
+    real = [c for c in hits if not c["inferred"]
+            and c["target_doc"] == "cpp/partialDefaults/0001"]
+    inf = [c for c in hits if c["inferred"]]
+    assert len(real) == 2          # add(1,2) and add(1,2,5,6)
+    assert len(inf) == 1 and inf[0]["args"] in (None, [])
+
+
+def test_defaults_in_method(more_cpp):
+    """testDefaultArgumentsMethodResolution: demoClass.doSmth() resolves
+    with both params defaulted; calc(x) resolves implicit-this with the
+    second param defaulted."""
+    do = [c for c in _targets(more_cpp, "doSmth")
+          if c["target_doc"] == "cpp/defaultInMethod/0001"]
+    assert len(do) == 1 and not do[0]["inferred"]
+    calc = [c for c in _targets(more_cpp, "calc")
+            if c["target_doc"] == "cpp/defaultInMethod/0001"]
+    assert len(calc) == 1 and not calc[0]["inferred"]
+
+
+def test_declaration_order_independent(more_cpp):
+    """testScopedFunctionResolution{Defined,Undefined}: g(3) resolves to
+    the g defined BEFORE main; f(3) resolves to the f defined AFTER main
+    — resolution is a fixpoint over the whole document, not a forward
+    scan."""
+    for site, doc in (("g", "cpp/prio_defined/0001"),
+                      ("f", "cpp/prio_undefined/0001")):
+        hits = [c for c in _targets(more_cpp, site)
+                if c["target_doc"] == doc]
+        assert len(hits) == 1 and not hits[0]["inferred"], (site, hits)
+
+
+def test_inherited_field_member_ref(spark):
+    """VariableUsageResolver.java:375-407: a member ref on a subclass
+    instance resolves to the FIELD declared on the ancestor record
+    (c.shared with c: FChild resolves to FBase.shared across docs)."""
+    rows = [
+        ("java/FBase/0001",
+         [("code/java", "public class FBase {\n  public int shared = 1;\n}\n",
+           None, 1)]),
+        ("java/FChild/0001",
+         [("code/java", "public class FChild extends FBase {\n}\n",
+           None, 1)]),
+        ("java/FMain/0001",
+         [("code/java",
+           "public class FMain {\n  public int go() {\n"
+           "    FChild c = new FChild();\n    return c.shared;\n  }\n}\n",
+           None, 1)]),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    linked, inferred, _ = link_all(mentions, symbols, nodes=nodes,
+                                   edges=edges)
+    nd = {r["node_id"]: r.asDict(recursive=True) for r in nodes.collect()}
+    men = {r["mention_id"]: r.asDict(recursive=True)
+           for r in mentions.collect()}
+    hits = []
+    for r in linked.filter(F.col("pred") == "REFERS_TO").collect():
+        s, o = men.get(r["subj"]), nd.get(r["obj"])
+        if s and s["name"] == "shared":
+            hits.append(o)
+    raw.unpersist()
+    assert len(hits) == 1, hits
+    assert hits[0]["label"] == "FieldDeclaration"
+    assert hits[0]["doc_id"] == "java/FBase/0001"
+    # and no inferred field was fabricated for the hit
+    assert not hits[0]["is_inferred"]

@@ -181,3 +181,58 @@ def test_java_refine_if_merge(spark):
     # initializer path survives (else branch does not write a)
     assert ("VariableDeclaration", 3) in srcs
     raw.unpersist()
+
+
+def test_constructors_cpp_overload_resolution():
+    """ConstructorsTest.testCPP: every construction form — stack default
+    ``A a1;`` (implicit ConstructExpression), direct-init ``A a2(5);``,
+    copy-init ``A a4 = A();``, and ``new A(...)`` — resolves its
+    CONSTRUCTOR edge to the arity-matching ConstructorDeclaration."""
+    g = _graph("cpp", "constructors")
+    nodes, edges = _index(g)
+    ctor_line = {}
+    for n in nodes.values():
+        if n["label"] == "ConstructorDeclaration":
+            ctor_line[n["node_id"]] = n["loc"]["start_line"]
+    assert sorted(ctor_line.values()) == [3, 4, 5]  # 0/1/2-arg ctors
+    # (construct-site line or None) -> resolved ctor line
+    resolved = []
+    for e in edges["CONSTRUCTOR"]:
+        site = nodes[e["subj"]]
+        resolved.append(((site["loc"] or {}).get("start_line"),
+                         ctor_line[e["obj"]]))
+    # 10 construction sites: lines 9..11 stack/direct, 12..14 copy-init
+    # (call-shaped, no loc), 15..18 new-forms
+    assert len(resolved) == 10
+    by_line = {ln: ct for ln, ct in resolved if ln is not None}
+    assert by_line == {9: 3, 10: 4, 11: 5, 15: 3, 16: 3, 17: 4, 18: 5}
+    copy_init = sorted(ct for ln, ct in resolved if ln is None)
+    assert copy_init == [3, 4, 5]
+    # a1's initializer is the IMPLICIT ConstructExpression (INITIALIZER
+    # is an AST edge: pred AST with props field=INITIALIZER)
+    a1 = _named(nodes, "VariableDeclaration", "a1")[0]
+    inits = [nodes[e["obj"]] for e in edges["AST"]
+             if e["subj"] == a1["node_id"]
+             and e["props"].get("field") == "INITIALIZER"]
+    assert len(inits) == 1 and inits[0]["label"] == "ConstructExpression"
+    assert inits[0]["is_implicit"]
+
+
+def test_constructors_java_no_implicit_stack_construction():
+    """ConstructorsTest.testJava: ``Constructors a4;`` stays
+    uninitialized — Java has no stack construction, so no implicit
+    ConstructExpression is attached (unlike C++)."""
+    g = _graph("java", "Constructors")
+    nodes, edges = _index(g)
+    a4 = _named(nodes, "VariableDeclaration", "a4")[0]
+    inits = [e for e in edges.get("AST", [])
+             if e["subj"] == a4["node_id"]
+             and e["props"].get("field") == "INITIALIZER"]
+    assert inits == []
+    # the three new-forms resolve by arity
+    ctor_np = {}
+    for n in nodes.values():
+        if n["label"] == "ConstructorDeclaration":
+            ctor_np[n["node_id"]] = n["loc"]["start_line"]
+    resolved = sorted(ctor_np[e["obj"]] for e in edges["CONSTRUCTOR"])
+    assert resolved == [2, 3, 4]
