@@ -259,7 +259,9 @@ class CFamilyFrontend(Emitter):
                 while self.peek().kind not in (";", "eof"):
                     self.next()
                 self.accept(";")
-            elif t.kind == "ident" and t.text in ("class", "struct"):
+            elif t.kind == "ident" and (
+                    t.text in ("class", "struct")
+                    or (t.text == "interface" and self.dialect == "java")):
                 nid = self.parse_class(self._p("class"))
                 if nid:
                     self.ast_edge(ns_id, nid, "DECLARATIONS", di)
@@ -360,7 +362,7 @@ class CFamilyFrontend(Emitter):
 
     # --------------------------------------------------------------- class
     def parse_class(self, path: str) -> str | None:
-        kw = self.next().text  # class | struct
+        kw = self.next().text  # class | struct | interface (java)
         if self.peek().kind != "ident":
             return None
         name_t = self.next()
@@ -427,7 +429,9 @@ class CFamilyFrontend(Emitter):
         """Dispatch: method/ctor/field/global-var/free-function, or None."""
         self._skip_modifiers()
         t = self.peek()
-        if t.kind == "ident" and t.text in ("class", "struct"):
+        if t.kind == "ident" and (
+                t.text in ("class", "struct")
+                or (t.text == "interface" and self.dialect == "java")):
             nid = self.parse_class(path + ".c")
             if nid:
                 self.ast_edge(parent, nid, "DECLARATIONS", index)
@@ -1076,6 +1080,15 @@ class CFamilyFrontend(Emitter):
                     base = self.member_call(base, sel, f"{path}.mc{n}")
                 else:
                     bid, bmeta = base
+                    if sel.text == "super" and self.dialect == "java":
+                        # qualified super (JLS 15.12): ``X.super.m()`` —
+                        # carry the qualifier through to the member call;
+                        # no MemberExpression node, it's pure syntax
+                        base = (bid, {"kind": "qsuper",
+                                      "name": f"super:{bmeta.get('name')}",
+                                      "type": None})
+                        n += 1
+                        continue
                     nid = self.node(f"{path}.sel{n}", "MemberExpression",
                                     sel.text, self._tloc(sel))
                     self.ast_edge(nid, bid, "BASE", 0)
@@ -1408,7 +1421,9 @@ class CFamilyFrontend(Emitter):
                     self.edge(d["decl_id"], "DFG", ref_id)
                 if d.get("type"):
                     self.eval_type(ref_id, d["type"])
-            elif name in self.imports:
+            elif name in self.imports or name == "super":
+                # `super` is a keyword base, not a reference — its member
+                # accesses resolve through pending_members above
                 pass
             else:
                 self.out.mentions.append(
@@ -1442,12 +1457,35 @@ class CFamilyFrontend(Emitter):
                     arg_types=[a.get("type") for a in args]))
         for mid, attr, base_name, scopes, args, access in self.pending_members:
             base_type = None
-            if base_name == "this":
+            is_super = False
+            if base_name in ("this", "super"):
                 rec_s = None
                 for s in scopes:
                     if s.kind == "record":
                         rec_s = s
-                base_type = rec_s.name if rec_s else None
+                if base_name == "this":
+                    base_type = rec_s.name if rec_s else None
+                else:
+                    # super.member: the enclosing record's FIRST supertype
+                    # (java `extends` precedes `implements`) — SuperCallTest:
+                    # super.target() binds SuperClass.target, super.field
+                    # binds SuperClass.field
+                    is_super = True
+                    enc = self.records.get(rec_s.name) if rec_s else None
+                    base_type = (enc["supers"][0]
+                                 if enc and enc["supers"] else None)
+            elif base_name and base_name.startswith("super:"):
+                # qualified super (JLS 15.12.1): when X is a CLASS (inner
+                # class referencing its enclosing class), X.super.m() binds
+                # X's superclass method; when X is an interface,
+                # Interface1.super.m() binds the interface's own default
+                # method.  Known-record-with-supers approximates "class"
+                # for the subset parser.
+                is_super = True
+                qual = base_name.split(":", 1)[1] or None
+                qrec = self.records.get(qual) if qual else None
+                base_type = (qrec["supers"][0]
+                             if qrec and qrec["supers"] else qual)
             elif base_name:
                 bd = self._lookup(scopes, base_name)
                 if bd is not None:
@@ -1461,13 +1499,19 @@ class CFamilyFrontend(Emitter):
                 winners = (self._method_winners(base_type, attr, args)
                            if base_type else [])
                 if winners:
+                    # explicit super calls are marked on the edge so the
+                    # link-stage override dispatch skips them — a
+                    # super.target() call must NOT re-invoke the override
+                    # (SuperCallTest)
+                    props = {"super": "true"} if is_super else None
                     for fn in winners:
-                        self.edge(mid, "CALLS", fn["decl_id"])
+                        self.edge(mid, "CALLS", fn["decl_id"], props)
                         self.edge(fn["decl_id"], "DFG", mid)
                     self._dfg_args_to_params(args, winners[0]["decl_id"])
                 else:
                     self.out.mentions.append(self._mention(
-                        mid, "member_call", attr, base_type=base_type,
+                        mid, "super_call" if is_super else "member_call",
+                        attr, base_type=base_type,
                         scopes=scopes, n_args=len(args or []), n_kwargs=0,
                         arg_ids=[a["arg_id"] for a in (args or [])],
                         arg_types=[a.get("type") for a in (args or [])]))

@@ -225,7 +225,8 @@ def joined_mentions(mentions: DataFrame, symbols: DataFrame,
     probe pass; the per-kind candidate filters then run over the cached
     join output.  Returns (joined_persisted, strategy_used, dim_rows)."""
     facts = mentions.filter(F.col("kind").isin(
-        "call", "member_call", "ref", "member_ref", "import")).select(
+        "call", "member_call", "super_call", "ref", "member_ref",
+        "import")).select(
         "mention_id", "kind", "name", "base_type", "scope_path", "doc_id",
         "n_args", "n_kwargs", "arg_ids", "arg_types")
     if dim is None:
@@ -257,14 +258,16 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
 
     Returns (edges, inferred_nodes, stats).
     """
-    calls = mentions.filter(F.col("kind").isin("call", "member_call")).select(
+    calls = mentions.filter(
+        F.col("kind").isin("call", "member_call", "super_call")).select(
         "mention_id", "kind", "name", "base_type", "scope_path", "doc_id",
         "n_args", "n_kwargs", "arg_ids", "arg_types",
     )
     fns = symbol_dim(symbols) if dim is None else dim
     if prejoined is not None:
         # shared single-join path (see joined_mentions)
-        joined = prejoined.filter(F.col("kind").isin("call", "member_call"))
+        joined = prejoined.filter(
+            F.col("kind").isin("call", "member_call", "super_call"))
         used, dim_rows = strategy or "prejoined", None
     else:
         # standalone path: the UNFILTERED shared dim joins here; the
@@ -325,7 +328,7 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     # functions; the signature must accept the args
     cand = joined.filter(
         (
-            (F.col("kind") == "member_call")
+            F.col("kind").isin("member_call", "super_call")
             & (F.col("d_kind") == "method")
             & (F.col("base_type").isNull()
                | (F.col("base_type") == F.col("d_record"))
@@ -377,7 +380,11 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     calls_edges = winners.select(
         F.col("mention_id").alias("subj"), F.lit("CALLS").alias("pred"),
         F.col("d_decl_id").alias("obj"),
-        F.create_map().cast("map<string,string>").alias("props"), "doc_id",
+        # explicit super calls are marked so override dispatch skips them
+        F.when(F.col("kind") == "super_call",
+               F.create_map(F.lit("super"), F.lit("true")))
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("props"), "doc_id",
     )
     # DFG: invoked function flows into the call site
     fn_dfg = winners.select(
@@ -454,7 +461,7 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     )
     missed = (
         missed.join(known_bases, "base_type", "left")
-        .filter((F.col("kind") != "member_call")
+        .filter(~F.col("kind").isin("member_call", "super_call")
                 | F.col("base_type").isNull() | F.col("_base_known"))
         .drop("_base_known")
     )
@@ -631,6 +638,10 @@ def override_dispatch(calls_edges: DataFrame, overrides: DataFrame) -> DataFrame
                           F.col("subj").alias("_sub"))
     return (
         calls_edges.filter(F.col("pred") == "CALLS")
+        # an explicit super call invokes EXACTLY the supertype method —
+        # never the override (SuperCallTest)
+        .filter(F.coalesce(F.col("props").getItem("super"),
+                           F.lit("")) != "true")
         .join(ov, "obj")
         .select(
             "subj", F.lit("CALLS").alias("pred"),

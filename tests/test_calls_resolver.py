@@ -234,3 +234,60 @@ def test_inherited_field_member_ref(spark):
     assert hits[0]["doc_id"] == "java/FBase/0001"
     # and no inferred field was fabricated for the hit
     assert not hits[0]["is_inferred"]
+
+
+@pytest.fixture(scope="module")
+def super_calls(spark):
+    """SuperCallTest corpus: SubClass + SuperClass + the two interfaces,
+    one document each (reference superCalls/ resources)."""
+    rows = [("java/SubClass/0001",
+             [("code/java", JAVA_FIXTURES["SubClass"], None, 1)]),
+            ("java/SCSuper/0001",
+             [("code/java", JAVA_FIXTURES["SC_SuperClass"], None, 1)]),
+            ("java/Interface1/0001",
+             [("code/java", JAVA_FIXTURES["Interface1"], None, 1)]),
+            ("java/Interface2/0001",
+             [("code/java", JAVA_FIXTURES["Interface2"], None, 1)])]
+    return _run(spark, rows)
+
+
+def test_super_calls_bind_supertype_method(super_calls):
+    """SuperCallTest: super.target() and SubClass.super.target() invoke
+    SuperClass.target ONLY (never dispatch back to the override);
+    InterfaceN.super.target() invokes that interface's default method."""
+    hits = _targets(super_calls, "target")
+    by_doc = {}
+    for c in hits:
+        by_doc.setdefault(c["target_doc"], 0)
+        by_doc[c["target_doc"]] += 1
+    # two plain-super + the inner-class qualified super -> SuperClass;
+    # one each to the interfaces; NONE to SubClass's own override
+    assert by_doc == {"java/SCSuper/0001": 2,
+                      "java/Interface1/0001": 1,
+                      "java/Interface2/0001": 1}, hits
+    assert all(not c["inferred"] for c in hits)
+
+
+def test_super_field_ref(spark, super_calls):
+    """super.field in getSuperField resolves to SuperClass.field."""
+    rows = [("java/SubClass/0001",
+             [("code/java", JAVA_FIXTURES["SubClass"], None, 1)]),
+            ("java/SCSuper/0001",
+             [("code/java", JAVA_FIXTURES["SC_SuperClass"], None, 1)])]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    linked, inferred, _ = link_all(mentions, symbols, nodes=nodes,
+                                   edges=edges)
+    nd = {r["node_id"]: r.asDict(recursive=True) for r in nodes.collect()}
+    men = {r["mention_id"]: r.asDict(recursive=True)
+           for r in mentions.collect()}
+    hits = [nd.get(r["obj"]) for r in
+            linked.filter(F.col("pred") == "REFERS_TO").collect()
+            if men.get(r["subj"], {}).get("name") == "field"
+            and men.get(r["subj"], {}).get("kind") == "member_ref"]
+    raw.unpersist()
+    hits = [h for h in hits if h]
+    assert len(hits) == 1
+    assert hits[0]["label"] == "FieldDeclaration"
+    assert hits[0]["doc_id"] == "java/SCSuper/0001"
