@@ -79,8 +79,8 @@ def best_of(fn, n):
         best = dt if best is None else min(best, dt)
     return best
 
-t_parse = best_of(parse_job, 3)
-t_compute = best_of(compute_job, 3)
+t_parse = best_of(parse_job, 2)
+t_compute = best_of(compute_job, 2)
 
 def pipeline_job():
     wd = tempfile.mkdtemp()
