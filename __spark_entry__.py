@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_crossdoc_calls": Q.q_cpg_crossdoc_calls,
         "cpg_inherited_calls": Q.q_cpg_inherited_calls,
         "cpg_calls_cpp": Q.q_cpg_calls_cpp,
+        "cpg_super_calls": Q.q_cpg_super_calls,
         "cpg_overload_calls": Q.q_cpg_overload_calls,
         "cpg_fnptr_calls": Q.q_cpg_fnptr_calls,
         "cpg_type_prop": Q.q_cpg_type_prop,
@@ -450,6 +451,23 @@ def oracle_sql() -> dict[str, str]:
               ('run', 'Base'),
               ('shared', 'Mid')) AS t(site, callee_record)
             ORDER BY site
+        """,
+        # golden oracle: SuperCallTest — super.target() and the inner
+        # class's SubClass.super.target() both bind SuperClass.target (2
+        # calls, and NO dispatch back to the override);
+        # InterfaceN.super.target() binds each interface's default method;
+        # super.field resolves to SuperClass.field; the implements-clause
+        # refs bind the interface records
+        "cpg_super_calls": """
+            SELECT * FROM (VALUES
+              ('CALLS', 'target', 'java/Interface1/0001', CAST(1 AS BIGINT)),
+              ('CALLS', 'target', 'java/Interface2/0001', CAST(1 AS BIGINT)),
+              ('CALLS', 'target', 'java/SCSuper/0001',    CAST(2 AS BIGINT)),
+              ('REFERS_TO', 'Interface1', 'java/Interface1/0001', CAST(1 AS BIGINT)),
+              ('REFERS_TO', 'Interface2', 'java/Interface2/0001', CAST(1 AS BIGINT)),
+              ('REFERS_TO', 'field', 'java/SCSuper/0001', CAST(1 AS BIGINT)))
+              AS t(pred, target, target_doc, n)
+            ORDER BY pred, target, target_doc
         """,
         # golden oracle: CallResolverTest.testCpp expectations over the
         # reference's calls.cpp — overload selection by exact signature

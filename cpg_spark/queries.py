@@ -589,6 +589,40 @@ def q_cpg_calls_cpp(spark, sf_dir):
     )
 
 
+def q_cpg_super_calls(spark, sf_dir):
+    """SuperCallTest parity (superCalls/ resources): super.target() and
+    the inner class's SubClass.super.target() invoke SuperClass.target
+    ONLY (override dispatch is suppressed on explicit super calls);
+    InterfaceN.super.target() invokes that interface's default method;
+    super.field resolves to SuperClass.field."""
+    from cpg_spark.fixtures_cfamily import JAVA_FIXTURES
+    from cpg_spark.operators.link import link_all
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    rows = [("java/SubClass/0001", JAVA_FIXTURES["SubClass"]),
+            ("java/SCSuper/0001", JAVA_FIXTURES["SC_SuperClass"]),
+            ("java/Interface1/0001", JAVA_FIXTURES["Interface1"]),
+            ("java/Interface2/0001", JAVA_FIXTURES["Interface2"])]
+    docs = spark.createDataFrame(
+        [{"doc_id": d, "spans": [{"kind": "code/java", "text": t,
+                                  "media_ref": None, "offset": 1}]}
+         for d, t in rows], schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    linked, _, _ = link_all(mentions, symbols, nodes=nodes, edges=edges)
+    targets = nodes.select(F.col("node_id").alias("obj"),
+                           F.col("name").alias("target"),
+                           F.col("doc_id").alias("target_doc"))
+    return (
+        linked.filter(F.col("pred").isin("CALLS", "REFERS_TO"))
+        .join(targets, "obj")
+        .groupBy("pred", "target", "target_doc")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pred", "target", "target_doc")
+    )
+
+
 FNPTR_SRC = """\
 def helper(x):
     return x + 1
