@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_dfg_refined": Q.q_cpg_dfg_refined,
         "cpg_overrides": Q.q_cpg_overrides,
         "cpg_value_eval": Q.q_cpg_value_eval,
+        "cpg_order_eval": Q.q_cpg_order_eval,
         "cypher_params": Q.q_cypher_params,
     }
 
@@ -639,8 +640,103 @@ def oracle_sql() -> dict[str, str]:
               ('sv', CAST(20 AS BIGINT))) AS t(name, value_x1)
             ORDER BY name
         """,
-        # ann_lsh_topk: approximate by design — rows-only check.
-        # cpg_triples / cpg_crossdoc_calls: code parsing + entity linking has
-        # no ANSI-SQL equivalent — rows-only check; P/R vs the reference
-        # fixtures is asserted in tests/test_fixture_triples.py instead.
+        # golden oracle: DFA order evaluation over the reference's two
+        # ordering fixtures — every assertTrue/assertFalse of
+        # Simple/ComplexDFAOrderEvaluationTest is one row (typestate
+        # semantics: path splitting at branches, loop termination via
+        # FSM-marking snapshots, unreachable-branch elimination,
+        # body-first do-while)
+        "cpg_order_eval": """
+            SELECT * FROM (VALUES
+              ('java/complexorder/0001', 'nok1', 'p5', FALSE, 'wrong_order'),
+              ('java/complexorder/0001', 'nok2', 'p6', FALSE, 'wrong_order'),
+              ('java/complexorder/0001', 'nok3', 'p6', FALSE, 'wrong_order'),
+              ('java/complexorder/0001', 'nokWhile', 'p7', FALSE, 'wrong_order'),
+              ('java/complexorder/0001', 'ok2', 'p2', TRUE, 'ok'),
+              ('java/complexorder/0001', 'ok3', 'p3', TRUE, 'ok'),
+              ('java/complexorder/0001', 'ok4', 'p3', TRUE, 'ok'),
+              ('java/complexorder/0001', 'okDoWhile', 'p6', TRUE, 'ok'),
+              ('java/complexorder/0001', 'okWhile', 'p8', TRUE, 'ok'),
+              ('java/complexorder/0001', 'okWhile2', 'p7', TRUE, 'ok'),
+              ('java/complexorder/0001', 'ok_minimal1', 'p1', TRUE, 'ok'),
+              ('java/complexorder/0001', 'ok_minimal2', 'p1', TRUE, 'ok'),
+              ('java/complexorder/0001', 'ok_minimal3', 'p1', TRUE, 'ok'),
+              ('java/simpleorder/0001', 'nok1', 'p', FALSE, 'wrong_order'),
+              ('java/simpleorder/0001', 'nok2', 'p2', FALSE, 'incomplete'),
+              ('java/simpleorder/0001', 'nok3', 'p3', FALSE, 'wrong_order'),
+              ('java/simpleorder/0001', 'nok4', 'p4', FALSE, 'wrong_order'),
+              ('java/simpleorder/0001', 'ok', 'p4', TRUE, 'ok'),
+              ('java/simpleorder/0001', 'ok2', 'p4', TRUE, 'ok'),
+              ('java/simpleorder/0001', 'ok3', 'p4', TRUE, 'ok'))
+              AS t(doc_id, function, base, everything_ok, reason)
+            ORDER BY doc_id, function, base
+        """,
+        # golden oracle: cross-document CALLS over the deterministic
+        # generated corpus (120 mod docs, 4 hub docs) — each hub helper
+        # gains a fixed caller count; 116 sites hit the miss path and
+        # resolve to deterministic inferred FunctionDeclarations
+        "cpg_crossdoc_calls": """
+            SELECT * FROM (VALUES
+              ('<inferred>', CAST(116 AS BIGINT)),
+              ('util_helper_0', CAST(31 AS BIGINT)),
+              ('util_helper_1', CAST(31 AS BIGINT)),
+              ('util_helper_2', CAST(25 AS BIGINT)),
+              ('util_helper_3', CAST(29 AS BIGINT)))
+              AS t(callee_name, n_callers)
+            ORDER BY callee_name
+        """,
+        # golden oracle: the control-flow-sensitive refinement delta over
+        # the fixture corpus is one added def->use edge (the fixtures'
+        # only multi-assignment variable; ControlFlowSensitiveDFGPass
+        # removes nothing here because decl-mediated edges already match)
+        "cpg_dfg_refined": """
+            SELECT * FROM (VALUES
+              ('add', CAST(1 AS BIGINT))) AS t(action, n_edges)
+            ORDER BY action
+        """,
+        # golden oracle: Child.run OVERRIDES Base.run
+        # (TypeHierarchyResolver.java:117-139 semantics)
+        "cpg_overrides": """
+            SELECT * FROM (VALUES
+              ('run', 'OVERRIDES')) AS t(method, pred)
+            ORDER BY method
+        """,
+        # golden oracle: the openCypher pattern
+        # (f:FunctionDeclaration)-[:PARAMETERS]->(p) over the fixture graph
+        # returns exactly these 7 params; node_ids are stable content
+        # hashes (ids.py), so the values pin id determinism too
+        "cypher_params": """
+            SELECT * FROM (VALUES
+              ('2c0950e115bf3f83', 'ParamVariableDeclaration', 's', 'go/function/0001'),
+              ('86b45a1331fdfdd4', 'ParamVariableDeclaration', 's2', 'py/function/0001'),
+              ('8749b9e7c8e998c0', 'ParamVariableDeclaration', 's', 'py/function/0001'),
+              ('ced00adfee62b52b', 'ParamVariableDeclaration', 'j', 'go/comment/0001'),
+              ('d7b4f11f04688ef6', 'ParamVariableDeclaration', 'c', 'py/issue432/0001'),
+              ('dd5cfa9a50a85cfd', 'ParamVariableDeclaration', 'i', 'go/comment/0001'),
+              ('f925e0b4dca77544', 'ParamVariableDeclaration', 'i', 'go/switch/0001'))
+              AS t(node_id, label, name, doc_id)
+            ORDER BY node_id
+        """,
+        # golden oracle: the multimodal plumbing is deterministic end to
+        # end (synthetic blob payload = md5-chain bytes; decode kernel =
+        # blake2b fake, default-on) — sha/width/height pin the whole
+        # binary-column -> Arrow batch -> feature path
+        "media_feature_extract": """
+            SELECT * FROM (VALUES
+              ('blob://class_fields/0', 'image/fake', CAST(256 AS INTEGER), '9b5678ccdd8d9d233ddcfa66581f78181730613c3b8687625f429e918694e4ce', CAST(82 AS INTEGER), CAST(99 AS INTEGER)),
+              ('blob://comment/0', 'image/fake', CAST(256 AS INTEGER), '98b4157226a243d4110490731c82891b36d5bc1ee612813b8b3feaf5f08fb9f6', CAST(70 AS INTEGER), CAST(125 AS INTEGER)),
+              ('blob://field/0', 'image/fake', CAST(256 AS INTEGER), 'a80904fb5aa9c53f7ccaebf964730ed90f1c77a2b87a63a255b7fa22aa99a046', CAST(121 AS INTEGER), CAST(112 AS INTEGER)),
+              ('blob://for/0', 'image/fake', CAST(256 AS INTEGER), '21d938c02057b727eb52f7c47f0b98be0aa56960a2cc1ac1d2486aa627b6f9b6', CAST(77 AS INTEGER), CAST(88 AS INTEGER)),
+              ('blob://if/0', 'image/fake', CAST(256 AS INTEGER), '16b4cd0821740e97394f3da24d919a67615f638e897b1b0e13b2342b27babd68', CAST(73 AS INTEGER), CAST(114 AS INTEGER)),
+              ('blob://ifexpr/0', 'image/fake', CAST(256 AS INTEGER), '14558019c7b01a0cb841d608113b510eec28414492505eed1e5ee5c43a3969d6', CAST(121 AS INTEGER), CAST(117 AS INTEGER)),
+              ('blob://issue598/0', 'image/fake', CAST(256 AS INTEGER), '5623f139d922f5e386ad308c744590f39a3e247dd9ad0c8919e1d4253caf338c', CAST(88 AS INTEGER), CAST(107 AS INTEGER)))
+              AS t(media_ref, mime, n_bytes, sha, width, height)
+            ORDER BY media_ref
+        """,
+        # ann_lsh_topk: approximate by design (recall < 1 vs brute force —
+        # a brute-force oracle would be wrong, a golden oracle sf-bound) —
+        # rows-only check; recall is asserted in tests/test_ann.py.
+        # cpg_triples: the raw 1000+-row parser emission — rows-only check;
+        # P/R vs the reference fixtures is asserted in
+        # tests/test_fixture_triples.py instead.
     }

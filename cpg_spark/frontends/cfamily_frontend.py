@@ -826,8 +826,9 @@ class CFamilyFrontend(Emitter):
             self.expect(")")
             self.accept(";")
             self.ast_edge(nid, cid, "CONDITION", 0)
-        # do-while ~ body then while-loop shape
-        return nid, {"kind": "while", "nid": nid, "cond": cid or nid,
+        # body-first loop: executes at least once before the condition
+        # (EvaluationOrderGraphPass.java handleDoStatement)
+        return nid, {"kind": "dowhile", "nid": nid, "cond": cid or nid,
                      "body": body}
 
     def parse_for(self, path: str):

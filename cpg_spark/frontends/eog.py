@@ -12,6 +12,7 @@ C1).  Frontends hand it a lightweight *shadow tree* of dicts:
     {"kind": "plain",   "nid": ...}
     {"kind": "if",      "nid": ..., "cond": id, "then": [infos], "orelse": [infos] | None}
     {"kind": "while",   "nid": ..., "cond": id, "body": [infos]}
+    {"kind": "dowhile", "nid": ..., "cond": id, "body": [infos]}
     {"kind": "foreach", "nid": ..., "body": [infos]}
     {"kind": "return",  "nid": ...}
     {"kind": "break",   "nid": ...}
@@ -40,6 +41,20 @@ class EogBuilder:
     def connect(self, preds: list[tuple[str, str | None]], target: str) -> None:
         for pid, branch in preds:
             self._edge(pid, target, branch)
+
+    def _entry(self, info: dict) -> str:
+        """EOG entry node of a statement — the node ``stmt`` would connect
+        incoming edges to (conditions for branching forms, the statement
+        node otherwise)."""
+        kind = info["kind"]
+        if kind in ("if", "while", "foreach", "switch"):
+            return info.get("cond") or info["nid"]
+        if kind == "for":
+            init = info.get("init")
+            if init:
+                return self._entry(init)
+            return info.get("cond") or info["nid"]
+        return info["nid"]
 
     def seq(self, infos: list[dict], preds: list) -> list:
         for info in infos:
@@ -97,6 +112,22 @@ class EogBuilder:
             if post:
                 body_exits = self.stmt(post, body_exits)
             self.connect(body_exits, head)
+            breaks = self.loop_breaks.pop()
+            self.loop_heads.pop()
+            return [(head, "false")] + [(b, None) for b in breaks]
+        if kind == "dowhile":
+            # body executes at least once: preds -> body -> cond; cond
+            # true -> body entry (back edge), false -> exit
+            # (EvaluationOrderGraphPass.java:953-976 handleDoStatement)
+            head = info.get("cond") or nid
+            self.connect(preds, nid)
+            self.loop_breaks.append([])
+            self.loop_heads.append(head)
+            body = info.get("body") or []
+            body_exits = self.seq(body, [(nid, None)])
+            self.connect(body_exits, head)
+            if body:
+                self._edge(head, self._entry(body[0]), "true")
             breaks = self.loop_breaks.pop()
             self.loop_heads.pop()
             return [(head, "false")] + [(b, None) for b in breaks]

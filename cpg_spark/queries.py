@@ -448,6 +448,41 @@ def q_cpg_overrides(spark, sf_dir):
     )
 
 
+def q_cpg_order_eval(spark, sf_dir):
+    """DFA order evaluation (typestate checking) over the reference's two
+    ordering fixtures (cpg-analysis DFAOrderEvaluator semantics): one
+    verdict row per (fixture, function, considered base)."""
+    from cpg_spark.fixtures_order import (COMPLEX_DFA, COMPLEX_ORDER,
+                                          SIMPLE_DFA, SIMPLE_ORDER)
+    from cpg_spark.operators.order_fsm import evaluate_order
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "java/simpleorder/0001",
+          "spans": [{"kind": "code/java", "text": SIMPLE_ORDER,
+                     "media_ref": None, "offset": 0}]},
+         {"doc_id": "java/complexorder/0001",
+          "spans": [{"kind": "code/java", "text": COMPLEX_ORDER,
+                     "media_ref": None, "offset": 0}]}],
+        schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    simple = evaluate_order(
+        nodes.filter(F.col("doc_id").contains("simpleorder")),
+        edges.filter(F.col("doc_id").contains("simpleorder")),
+        SIMPLE_DFA, "Botan")
+    cplx = evaluate_order(
+        nodes.filter(F.col("doc_id").contains("complexorder")),
+        edges.filter(F.col("doc_id").contains("complexorder")),
+        COMPLEX_DFA, "Botan2")
+    return (
+        simple.unionByName(cplx)
+        .select("doc_id", "function", "base", "everything_ok", "reason")
+        .orderBy("doc_id", "function", "base")
+    )
+
+
 def q_cpg_value_eval(spark, sf_dir):
     """Constant evaluation fixpoint (ValueEvaluator semantics; SURVEY U1)
     over deterministic C++ + python snippets: binop folding, DFG copy,
@@ -845,7 +880,8 @@ def q_cpg_crossdoc_calls(spark, sf_dir):
                          F.col("doc_id").alias("callee_doc")),
             "obj", "left",
         )
-        .groupBy("callee_name")
+        .groupBy(F.coalesce(F.col("callee_name"), F.lit("<inferred>"))
+                 .alias("callee_name"))
         .agg(F.count("*").alias("n_callers"))
         .orderBy("callee_name")
     )
