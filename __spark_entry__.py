@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_overrides": Q.q_cpg_overrides,
         "cpg_value_eval": Q.q_cpg_value_eval,
         "cpg_order_eval": Q.q_cpg_order_eval,
+        "cpg_template_calls": Q.q_cpg_template_calls,
         "cypher_params": Q.q_cypher_params,
     }
 
@@ -639,6 +640,27 @@ def oracle_sql() -> dict[str, str]:
               ('pick', CAST(7 AS BIGINT)),
               ('sv', CAST(20 AS BIGINT))) AS t(name, value_x1)
             ORDER BY name
+        """,
+        # golden oracle: function-template resolution over the reference's
+        # functiontemplates fixtures — every FunctionTemplateTest
+        # invocation expectation is one row: exact non-template beats the
+        # template (inv1, inv7 f(1,2)); deduction (inv2/3), defaults
+        # (inv4), explicit args (inv5), explicit-forced cast (inv6),
+        # deduced-conflict fallback to cast (inv7 f(1,'b')) and
+        # explicit-syntax miss -> unresolved (inv7 f<>(1,'b'))
+        "cpg_template_calls": """
+            SELECT * FROM (VALUES
+              ('inv1', 'direct', '-', '-', 'double', CAST(1 AS BIGINT)),
+              ('inv2', 'template', 'double', 'AUTO_DEDUCTION', 'double', CAST(1 AS BIGINT)),
+              ('inv3', 'template', 'double', 'AUTO_DEDUCTION', 'double', CAST(1 AS BIGINT)),
+              ('inv4', 'template', 'int', 'DEFAULT', 'int', CAST(1 AS BIGINT)),
+              ('inv5', 'template', 'double', 'EXPLICIT', 'double', CAST(1 AS BIGINT)),
+              ('inv6', 'template', 'int', 'EXPLICIT', 'int', CAST(1 AS BIGINT)),
+              ('inv7', 'direct', '-', '-', 'void', CAST(2 AS BIGINT)),
+              ('inv7', 'template', 'char', 'AUTO_DEDUCTION', 'void', CAST(1 AS BIGINT)),
+              ('inv7', 'unresolved', '-', '-', '-', CAST(1 AS BIGINT)))
+              AS t(fixture, via, t_value, t_inst, call_type, n)
+            ORDER BY fixture, via, t_value, call_type
         """,
         # golden oracle: DFA order evaluation over the reference's two
         # ordering fixtures — every assertTrue/assertFalse of

@@ -163,6 +163,9 @@ class CFamilyFrontend(Emitter):
         # (CallResolver.java keeps candidate lists per name; a plain dict
         # scope entry would collapse overloads to the last declaration)
         self._overloads: dict[tuple, list] = {}
+        # (record_name_or_'', fn_name) -> [template_info]: function
+        # templates (TemplateDeclaration.java / FunctionTemplateTest)
+        self._templates: dict[tuple, list] = {}
         self._path_n = 0
 
     # ------------------------------------------------------------- tokens
@@ -429,6 +432,9 @@ class CFamilyFrontend(Emitter):
         """Dispatch: method/ctor/field/global-var/free-function, or None."""
         self._skip_modifiers()
         t = self.peek()
+        if (t.kind == "ident" and t.text == "template"
+                and self.dialect == "cpp" and self.peek(1).kind == "<"):
+            return self.parse_template(path + ".t", record, parent, index)
         if t.kind == "ident" and (
                 t.text in ("class", "struct")
                 or (t.text == "interface" and self.dialect == "java")):
@@ -547,6 +553,7 @@ class CFamilyFrontend(Emitter):
             "param_types": param_types, "n_defaults": n_defaults,
             "is_variadic": is_variadic, "is_definition": has_body,
             "record": record["name"] if record else None,
+            "ret_type": ret_type,
         }
         self._functions_by_id[fid] = fn_info
         self._overloads.setdefault(
@@ -574,6 +581,88 @@ class CFamilyFrontend(Emitter):
                                            "type": None, "fn": fn_info}
             self.ast_edge(parent, fid, "DECLARATIONS", index)
         return fid
+
+    def parse_template(self, path: str, record, parent, index):
+        """``template <class T=int, int N=5>`` + realization —
+        FunctionTemplateDeclaration with PARAMETERS (TypeParamDeclaration
+        with DEFAULT type / ParamVariableDeclaration with DEFAULT literal)
+        and a REALIZATION edge to the wrapped function
+        (TemplateDeclaration.java:40-66, FunctionTemplateTest
+        testFunctionTemplateStructure)."""
+        t0 = self.next()  # 'template'
+        tparams: list[dict] = []
+        self.expect("<")
+        pi = 0
+        while self.peek().kind not in (">", "eof"):
+            if self.peek().kind == "ident" and self.peek().text in (
+                    "class", "typename"):
+                self.next()
+                nt = self.next()
+                dflt = None
+                if self.accept("="):
+                    dflt = self.parse_type()
+                tparams.append({"kind": "type", "name": nt.text,
+                                "default": dflt, "pi": pi})
+            else:
+                ptype = self.parse_type()
+                nt = self.next() if self.peek().kind == "ident" else None
+                dflt = None
+                if self.accept("="):
+                    dt = self.next()
+                    dflt = dt.text
+                tparams.append({"kind": "value",
+                                "name": nt.text if nt else "",
+                                "type": ptype, "default": dflt, "pi": pi})
+            pi += 1
+            if not self.accept(","):
+                break
+        self.expect(">")
+        fid = self.parse_member_or_global(path + ".r", record, parent, index)
+        fn_info = self._functions_by_id.get(fid)
+        if fn_info is None:
+            return fid  # not a function template (class templates: subset
+            # keeps the realization as a plain record)
+        fn_info["is_template_realization"] = True
+        name = fn_info["name"]
+        tid = self.node(path, "FunctionTemplateDeclaration", name,
+                        self._tloc(t0))
+        if record is None:
+            self.ast_edge(parent, tid, "DECLARATIONS", index)
+        self.edge(tid, "REALIZATION", fid, {"index": 0})
+        for tp in tparams:
+            if tp["kind"] == "type":
+                pid = self.node(f"{path}.tp[{tp['pi']}]",
+                                "TypeParamDeclaration", tp["name"], None)
+                self.eval_type(pid, tp["name"])
+                if tp["default"]:
+                    # default is a Type (typeParamDeclaration.getDefault())
+                    self.edge(pid, "DEFAULT", self.type_node(tp["default"]))
+            else:
+                pid = self.node(f"{path}.tp[{tp['pi']}]",
+                                "ParamVariableDeclaration", tp["name"], None,
+                                argument_index=tp["pi"])
+                if tp["type"]:
+                    self.eval_type(pid, tp["type"])
+                if tp["default"] is not None:
+                    lid = self.node(f"{path}.tp[{tp['pi']}].d", "Literal",
+                                    tp["default"], None,
+                                    props={"value": tp["default"]})
+                    self.eval_type(lid, tp["type"] or "int")
+                    self.ast_edge(pid, lid, "DEFAULT", 0)
+                    # the default literal flows into N
+                    # (FunctionTemplateTest:155 N.prevDFG contains int5)
+                    self.edge(lid, "DFG", pid)
+                    tp["default_lit"] = lid
+            tp["decl_id"] = pid
+            self.edge(tid, "PARAMETERS", pid, {"index": tp["pi"]})
+            self.ast_edge(tid, pid, "PARAMETERS", tp["pi"])
+        if record is not None:
+            # record.getTemplates() (testFunctionTemplateInMethod)
+            self.edge(record["decl_id"], "TEMPLATES", tid)
+        self._templates.setdefault(
+            (record["name"] if record else "", name), []).append(
+            {"tid": tid, "params": tparams, "fn": fn_info})
+        return tid
 
     def parse_var_after_type(self, path, tname, record, parent, index):
         """Fields (in record) or globals (module scope), comma-separated."""
@@ -1101,6 +1190,12 @@ class CFamilyFrontend(Emitter):
                                   "type": None})
             elif t.kind == "(" and base[1].get("kind") == "ref":
                 base = self.plain_call(base, f"{path}.call{n}")
+            elif (t.kind == "<" and base[1].get("kind") == "ref"
+                  and self.dialect == "cpp" and self._scan_template_args()):
+                # `name<targs>(...)` — explicit template argument list
+                # (disambiguated from less-than by the balanced-scan)
+                targs = self._parse_template_args(f"{path}.targ{n}")
+                base = self.plain_call(base, f"{path}.call{n}", targs=targs)
             elif t.kind == "(":
                 # call on an arbitrary expression
                 bid, bmeta = base
@@ -1222,7 +1317,46 @@ class CFamilyFrontend(Emitter):
         nid = self.node(path, "Expression", "", self._tloc(t), code=t.text)
         return nid, {"kind": "gap", "name": "", "type": None}
 
-    def plain_call(self, base, path: str):
+    def _scan_template_args(self) -> bool:
+        """Lookahead: a balanced ``<...>`` of type/literal tokens followed
+        immediately by ``(`` — the subset's template-vs-less-than
+        disambiguation (the reference leans on CDT's)."""
+        if self.peek().kind != "<":
+            return False
+        j, depth = self.i + 1, 1
+        while depth and j < len(self.toks):
+            k = self.toks[j].kind
+            if k == "<":
+                depth += 1
+            elif k == ">":
+                depth -= 1
+            elif k not in ("ident", "int", "float", "string", "char",
+                           ",", "*", "&", "::", "[", "]"):
+                return False
+            j += 1
+        return depth == 0 and j < len(self.toks) and self.toks[j].kind == "("
+
+    def _parse_template_args(self, path: str) -> list[dict]:
+        """``<double, 3>`` (possibly empty ``<>``): type args become
+        bindings, value args become Literal nodes."""
+        self.expect("<")
+        targs: list[dict] = []
+        i = 0
+        while self.peek().kind not in (">", "eof"):
+            if self._looks_like_type():
+                targs.append({"kind": "type", "name": self.parse_type()})
+            else:
+                aid, ameta = self.parse_operand(f"{path}[{i}]")
+                targs.append({"kind": "value", "node": aid,
+                              "name": (ameta or {}).get("name"),
+                              "type": (ameta or {}).get("type")})
+            i += 1
+            if not self.accept(","):
+                break
+        self.expect(">")
+        return targs
+
+    def plain_call(self, base, path: str, targs: list | None = None):
         bid, bmeta = base
         name = bmeta.get("name") or ""
         self._drop_pending_ref(bid)
@@ -1249,7 +1383,7 @@ class CFamilyFrontend(Emitter):
         # methods (implicit this-call), then module-level overloads
         self.pending_calls.append(
             (nid, name, list(self.scopes), args,
-             rec_scope.name if rec_scope else None))
+             rec_scope.name if rec_scope else None, targs))
         return nid, {"kind": "call", "name": name, "type": None}
 
     def member_call(self, base, sel: Tok, path: str):
@@ -1371,6 +1505,162 @@ class CFamilyFrontend(Emitter):
                 best.append(fn)
         return best
 
+    def _overload_winners_ranked(self, cands, args):
+        """Like :meth:`_overload_winners` but also returns the winning
+        rank (0 exact, 1 implicit cast, None no viable candidate) so the
+        template ladder can slot between the two."""
+        best, best_rank = [], None
+        for fn in cands:
+            r = self._sig_rank(fn, args)
+            if r is None:
+                continue
+            if best_rank is None or r < best_rank:
+                best, best_rank = [fn], r
+            elif r == best_rank:
+                best.append(fn)
+        return best, best_rank
+
+    @staticmethod
+    def _bare(t):
+        return t.removeprefix("const ").rstrip("&") if t else t
+
+    def _wrap_cast(self, call_id: str, a: dict, tname: str) -> str:
+        """Materialize an implicit conversion: re-point the call's
+        ARGUMENTS/AST edges at a new implicit CastExpression wrapping the
+        original argument (CallResolver.java:847-907 applyImplicitCast)."""
+        aid = a["arg_id"]
+        cid = self.node(f"icast.{call_id}.{a['index']}", "CastExpression",
+                        tname, None, is_implicit=True)
+        for e in self.out.edges:
+            if e["subj"] == call_id and e["obj"] == aid and (
+                    e["pred"] == "ARGUMENTS"
+                    or (e["pred"] == "AST"
+                        and e["props"].get("field") == "ARGUMENTS")):
+                e["obj"] = cid
+        self.ast_edge(cid, aid, "EXPRESSION", 0)
+        self.eval_type(cid, tname)
+        self.edge(aid, "DFG", cid)  # CastExpression.java:60
+        a["arg_id"] = cid
+        a["type"] = tname
+        return cid
+
+    def _wrap_call_casts(self, call_id, fn, args):
+        ptypes = fn.get("param_types") or []
+        for i, a in enumerate(args or []):
+            if i >= len(ptypes):
+                break
+            at, pt_ = self._bare(a.get("type")), self._bare(ptypes[i])
+            if at and pt_ and at != pt_:
+                self._wrap_cast(call_id, a, pt_)
+
+    # ------------------------------------------------ template ladder
+    # function-template instantiation subset of CallResolver.java:521-:
+    # explicit args positionally, deduction from argument types (conflict
+    # -> not viable, FunctionTemplateTest f(1,'b')), defaults for the
+    # rest; an explicitly-bound type param may force a numeric cast on
+    # the argument (invocation6)
+
+    def _first_instantiation(self, tpls, targs, args):
+        for tpl in tpls:
+            inst = self._instantiate_template(tpl, targs, args)
+            if inst is not None:
+                return inst
+        return None
+
+    def _instantiate_template(self, tpl, targs, args):
+        params, fn = tpl["params"], tpl["fn"]
+        binding: dict[str, str] = {}
+        sources: dict[int, tuple] = {}
+        type_param_names = {p["name"] for p in params if p["kind"] == "type"}
+        pi_of = {p["name"]: p["pi"] for p in params}
+        explicit_types: set[str] = set()
+        if targs:
+            if len(targs) > len(params):
+                return None
+            for tp, ta in zip(params, targs):
+                if tp["kind"] == "type":
+                    if ta["kind"] != "type":
+                        return None
+                    binding[tp["name"]] = ta["name"]
+                    explicit_types.add(tp["name"])
+                    sources[tp["pi"]] = ("EXPLICIT", ("type", ta["name"]))
+                else:
+                    if ta["kind"] != "value":
+                        return None
+                    sources[tp["pi"]] = ("EXPLICIT", ("node", ta["node"]))
+        np_, nd = fn["n_params"], fn.get("n_defaults") or 0
+        na = len(args or [])
+        if not (np_ - nd <= na <= np_):
+            return None
+        casts = []
+        ptypes = fn.get("param_types") or []
+        for i, a in enumerate(args or []):
+            pt_ = ptypes[i] if i < len(ptypes) else None
+            at = self._bare(a.get("type"))
+            if pt_ in type_param_names:
+                if pt_ in binding:
+                    want = binding[pt_]
+                    if at and at != want:
+                        # an EXPLICIT binding coerces the argument
+                        # (invocation6); a deduced one conflicting with a
+                        # later use kills the instantiation (f(1,'b'))
+                        if (pt_ in explicit_types
+                                and at in _NUM_TYPES and want in _NUM_TYPES):
+                            casts.append((a, want))
+                        else:
+                            return None
+                elif at is None:
+                    return None  # nothing to deduce from
+                else:
+                    binding[pt_] = at
+                    sources[pi_of[pt_]] = ("AUTO_DEDUCTION", ("type", at))
+            elif at and pt_ and at != self._bare(pt_):
+                if not (at in _NUM_TYPES and self._bare(pt_) in _NUM_TYPES):
+                    return None
+                casts.append((a, self._bare(pt_)))
+        for tp in params:
+            if tp["pi"] in sources:
+                continue
+            if tp["kind"] == "type":
+                if tp["name"] in binding:
+                    continue  # deduced via an earlier duplicate use
+                if not tp["default"]:
+                    return None
+                binding[tp["name"]] = tp["default"]
+                sources[tp["pi"]] = ("DEFAULT", ("type", tp["default"]))
+            else:
+                if tp.get("default_lit") is None:
+                    return None
+                sources[tp["pi"]] = ("DEFAULT", ("node", tp["default_lit"]))
+        return {"tpl": tpl, "fn": fn, "binding": binding,
+                "sources": sources, "casts": casts}
+
+    def _emit_template_call(self, call_id, inst, args):
+        fn, tpl = inst["fn"], inst["tpl"]
+        self.edge(call_id, "CALLS", fn["decl_id"])
+        self.edge(fn["decl_id"], "DFG", call_id)
+        for a, want in inst["casts"]:
+            self._wrap_cast(call_id, a, want)
+        self._dfg_args_to_params(args, fn["decl_id"])
+        self.edge(call_id, "TEMPLATE_INSTANTIATION", tpl["tid"])
+        for tp in tpl["params"]:
+            src, (vkind, val) = inst["sources"][tp["pi"]]
+            props = {"index": tp["pi"], "instantiation": src}
+            if vkind == "type":
+                te = self.node(f"targ.{call_id}.{tp['pi']}", "TypeExpression",
+                               val, None, is_implicit=(src != "EXPLICIT"))
+                self.eval_type(te, val)
+                self.edge(call_id, "TEMPLATE_PARAMETERS", te, props)
+            else:
+                self.edge(call_id, "TEMPLATE_PARAMETERS", val, props)
+                # the instantiation literal flows into the value param
+                # (FunctionTemplateTest:155-157 N.prevDFG)
+                self.edge(val, "DFG", tp["decl_id"])
+        rt = fn.get("ret_type")
+        rt = inst["binding"].get(rt, rt)
+        if rt:
+            self.eval_type(call_id, rt)
+
     def _method_winners(self, rec_name, name, args, _depth=0):
         """Overload ladder over one record's methods, walking supertypes
         nearest-first when the record itself has no viable candidate."""
@@ -1430,13 +1720,46 @@ class CFamilyFrontend(Emitter):
                 self.out.mentions.append(
                     self._mention(ref_id, "ref", name, scopes=scopes))
         self._share_default_counts()
-        for call_id, name, scopes, args, rec_name in self.pending_calls:
-            winners = []
+        for call_id, name, scopes, args, rec_name, targs in self.pending_calls:
+            tpls = (self._templates.get((rec_name or "", name))
+                    or self._templates.get(("", name)) or [])
+            if targs is not None:
+                # explicit `name<...>(...)` syntax restricts resolution to
+                # templates (CallResolver.java handleTemplateFunctionCalls;
+                # FunctionTemplateTest f4 `f<>(1,'b')` -> inferred on miss)
+                inst = self._first_instantiation(tpls, targs, args)
+                if inst is not None:
+                    self._emit_template_call(call_id, inst, args)
+                else:
+                    self.out.mentions.append(self._mention(
+                        call_id, "call", name, base_type=rec_name or None,
+                        scopes=scopes, n_args=len(args), n_kwargs=0,
+                        arg_ids=[a["arg_id"] for a in args],
+                        arg_types=[a.get("type") for a in args]))
+                continue
+            winners, rank = [], None
             if rec_name:  # implicit this-call candidates first
                 winners = self._method_winners(rec_name, name, args)
             if not winners:
-                winners = self._overload_winners(
-                    self._overloads.get(("", name), []), args)
+                nt = [f for f in self._overloads.get(("", name), [])
+                      if not f.get("is_template_realization")]
+                winners, rank = self._overload_winners_ranked(nt, args)
+                if tpls and (not winners or rank > 0):
+                    # template ladder: an exact non-template match wins
+                    # (invocation1/7), but a viable instantiation beats
+                    # implicit-cast matches (CallResolver template step
+                    # precedes applyImplicitCasts)
+                    inst = self._first_instantiation(tpls, None, args)
+                    if inst is not None:
+                        self._emit_template_call(call_id, inst, args)
+                        continue
+                if winners and rank and len(winners) == 1 \
+                        and self.dialect == "cpp":
+                    # the surviving implicit-cast match materializes its
+                    # casts — C++ only, like the reference
+                    # (CallResolver.java:847-907 applyImplicitCast;
+                    # FunctionTemplateTest f(1,'b') -> CastExpression)
+                    self._wrap_call_casts(call_id, winners[0], args)
             if winners:
                 # ties (ambiguous call / prototype+definition) keep every
                 # edge, matching the reference's multi-invokes
@@ -1444,6 +1767,13 @@ class CFamilyFrontend(Emitter):
                     self.edge(call_id, "CALLS", fn["decl_id"])
                     self.edge(fn["decl_id"], "DFG", call_id)
                 self._dfg_args_to_params(args, winners[0]["decl_id"])
+                # the call's evaluated type is the invoked function's
+                # return type (CallExpression TypeListener semantics);
+                # C++ path only — the Java fixture edge profiles are
+                # pinned without it
+                rts = {f.get("ret_type") for f in winners}
+                if self.dialect == "cpp" and len(rts) == 1 and None not in rts:
+                    self.eval_type(call_id, rts.pop())
             else:
                 # base_type = enclosing record (if any): an unqualified
                 # call inside a method is an implicit-this call first

@@ -448,6 +448,73 @@ def q_cpg_overrides(spark, sf_dir):
     )
 
 
+def q_cpg_template_calls(spark, sf_dir):
+    """Function-template resolution (CallResolver.java:521- subset) over
+    the reference's functiontemplates fixtures: one aggregated row per
+    (fixture, resolution kind, deduced/explicit T, instantiation source,
+    call type) — FunctionTemplateTest's invocation expectations."""
+    from cpg_spark.fixtures_templates import TEMPLATE_FIXTURES
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": f"cpp/{k}/0001",
+          "spans": [{"kind": "code/cpp", "text": src, "media_ref": None,
+                     "offset": 0}]}
+         for k, src in TEMPLATE_FIXTURES.items() if k != "method"],
+        schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, _, _ = split_parse_output(raw)
+    calls = (
+        nodes.filter(F.col("label") == "CallExpression")
+        .filter(F.col("name").isin("fixed_multiply", "f"))
+        .select(F.col("node_id").alias("call_id"),
+                F.regexp_extract("doc_id", r"cpp/(\w+)/", 1).alias("fixture"))
+    )
+    target = edges.filter(F.col("pred") == "CALLS").select(
+        F.col("subj").alias("call_id"), F.col("obj").alias("target_id"))
+    realized = edges.filter(F.col("pred") == "REALIZATION").select(
+        F.col("obj").alias("target_id"), F.lit(True).alias("is_realization"))
+    tparam = (
+        edges.filter((F.col("pred") == "TEMPLATE_PARAMETERS")
+                     & (F.col("props").getItem("index") == "0"))
+        .select(F.col("subj").alias("call_id"),
+                F.col("obj").alias("t_node"),
+                F.col("props").getItem("instantiation").alias("t_inst"))
+        .join(nodes.select(F.col("node_id").alias("t_node"),
+                           F.col("name").alias("t_value"))
+              .dropDuplicates(["t_node"]), "t_node")
+        .drop("t_node")
+    )
+    ctype = (
+        edges.filter(F.col("pred") == "EVAL_TYPE")
+        .join(calls.select("call_id"),
+              F.col("subj") == F.col("call_id")).drop("subj")
+        .join(nodes.select(F.col("node_id").alias("obj"),
+                           F.col("name").alias("call_type"))
+              # type nodes have global content-hash ids -> one row per
+              # doc that mentions the type; dedup before the lookup join
+              .dropDuplicates(["obj"]), "obj")
+        .select("call_id", "call_type")
+    )
+    return (
+        calls
+        .join(target, "call_id", "left")
+        .join(F.broadcast(realized), "target_id", "left")
+        .join(tparam, "call_id", "left")
+        .join(ctype, "call_id", "left")
+        .withColumn("via", F.when(F.col("target_id").isNull(), "unresolved")
+                    .when(F.col("is_realization"), "template")
+                    .otherwise("direct"))
+        .groupBy("fixture", "via",
+                 F.coalesce("t_value", F.lit("-")).alias("t_value"),
+                 F.coalesce("t_inst", F.lit("-")).alias("t_inst"),
+                 F.coalesce("call_type", F.lit("-")).alias("call_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("fixture", "via", "t_value", "call_type")
+    )
+
+
 def q_cpg_order_eval(spark, sf_dir):
     """DFA order evaluation (typestate checking) over the reference's two
     ordering fixtures (cpg-analysis DFAOrderEvaluator semantics): one
