@@ -619,13 +619,23 @@ class CFamilyFrontend(Emitter):
         self.expect(">")
         fid = self.parse_member_or_global(path + ".r", record, parent, index)
         fn_info = self._functions_by_id.get(fid)
+        rec_info = None
         if fn_info is None:
-            return fid  # not a function template (class templates: subset
-            # keeps the realization as a plain record)
-        fn_info["is_template_realization"] = True
-        name = fn_info["name"]
-        tid = self.node(path, "FunctionTemplateDeclaration", name,
-                        self._tloc(t0))
+            # class template (ClassTemplateDeclaration / ClassTemplateTest):
+            # the realization is the record; instances erase the generic
+            # args for member lookup (parse_type drops <...>), like the
+            # reference's record-level resolution over the template record
+            rec_info = next((r for r in self.records.values()
+                             if r["decl_id"] == fid), None)
+            if rec_info is None:
+                return fid
+        else:
+            fn_info["is_template_realization"] = True
+        name = fn_info["name"] if fn_info else rec_info["name"]
+        tid = self.node(path,
+                        "FunctionTemplateDeclaration" if fn_info
+                        else "ClassTemplateDeclaration",
+                        name, self._tloc(t0))
         if record is None:
             self.ast_edge(parent, tid, "DECLARATIONS", index)
         self.edge(tid, "REALIZATION", fid, {"index": 0})
@@ -659,9 +669,10 @@ class CFamilyFrontend(Emitter):
         if record is not None:
             # record.getTemplates() (testFunctionTemplateInMethod)
             self.edge(record["decl_id"], "TEMPLATES", tid)
-        self._templates.setdefault(
-            (record["name"] if record else "", name), []).append(
-            {"tid": tid, "params": tparams, "fn": fn_info})
+        if fn_info is not None:
+            self._templates.setdefault(
+                (record["name"] if record else "", name), []).append(
+                {"tid": tid, "params": tparams, "fn": fn_info})
         return tid
 
     def parse_var_after_type(self, path, tname, record, parent, index):

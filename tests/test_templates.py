@@ -207,3 +207,92 @@ def test_function_template_in_method():
     real = [nodes[e["obj"]] for e in by_pred["REALIZATION"]
             if e["subj"] == tpls[0]["node_id"]]
     assert len(real) == 1 and real[0]["label"] == "MethodDeclaration"
+
+
+# --------------------------------------------------------------- class
+# templates (ClassTemplateTest.java over classtemplates/{pair,array}.cpp)
+
+PAIR = """
+template<class Type1, class Type2>
+class Pair
+{
+    public:
+        Type1 first;
+        Type2 second;
+};
+
+int main()
+{
+    Pair<int,int> point1;
+    point1.first = 10;
+    point1.second = 20;
+}
+"""
+
+ARRAY = """
+template<typename T, int N=10>
+class Array
+{
+private:
+\tT m_Array[N];
+public:
+\tint GetSize() const { return N; }
+};
+
+int main()
+{
+\tArray<int> array;
+\tarray.GetSize();
+}
+"""
+
+
+def test_class_template_structure():  # testClassTemplateStructure (pair.cpp)
+    g = _graph(PAIR)
+    nodes, by_pred = _index(g)
+    tpl = next(n for n in nodes.values()
+               if n["label"] == "ClassTemplateDeclaration")
+    assert tpl["name"] == "Pair"
+    params = [nodes[e["obj"]] for e in by_pred["PARAMETERS"]
+              if e["subj"] == tpl["node_id"]]
+    assert sorted(p["name"] for p in params) == ["Type1", "Type2"]
+    assert all(p["label"] == "TypeParamDeclaration" for p in params)
+    real = [nodes[e["obj"]] for e in by_pred["REALIZATION"]
+            if e["subj"] == tpl["node_id"]]
+    assert len(real) == 1
+    assert real[0]["label"] == "RecordDeclaration" and real[0]["name"] == "Pair"
+    # instance members resolve through the erased record
+    # (point1.first -> FieldDeclaration first)
+    refs = {nodes[e["subj"]]["name"]: nodes[e["obj"]]
+            for e in by_pred["REFERS_TO"]
+            if nodes[e["subj"]]["label"] == "MemberExpression"}
+    assert refs["first"]["label"] == "FieldDeclaration"
+    assert refs["second"]["label"] == "FieldDeclaration"
+    # the declared variable evaluates to the template record's type
+    point1 = next(n for n in nodes.values()
+                  if n["label"] == "VariableDeclaration"
+                  and n["name"] == "point1")
+    assert _eval_type_name(nodes, by_pred, point1["node_id"]) == "Pair"
+
+
+def test_class_template_value_param():  # testClassTemplateWithValueParameter
+    g = _graph(ARRAY)
+    nodes, by_pred = _index(g)
+    tpl = next(n for n in nodes.values()
+               if n["label"] == "ClassTemplateDeclaration")
+    assert tpl["name"] == "Array"
+    params = [nodes[e["obj"]] for e in by_pred["PARAMETERS"]
+              if e["subj"] == tpl["node_id"]]
+    n_param = next(p for p in params
+                   if p["label"] == "ParamVariableDeclaration")
+    assert n_param["name"] == "N"
+    # default literal 10 flows into N
+    dfg_in = [nodes[e["subj"]] for e in by_pred["DFG"]
+              if e["obj"] == n_param["node_id"]]
+    assert any(d["label"] == "Literal" and d["name"] == "10" for d in dfg_in)
+    # array.GetSize() resolves against the template record's method
+    call = next(n for n in nodes.values()
+                if n["label"] == "MemberCallExpression"
+                and n["name"] == "GetSize")
+    tgts = _call_targets(nodes, by_pred, call["node_id"])
+    assert len(tgts) == 1 and tgts[0]["label"] == "MethodDeclaration"
