@@ -291,3 +291,30 @@ def test_super_field_ref(spark, super_calls):
     assert len(hits) == 1
     assert hits[0]["label"] == "FieldDeclaration"
     assert hits[0]["doc_id"] == "java/SCSuper/0001"
+
+
+def test_inferred_id_same_on_both_mint_paths(spark):
+    """VERDICT r1 item 7: frontend-side (Python ids.inferred_id) and
+    link-side (Spark _inferred_id_col) ids for the same logical inferred
+    symbol must be byte-identical, so both paths collapse to one node at
+    materialize regardless of which stage minted it first."""
+    from cpg_spark.ids import inferred_id
+    from cpg_spark.operators.link import _inferred_id_col
+
+    cases = [("FunctionDeclaration", "helper", "2", ""),
+             ("FieldDeclaration", "attr", "", "pkg.Base"),
+             ("FunctionDeclaration", "do_it", "0", "")]
+    df = spark.createDataFrame(
+        [(n, s, c) for _, n, s, c in cases], "name string, sig string, cont string"
+    ).select(
+        _inferred_id_col("FunctionDeclaration", F.col("name"),
+                         F.col("sig"), F.col("cont")).alias("fn_id"),
+        _inferred_id_col("FieldDeclaration", F.col("name"),
+                         F.col("sig"), F.col("cont")).alias("fld_id"),
+        "name", "sig", "cont")
+    got = {(r["name"], r["sig"], r["cont"]):
+           {"FunctionDeclaration": r["fn_id"], "FieldDeclaration": r["fld_id"]}
+           for r in df.collect()}
+    for kind, name, sig, cont in cases:
+        assert got[(name, sig, cont)][kind] == inferred_id(
+            kind, name, signature=sig, container=cont)
