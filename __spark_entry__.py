@@ -726,16 +726,16 @@ def oracle_sql() -> dict[str, str]:
         # golden oracle: the openCypher pattern
         # (f:FunctionDeclaration)-[:PARAMETERS]->(p) over the fixture graph
         # returns exactly these 7 params; node_ids are stable content
-        # hashes (ids.py), so the values pin id determinism too
+        # hashes (ids.py, signed int64), so the values pin id determinism
         "cypher_params": """
             SELECT * FROM (VALUES
-              ('2c0950e115bf3f83', 'ParamVariableDeclaration', 's', 'go/function/0001'),
-              ('86b45a1331fdfdd4', 'ParamVariableDeclaration', 's2', 'py/function/0001'),
-              ('8749b9e7c8e998c0', 'ParamVariableDeclaration', 's', 'py/function/0001'),
-              ('ced00adfee62b52b', 'ParamVariableDeclaration', 'j', 'go/comment/0001'),
-              ('d7b4f11f04688ef6', 'ParamVariableDeclaration', 'c', 'py/issue432/0001'),
-              ('dd5cfa9a50a85cfd', 'ParamVariableDeclaration', 'i', 'go/comment/0001'),
-              ('f925e0b4dca77544', 'ParamVariableDeclaration', 'i', 'go/switch/0001'))
+              (CAST(-8740261938329682476 AS BIGINT), 'ParamVariableDeclaration', 's2', 'py/function/0001'),
+              (CAST(-8698216800130066240 AS BIGINT), 'ParamVariableDeclaration', 's', 'py/function/0001'),
+              (CAST(-3544320949847149269 AS BIGINT), 'ParamVariableDeclaration', 'j', 'go/comment/0001'),
+              (CAST(-2903430744226885898 AS BIGINT), 'ParamVariableDeclaration', 'c', 'py/issue432/0001'),
+              (CAST(-2495844552784978691 AS BIGINT), 'ParamVariableDeclaration', 'i', 'go/comment/0001'),
+              (CAST(-493741516726504124 AS BIGINT), 'ParamVariableDeclaration', 'i', 'go/switch/0001'),
+              (CAST(3173156340121943939 AS BIGINT), 'ParamVariableDeclaration', 's', 'go/function/0001'))
               AS t(node_id, label, name, doc_id)
             ORDER BY node_id
         """,

@@ -50,7 +50,7 @@ def type_components(nodes: DataFrame, edges: DataFrame,
         # no typedef chains in the corpus: skip the CC driver loop
         alias.unpersist()
         spark = nodes.sparkSession
-        return spark.createDataFrame([], "node string, component string")
+        return spark.createDataFrame([], "node bigint, component bigint")
     return connected_components(alias, max_rounds=max_rounds,
                                 checkpoint=False).persist()
 

@@ -24,9 +24,9 @@ from pyspark.sql import types as T
 
 DELTA_SCHEMA = T.StructType([
     T.StructField("action", T.StringType()),      # retarget | drop_node
-    T.StructField("subj", T.StringType()),        # parent (retarget) / node
-    T.StructField("obj", T.StringType()),         # old child (goto)
-    T.StructField("new_obj", T.StringType()),     # inlined block
+    T.StructField("subj", T.LongType()),          # parent (retarget) / node
+    T.StructField("obj", T.LongType()),           # old child (goto)
+    T.StructField("new_obj", T.LongType()),       # inlined block
     T.StructField("doc_id", T.StringType()),
 ])
 
@@ -140,7 +140,11 @@ def compress_llvm_delta(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         props = dict(zip(npdf["node_id"], npdf["target"]))
         rows = _compress_doc(key[0], labels, names, props,
                              epdf.to_dict("records"))
-        return pd.DataFrame(rows, columns=[f.name for f in DELTA_SCHEMA.fields])
+        # object dtype: obj/new_obj mix int64 ids with None — default
+        # inference would flip them to float64 and corrupt ids > 2^53
+        frame = pd.DataFrame(rows, columns=[f.name for f in DELTA_SCHEMA.fields],
+                             dtype=object)
+        return frame.where(frame.notna(), None)
 
     return (n.groupBy("doc_id").cogroup(e.groupBy("doc_id"))
             .applyInPandas(run, schema=DELTA_SCHEMA))

@@ -30,9 +30,9 @@ from pyspark.sql import types as T
 
 DELTA_SCHEMA = T.StructType([
     T.StructField("action", T.StringType(), False),  # add | remove
-    T.StructField("subj", T.StringType(), False),
+    T.StructField("subj", T.LongType(), False),
     T.StructField("pred", T.StringType(), False),
-    T.StructField("obj", T.StringType(), False),
+    T.StructField("obj", T.LongType(), False),
     T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
     T.StructField("doc_id", T.StringType(), True),
 ])

@@ -45,7 +45,11 @@ def _canon_sig_type(col):
 
 # Spark-side twin of cpg_spark.ids.inferred_id: sha2 over the identical
 # 5-field key string, so link-inferred and frontend-inferred ids for the
-# same logical symbol are equal and collapse at materialize.
+# same logical symbol are equal and collapse at materialize.  The first 8
+# digest bytes become a signed int64 the ANSI-safe way: two 32-bit halves
+# via conv() (conv of 16 hex chars returns an unsigned decimal string that
+# can overflow a bigint cast), recombined with an explicit sign fold —
+# exactly int.from_bytes(digest[:8], "big", signed=True) on the Python side.
 
 
 def _inferred_id_col(kind: str, name_col, sig_col, container_col=None):
@@ -55,7 +59,13 @@ def _inferred_id_col(kind: str, name_col, sig_col, container_col=None):
                       F.coalesce(name_col, F.lit("")),
                       F.coalesce(sig_col.cast("string"), F.lit("")),
                       F.coalesce(container_col, F.lit("")))
-    return F.substring(F.sha2(key, 256), 1, 16)
+    h = F.sha2(key, 256)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return (
+        (hi - F.when(hi >= F.lit(2**31), F.lit(2**32)).otherwise(F.lit(0)))
+        * F.lit(2**32) + lo
+    )
 
 
 def _pick_winner(joined: DataFrame, order_cols: list) -> DataFrame:
@@ -156,7 +166,7 @@ def _function_pointer_targets(missed: DataFrame, nodes: DataFrame,
     pairs — ALL functions reachable, matching the reference's
     multi-invokes for conditionally-assigned pointers."""
     empty = missed.sparkSession.createDataFrame(
-        [], "mention_id string, fn_id string")
+        [], "mention_id bigint, fn_id bigint")
     vars_ = nodes.filter(
         F.col("label").isin("VariableDeclaration", "ParamVariableDeclaration")
     ).select("doc_id", "name", F.col("node_id").alias("cur"))

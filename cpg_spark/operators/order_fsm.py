@@ -120,7 +120,8 @@ def _walk_function(entry: str, succ: dict, relevant: dict, dfa: dict,
                 # stopOnWrongBase: skip bases already broken on a
                 # prefix of this path (DFAOrderEvaluator.kt:144-149)
                 broken = any(
-                    wb.split("|", 1)[1] == base_id
+                    # base_id is an int64 node id; FSM keys are strings
+                    wb.split("|", 1)[1] == str(base_id)
                     and key.startswith(wb.split("|", 1)[0])
                     for wb in wrong
                 )
@@ -223,13 +224,13 @@ def _doc_kernel(doc_id: str, npdf: pd.DataFrame, epdf: pd.DataFrame,
                                          trans, fn_nodes)
         per_base: dict[str, dict] = {}
         for key, state in base_fsm.items():
-            base_id = key.split("|", 1)[1]
+            base_id = int(key.split("|", 1)[1])
             agg = per_base.setdefault(base_id, {"wrong": False,
                                                 "incomplete": False})
             if state not in dfa["accepting"]:
                 agg["incomplete"] = True
         for key in wrong:
-            base_id = key.split("|", 1)[1]
+            base_id = int(key.split("|", 1)[1])
             per_base.setdefault(base_id, {"incomplete": False})["wrong"] = True
         decl_name = {bid: bname for bid, bname, _ in relevant.values()}
         n_ops_by_base = defaultdict(int)
@@ -270,7 +271,7 @@ def evaluate_order(nodes: DataFrame, edges: DataFrame, dfa: dict,
             "edges": [tuple(e) for e in dfa["edges"]]}
 
     # ONE grouped frame, not a cogroup: node rows ride along as pseudo
-    # edges (pred='::NODE::', obj=label, props={'name': ...}).  A cogroup
+    # edges (pred='::NODE::', label+name in props).  A cogroup
     # would be a self-join of two frames sharing the parse output AND the
     # unreachable pass's constant dimension as ancestors — Spark's
     # ambiguous-self-join analysis rejects that; the union also halves
@@ -279,9 +280,14 @@ def evaluate_order(nodes: DataFrame, edges: DataFrame, dfa: dict,
         "doc_id",
         F.col("node_id").alias("subj"),
         F.lit("::NODE::").alias("pred"),
-        F.col("label").alias("obj"),
-        F.create_map(F.lit("name"),
-                     F.coalesce(F.col("name"), F.lit(""))).alias("props"),
+        # non-null placeholder (ignored by the kernel): a null here would
+        # flip the whole Arrow->pandas obj column to float64 and corrupt
+        # int64 ids beyond 2^53 in the REAL edge rows sharing the column
+        F.col("node_id").alias("obj"),
+        F.create_map(
+            F.lit("name"), F.coalesce(F.col("name"), F.lit("")),
+            F.lit("label"), F.col("label"),
+        ).alias("props"),
     )
     e = edges.filter(
         F.col("pred").isin("EOG", "AST", "REFERS_TO", "EVAL_TYPE", "METHODS")
@@ -292,7 +298,7 @@ def evaluate_order(nodes: DataFrame, edges: DataFrame, dfa: dict,
         npart = pdf[is_node]
         npdf = pd.DataFrame({
             "node_id": npart["subj"],
-            "label": npart["obj"],
+            "label": [(p or {}).get("label", "") for p in npart["props"]],
             "name": [(p or {}).get("name", "") for p in npart["props"]],
         })
         rows = _doc_kernel(key[0], npdf, pdf[~is_node], spec, base_type,

@@ -34,8 +34,8 @@ PARSE_OUT_SCHEMA = T.StructType(
     [
         T.StructField("row_kind", T.StringType(), False),  # node|edge|mention|symbol
         T.StructField("doc_id", T.StringType(), True),
-        # node fields
-        T.StructField("node_id", T.StringType(), True),
+        # node fields (ids are signed int64 content hashes — cpg_spark.ids)
+        T.StructField("node_id", T.LongType(), True),
         T.StructField("label", T.StringType(), True),
         T.StructField("name", T.StringType(), True),
         T.StructField("code", T.StringType(), True),
@@ -49,16 +49,16 @@ PARSE_OUT_SCHEMA = T.StructType(
         T.StructField("argument_index", T.IntegerType(), True),
         T.StructField("props_json", T.StringType(), True),
         # edge fields (props_json/doc_id shared)
-        T.StructField("subj", T.StringType(), True),
+        T.StructField("subj", T.LongType(), True),
         T.StructField("pred", T.StringType(), True),
-        T.StructField("obj", T.StringType(), True),
+        T.StructField("obj", T.LongType(), True),
         # mention fields (name shared)
         T.StructField("m_kind", T.StringType(), True),
         T.StructField("m_base_type", T.StringType(), True),
         T.StructField("m_scope_path", T.StringType(), True),
         T.StructField("m_n_args", T.IntegerType(), True),
         T.StructField("m_n_kwargs", T.IntegerType(), True),
-        T.StructField("m_arg_ids", T.StringType(), True),  # CSV of hex ids
+        T.StructField("m_arg_ids", T.StringType(), True),  # CSV of int64 ids
         T.StructField("m_arg_types", T.StringType(), True),  # CSV ('' = unknown)
         # symbol fields (name shared)
         T.StructField("s_kind", T.StringType(), True),
@@ -81,9 +81,12 @@ _COLS = [f.name for f in PARSE_OUT_SCHEMA.fields]
 
 
 def _csv(ids) -> str | None:
+    # elements may be int64 ids or strings (type/param-name CSVs); the
+    # UDF-side schema keeps ALL list columns as one CSV string (see module
+    # docstring) and split_parse_output rebuilds typed arrays JVM-side
     if not ids:
         return None
-    return ",".join("" if x is None else x for x in ids)
+    return ",".join("" if x is None else str(x) for x in ids)
 
 
 # sentinel document for relocatable parsing (pre-parse span dedup, SURVEY
@@ -200,8 +203,10 @@ def _relocated_rows(entry, doc_id: str, offset: int) -> list[dict]:
                     r2["m_scope_path"] = sp.replace(_SENT_MOD, module)
                 ai = r2["m_arg_ids"]
                 if ai:
+                    # CSV tokens are decimal int64 ids ('' = absent)
                     r2["m_arg_ids"] = ",".join(
-                        rget(x, x) for x in ai.split(","))
+                        x if x == "" else str(rget(int(x), x))
+                        for x in ai.split(","))
             else:  # symbol
                 for fkey in ("s_fqn", "s_module"):
                     v = r2[fkey]
@@ -210,7 +215,8 @@ def _relocated_rows(entry, doc_id: str, offset: int) -> list[dict]:
                 pi = r2["s_param_ids"]
                 if pi:
                     r2["s_param_ids"] = ",".join(
-                        rget(x, x) for x in pi.split(","))
+                        x if x == "" else str(rget(int(x), x))
+                        for x in pi.split(","))
         out.append(r2)
     return out
 
@@ -428,6 +434,15 @@ def _split_csv(col: str):
     return F.when(F.col(col).isNotNull(), F.split(F.col(col), ","))
 
 
+def _split_csv_ids(col: str):
+    """Id CSVs -> array<bigint>.  try_cast keeps '' placeholders as null
+    under ANSI mode (Spark 4 default) instead of throwing."""
+    return F.when(
+        F.col(col).isNotNull(),
+        F.expr(f"transform(split({col}, ','), x -> try_cast(x AS BIGINT))"),
+    )
+
+
 def split_parse_output(raw: DataFrame):
     """Four logical typed tables from the unified primitive stream.
     ``row_kind`` filters and column pruning push down to the parquet scan
@@ -444,14 +459,14 @@ def split_parse_output(raw: DataFrame):
         "name", F.col("m_base_type").alias("base_type"),
         F.col("m_scope_path").alias("scope_path"), "doc_id",
         F.col("m_n_args").alias("n_args"), F.col("m_n_kwargs").alias("n_kwargs"),
-        _split_csv("m_arg_ids").alias("arg_ids"),
+        _split_csv_ids("m_arg_ids").alias("arg_ids"),
         _split_csv("m_arg_types").alias("arg_types"))
     symbols = raw.filter(F.col("row_kind") == "symbol").select(
         F.col("node_id").alias("decl_id"), F.col("s_kind").alias("kind"),
         "name", F.col("s_fqn").alias("fqn"), F.col("s_record").alias("record"),
         F.col("s_module").alias("module"), "doc_id",
         F.col("s_n_params").alias("n_params"),
-        _split_csv("s_param_ids").alias("param_ids"),
+        _split_csv_ids("s_param_ids").alias("param_ids"),
         _split_csv("s_param_names").alias("param_names"),
         F.col("s_n_defaults").alias("n_defaults"),
         _split_csv("s_param_types").alias("param_types"),

@@ -48,7 +48,7 @@ LOC_SCHEMA = T.StructType(
 
 NODES_SCHEMA = T.StructType(
     [
-        T.StructField("node_id", T.StringType(), False),
+        T.StructField("node_id", T.LongType(), False),
         T.StructField("label", T.StringType(), False),
         T.StructField("name", T.StringType(), True),
         T.StructField("code", T.StringType(), True),
@@ -64,9 +64,9 @@ NODES_SCHEMA = T.StructType(
 
 EDGES_SCHEMA = T.StructType(
     [
-        T.StructField("subj", T.StringType(), False),
+        T.StructField("subj", T.LongType(), False),
         T.StructField("pred", T.StringType(), False),
-        T.StructField("obj", T.StringType(), False),
+        T.StructField("obj", T.LongType(), False),
         T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
         # provenance for partition pruning / lineage; dropped in the bare
         # (subj, pred, obj) triple view
@@ -82,7 +82,7 @@ EDGES_SCHEMA = T.StructType(
 # ---------------------------------------------------------------------------
 MENTIONS_SCHEMA = T.StructType(
     [
-        T.StructField("mention_id", T.StringType(), False),  # node_id of the ref/call
+        T.StructField("mention_id", T.LongType(), False),  # node_id of the ref/call
         T.StructField("kind", T.StringType(), False),  # ref | call | member_call | construct
         T.StructField("name", T.StringType(), False),  # simple name
         T.StructField("base_type", T.StringType(), True),  # for member access, if known
@@ -90,7 +90,7 @@ MENTIONS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.StringType(), True),
         T.StructField("n_args", T.IntegerType(), True),  # call arity (positional)
         T.StructField("n_kwargs", T.IntegerType(), True),
-        T.StructField("arg_ids", T.ArrayType(T.StringType()), True),  # ordered arg node ids
+        T.StructField("arg_ids", T.ArrayType(T.LongType()), True),  # ordered arg node ids
     ]
 )
 
@@ -98,7 +98,7 @@ MENTIONS_SCHEMA = T.StructType(
 # documents (functions, methods, records, module-level variables, fields).
 SYMBOLS_SCHEMA = T.StructType(
     [
-        T.StructField("decl_id", T.StringType(), False),
+        T.StructField("decl_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),  # function|method|ctor|record|var|field
         T.StructField("name", T.StringType(), False),
         T.StructField("fqn", T.StringType(), True),  # module.name or module.Class.name
@@ -108,7 +108,7 @@ SYMBOLS_SCHEMA = T.StructType(
         T.StructField("n_params", T.IntegerType(), True),
         T.StructField("has_defaults", T.BooleanType(), True),
         T.StructField("is_variadic", T.BooleanType(), True),
-        T.StructField("param_ids", T.ArrayType(T.StringType()), True),  # ordered param node ids
+        T.StructField("param_ids", T.ArrayType(T.LongType()), True),  # ordered param node ids
         T.StructField("param_names", T.ArrayType(T.StringType()), True),
     ]
 )
