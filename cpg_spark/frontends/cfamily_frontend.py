@@ -788,16 +788,36 @@ class CFamilyFrontend(Emitter):
                 return self._attach(self.parse_return(path), parent, index)
             if kw == "break":
                 self.next()
+                lbl = None
+                if self.peek().kind == "ident":  # java labeled break
+                    lbl = self.next().text
                 self.accept(";")
-                nid = self.node(path, "BreakStatement", "", self._tloc(t))
-                return self._attach((nid, {"kind": "break", "nid": nid}),
-                                    parent, index)
+                nid = self.node(path, "BreakStatement", lbl or "",
+                                self._tloc(t))
+                return self._attach((nid, {"kind": "break", "nid": nid,
+                                           "label": lbl}), parent, index)
             if kw == "continue":
                 self.next()
+                lbl = None
+                if self.peek().kind == "ident":  # java labeled continue
+                    lbl = self.next().text
                 self.accept(";")
-                nid = self.node(path, "ContinueStatement", "", self._tloc(t))
-                return self._attach((nid, {"kind": "continue", "nid": nid}),
-                                    parent, index)
+                nid = self.node(path, "ContinueStatement", lbl or "",
+                                self._tloc(t))
+                return self._attach((nid, {"kind": "continue", "nid": nid,
+                                           "label": lbl}), parent, index)
+            if self.peek(1).kind == ":" and kw not in _KEYWORDS:
+                # `lab1: stmt` — LabelStatement wrapping the labeled
+                # statement (graph/statements/LabelStatement; the loop the
+                # label names becomes the target of `break lab1` /
+                # `continue lab1`)
+                self.next()
+                self.next()  # ':'
+                nid = self.node(path, "LabelStatement", kw, self._tloc(t))
+                self.ast_edge(parent, nid, "STATEMENTS", index)
+                sub_id, sub_info = self.parse_stmt(path + ".sub", nid, 0)
+                return nid, {"kind": "label", "nid": nid, "name": kw,
+                             "sub": sub_info}
             if kw in ("throw", "delete", "goto", "try"):
                 # gap statements (reference logs NOT_IMPLEMENTED analogues)
                 while self.peek().kind not in (";", "{", "eof"):
@@ -1009,7 +1029,10 @@ class CFamilyFrontend(Emitter):
                 self.next()
             ci += 1
         self.expect("}")
-        return nid, {"kind": "switch", "nid": nid, "cond": sel, "cases": cases}
+        # C/Java case bodies fall through to the next case label unless a
+        # break exits (ControlFlowSensitiveDFGSwitch.java semantics)
+        return nid, {"kind": "switch", "nid": nid, "cond": sel,
+                     "cases": cases, "fallthrough": True}
 
     def _case_body(self, path, cnid):
         infos = []

@@ -15,10 +15,20 @@ C1).  Frontends hand it a lightweight *shadow tree* of dicts:
     {"kind": "dowhile", "nid": ..., "cond": id, "body": [infos]}
     {"kind": "foreach", "nid": ..., "body": [infos]}
     {"kind": "return",  "nid": ...}
-    {"kind": "break",   "nid": ...}
-    {"kind": "continue","nid": ...}
+    {"kind": "break",   "nid": ..., "label": name | None}
+    {"kind": "continue","nid": ..., "label": name | None}
+    {"kind": "label",   "nid": ..., "name": ..., "sub": info | None}
     {"kind": "compound","nid": ..., "stmts": [infos]}
     {"kind": "try",     "nid": ..., "body": [infos], "final": [infos]}
+
+``break`` binds the innermost enclosing loop OR switch (its own break
+frame, like the reference's per-statement break/continue collection in
+``EvaluationOrderGraphPass.java`` handleBreakStatement); a labeled
+``break lab`` / ``continue lab`` binds the loop labeled ``lab``
+(LabelStatement handling, tested by the reference's
+``dfg/LoopDFGs.java`` labeledBreakContinue scenario).  C-family switches
+set ``"fallthrough": True`` so each case body flows into the next case
+label; Go / PowerShell switches omit it (implicit break semantics).
 """
 
 from __future__ import annotations
@@ -28,8 +38,12 @@ class EogBuilder:
     def __init__(self, emitter):
         self.em = emitter
         self.index = 0
-        self.loop_breaks: list[list[str]] = []
-        self.loop_heads: list[str] = []
+        # break frames: {"label": str|None, "breaks": [node ids]} — pushed
+        # by loops, switches and labeled statements
+        self.break_frames: list[dict] = []
+        # continue targets: {"label": str|None, "head": node id} per loop
+        self.loop_heads: list[dict] = []
+        self._pending_label: str | None = None
 
     def _edge(self, a: str, b: str, branch: str | None = None) -> None:
         props = {"index": self.index}
@@ -41,6 +55,33 @@ class EogBuilder:
     def connect(self, preds: list[tuple[str, str | None]], target: str) -> None:
         for pid, branch in preds:
             self._edge(pid, target, branch)
+
+    def _push_loop(self, head: str) -> dict:
+        """Open a loop's break frame + continue target; consumes the
+        pending label of an enclosing LabelStatement (``lab1: while``)."""
+        label = self._pending_label
+        self._pending_label = None
+        frame = {"label": label, "breaks": []}
+        self.break_frames.append(frame)
+        self.loop_heads.append({"label": label, "head": head})
+        return frame
+
+    def _pop_loop(self, frame: dict) -> list[str]:
+        self.break_frames.pop()
+        self.loop_heads.pop()
+        return frame["breaks"]
+
+    def _find_break_frame(self, label: str | None) -> dict | None:
+        for frame in reversed(self.break_frames):
+            if label is None or frame["label"] == label:
+                return frame
+        return None
+
+    def _find_loop_head(self, label: str | None) -> str | None:
+        for entry in reversed(self.loop_heads):
+            if label is None or entry["label"] == label:
+                return entry["head"]
+        return None
 
     def _entry(self, info: dict) -> str:
         """EOG entry node of a statement — the node ``stmt`` would connect
@@ -88,13 +129,11 @@ class EogBuilder:
         if kind in ("while", "foreach"):
             head = info.get("cond") or nid
             self.connect(preds, head)
-            self.loop_breaks.append([])
-            self.loop_heads.append(head)
+            frame = self._push_loop(head)
             body_exits = self.seq(info.get("body") or [], [(head, "true")])
             # loop back-edge (EvaluationOrderGraphPass.java:890-905)
             self.connect(body_exits, head)
-            breaks = self.loop_breaks.pop()
-            self.loop_heads.pop()
+            breaks = self._pop_loop(frame)
             return [(head, "false")] + [(b, None) for b in breaks]
         if kind == "for":
             # 3-clause for (EvaluationOrderGraphPass.java:953-1029):
@@ -105,15 +144,13 @@ class EogBuilder:
                 preds = self.stmt(init, preds)
             head = info.get("cond") or nid
             self.connect(preds, head)
-            self.loop_breaks.append([])
-            self.loop_heads.append(head)
+            frame = self._push_loop(head)
             body_exits = self.seq(info.get("body") or [], [(head, "true")])
             post = info.get("post")
             if post:
                 body_exits = self.stmt(post, body_exits)
             self.connect(body_exits, head)
-            breaks = self.loop_breaks.pop()
-            self.loop_heads.pop()
+            breaks = self._pop_loop(frame)
             return [(head, "false")] + [(b, None) for b in breaks]
         if kind == "dowhile":
             # body executes at least once: preds -> body -> cond; cond
@@ -121,46 +158,78 @@ class EogBuilder:
             # (EvaluationOrderGraphPass.java:953-976 handleDoStatement)
             head = info.get("cond") or nid
             self.connect(preds, nid)
-            self.loop_breaks.append([])
-            self.loop_heads.append(head)
+            frame = self._push_loop(head)
             body = info.get("body") or []
             body_exits = self.seq(body, [(nid, None)])
             self.connect(body_exits, head)
             if body:
                 self._edge(head, self._entry(body[0]), "true")
-            breaks = self.loop_breaks.pop()
-            self.loop_heads.pop()
+            breaks = self._pop_loop(frame)
             return [(head, "false")] + [(b, None) for b in breaks]
         if kind == "switch":
             # selector evaluates once, then branches to every case entry
-            # (EvaluationOrderGraphPass.java handleSwitchStatement); without
-            # fallthrough modelling, exits = union of case-body exits plus
-            # the no-match path when no default exists
+            # (EvaluationOrderGraphPass.java handleSwitchStatement); the
+            # switch owns a break frame (break binds switch-or-loop,
+            # whichever is innermost).  With "fallthrough" (C/Java), each
+            # case body's exits flow into the NEXT case label — the
+            # reference gets this for free because case labels sit inline
+            # in the body statement list; Go/PowerShell switches omit the
+            # flag (implicit break)
             sel = info.get("cond") or nid
             self.connect(preds, sel)
-            exits = []
+            self._pending_label = None
+            frame = {"label": None, "breaks": []}
+            self.break_frames.append(frame)
+            falls = bool(info.get("fallthrough"))
+            exits: list = []
+            carry: list = []
             has_default = False
             for case in info.get("cases") or []:
                 cnid = case["nid"]
                 self._edge(sel, cnid)
-                exits.extend(self.seq(case.get("stmts") or [], [(cnid, None)]))
+                if falls:
+                    self.connect(carry, cnid)
+                body_exits = self.seq(case.get("stmts") or [],
+                                      [(cnid, None)])
+                if falls:
+                    carry = body_exits
+                else:
+                    exits.extend(body_exits)
                 if case.get("default"):
                     has_default = True
+            if falls:
+                exits.extend(carry)
+            self.break_frames.pop()
             if not has_default:
                 exits.append((sel, "false"))
-            return exits
+            return exits + [(b, None) for b in frame["breaks"]]
+        if kind == "label":
+            # LabelStatement: a frame so `break <name>` on non-loop labeled
+            # statements exits here; loops consume the pending label for
+            # `continue <name>` targeting
+            self.connect(preds, nid)
+            sub = info.get("sub")
+            frame = {"label": info.get("name"), "breaks": []}
+            self.break_frames.append(frame)
+            self._pending_label = info.get("name")
+            exits = self.stmt(sub, [(nid, None)]) if sub else [(nid, None)]
+            self._pending_label = None
+            self.break_frames.remove(frame)
+            return exits + [(b, None) for b in frame["breaks"]]
         if kind == "return":
             self.connect(preds, nid)
             return []
         if kind == "break":
             self.connect(preds, nid)
-            if self.loop_breaks:
-                self.loop_breaks[-1].append(nid)
+            frame = self._find_break_frame(info.get("label"))
+            if frame is not None:
+                frame["breaks"].append(nid)
             return []
         if kind == "continue":
             self.connect(preds, nid)
-            if self.loop_heads:
-                self._edge(nid, self.loop_heads[-1])
+            head = self._find_loop_head(info.get("label"))
+            if head is not None:
+                self._edge(nid, head)
             return []
         if kind == "try":
             self.connect(preds, nid)
