@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_type_prop": Q.q_cpg_type_prop,
         "cpg_compdb": Q.q_cpg_compdb,
         "cpg_typenorm": Q.q_cpg_typenorm,
+        "cpg_typedefs": Q.q_cpg_typedefs,
+        "identifier_pass": Q.q_identifier_pass,
         "cpg_unreachable": Q.q_cpg_unreachable,
         "cpg_llvm_triples": Q.q_cpg_llvm_triples,
         "cpg_llvm_compress": Q.q_cpg_llvm_compress,
@@ -100,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_overrides": Q.q_cpg_overrides,
         "cpg_value_eval": Q.q_cpg_value_eval,
         "cpg_order_eval": Q.q_cpg_order_eval,
+        "cpg_eog_jumps": Q.q_cpg_eog_jumps,
         "cpg_template_calls": Q.q_cpg_template_calls,
         "cypher_params": Q.q_cypher_params,
     }
@@ -518,6 +521,40 @@ def oracle_sql() -> dict[str, str]:
               AS t(type_name, n_nodes)
             ORDER BY type_name
         """,
+        # IdentifierPass (IdentifierPass.kt:33-56): dense sequential ids in
+        # total order — assigned distributed (range partition + offsets),
+        # checked against the single-window ROW_NUMBER definition
+        "identifier_pass": """
+            SELECT o_orderkey,
+                   CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+                     AS seq_id
+            FROM orders
+            ORDER BY o_orderkey
+        """,
+        # golden oracle: TypedefTest over the reference's typedefs.cpp —
+        # every alias spelling (simple/chained/pointer/sized-array/fnptr/
+        # anonymous-struct/typedef-anywhere) resolves to the same canonical
+        # type; member and function-local typedefs shadow the file-level
+        # `typedef long type`
+        "cpg_typedefs": """
+            SELECT * FROM (VALUES
+              ('arr1', 'int[20]'),
+              ('arr2', 'int[20]'),
+              ('cptr1', 'char*'),
+              ('cptr2', 'char*'),
+              ('l1', 'unsigned long int'),
+              ('l4', 'unsigned long int'),
+              ('ps1', 'S*'),
+              ('ps2', 'S*'),
+              ('someUllong1', 'unsigned long long int'),
+              ('someUllong2', 'unsigned long long int'),
+              ('typeMember1', 'const int'),
+              ('typeMember2', 'const int'),
+              ('uintfp1', 'unsigned int(*)(long int,long int)'),
+              ('uintfp2', 'unsigned int(*)(long int,long int)'))
+              AS t(decl_name, type_name)
+            ORDER BY decl_name
+        """,
         # golden oracle: one branch of each if is provably dead — the
         # computed `y = 6; if y < 10` kills its false branch, the literal
         # `if False` its true branch (UnreachableEOGPass + ValueEvaluator)
@@ -692,6 +729,26 @@ def oracle_sql() -> dict[str, str]:
               ('java/simpleorder/0001', 'ok3', 'p4', TRUE, 'ok'))
               AS t(doc_id, function, base, everything_ok, reason)
             ORDER BY doc_id, function, base
+        """,
+        # golden oracle: jump-statement EOG targets over the reference's
+        # cfg/{Switch,BreakContinue}.java — break binds the innermost
+        # switch-or-loop, `break label` exits the labeled while OR switch,
+        # continue returns to its loop condition (EOGTest.java
+        # testJavaSwitch/testJavaBreakContinue); line pairs derived from
+        # the fixtures
+        "cpg_eog_jumps": """
+            SELECT * FROM (VALUES
+              ('java/CfgBreakContinue/0001', 'BreakStatement', 10, '', 'MemberCallExpression', 13),
+              ('java/CfgBreakContinue/0001', 'BreakStatement', 15, '', 'MemberCallExpression', 22),
+              ('java/CfgBreakContinue/0001', 'ContinueStatement', 9, '', 'BinaryOperator', 8),
+              ('java/CfgBreakContinue/0001', 'ContinueStatement', 18, '', 'BinaryOperator', 21),
+              ('java/CfgSwitch/0001', 'BreakStatement', 12, '', 'MemberCallExpression', 21),
+              ('java/CfgSwitch/0001', 'BreakStatement', 17, '', 'MemberCallExpression', 21),
+              ('java/CfgSwitch/0001', 'BreakStatement', 32, 'label', 'MemberCallExpression', 38),
+              ('java/CfgSwitch/0001', 'BreakStatement', 49, 'label', 'MemberCallExpression', 56))
+              AS t(doc_id, jump_kind, jump_line, jump_label, target_kind,
+                   target_line)
+            ORDER BY doc_id, jump_kind, jump_line
         """,
         # golden oracle: cross-document CALLS over the deterministic
         # generated corpus (120 mod docs, 4 hub docs) — each hub helper

@@ -455,3 +455,16 @@ JAVA_FIXTURES.update({
 JAVA_FIXTURES.update({
     'LoopDFGs': 'public class LoopDFGs {\n\n    public void looping(int param){\n        int a = 0;\n        while(param % 6 == 5){\n            if(param > 7){\n                a = 1;\n            }else{\n                System.out.println(a); // Should have a dfg path from 0,1,2 but not 3\n                a = 2;\n            }\n        }\n        a = 3;\n    }\n\n    public void labeledBreakContinue(int param){\n        int a = 0;\n        lab1: while(param < 5){\n            while(param > 6) {\n                if (param > 7) {\n                    a = 1;\n                    continue lab1;\n                } else {\n                    System.out.println(a); // Should have a dfg path from 0, 1, 3\n                    a = 2;\n                    break lab1;\n                }\n                a = 4;\n            }\n            System.out.println(a); // Should have a dfg path from 0, 1, 3\n            a = 3;\n        }\n        System.out.println(a); // Should have a dfg path from 0,1,2,3\n    }\n}\n',
 })
+
+
+# EOGTest cfg fixtures (cpg-core/src/test/resources/cfg/).
+JAVA_FIXTURES.update({
+    'CfgSwitch': 'package de.fraunhofer.aisec.cpgtest;\n\npublic class Switch {\n\n  public static void main(String[] args) {\n    int i = 5;\n    System.out.println();\n    switch (i) {\n      case 0:\n      case 1:\n        i = 10;\n        break;\n      case 2:\n        i = 20;\n      case 3:\n        i *= 2;\n        break;\n      default:\n        i = 4;\n    }\n    System.out.println();\n  }\n\n  public void whileswitch(int i) {\n    System.out.println();\n    label:\n    while (i < 10) {\n      switch (i) {\n        case 0:\n          i += 2;\n        case 9:\n          break label;\n        default:\n          i++;\n      }\n      System.out.println();\n    }\n    System.out.println();\n  }\n\n  public void switchwhile(int i) {\n    System.out.println();\n    label:\n    switch (i) {\n      case 0:\n        i += 2;\n      case 1:\n        while (true) {\n          if (i > 5) break label;\n          i++;\n        }\n        System.out.println();\n      default:\n        i++;\n    }\n    System.out.println();\n  }\n}\n',
+    'CfgBreakContinue': 'package cfg;\n\npublic class BreakContinue {\n\n  public static void main(String[] args) {\n    int i = 10;\n    System.out.println();\n    while (i > 0) {\n      if (i < 8) continue;\n      else if (i > 9) break;\n      i--;\n    }\n    System.out.println();\n    do {\n      if (i > 9) break;\n      if (i < 5) {\n        i += 2;\n        continue;\n      }\n      i++;\n    } while (i < 10);\n    System.out.println();\n  }\n}\n',
+})
+
+
+# TypedefTest fixture (cpg-core/src/test/resources/typedefs/).
+CPP_FIXTURES.update({
+    'typedefs': '// simple typedef\ntypedef unsigned long ulong;\n\n// chained typedef\ntypedef ulong ulong2;\ntypedef ulong2 ulong3;\n\n// the following objects have the same type\nunsigned long l1;\nulong l2;\nulong2 l3;\nulong3 l4;\n\nunsigned long *l1ptr;\nulong *l2ptr;\nulong2 *l3ptr;\nulong3 *l4ptr;\n\nunsigned long l1arr[];\nulong l2arr[];\nulong2 l3arr[];\nulong3 l4arr[];\n\n// special cases\ntypedef long *longp_t;\ntypedef int intarr[20];\ntypedef unsigned int (*uint_fp_t)(long, long);\n\nlong *longptr1;\nlongp_t longptr2;\n\nint arr1[20];\nintarr arr2;\n\nunsigned int (*uintfp1)(long, long);\nuint_fp_t uintfp2;\n\n// more complicated typedef\ntypedef int int_t, *intp_t, (*fp)(int, ulong), arr_t[10];\n\nint i1;\nint_t i2;\n\n// the following two objects have the same type\nint a1[10];\narr_t a2;\n\n// int pointers\nint *intPtr1;\nintp_t intPtr2;\n\n// int function ptr\nint fun(int i, ulong u) {\n  return 0;\n}\n\nint (*intFptr1)(int, unsigned long);\nfp intFptr2;\n\n// common C idiom to avoid having to write "struct S"\ntypedef struct {int a; int b;} S, *pS;\n\n// struct pointers\nS *ps1;\npS ps2;\n\n// typedef can be used anywhere in the decl-specifier-seq\nunsigned long typedef long int ullong;\n// more conventionally spelled "typedef unsigned long long int ullong;"\nunsigned long long int someUllong1;\nullong someUllong2;\n\n// std::add_const, like many other metafunctions, use member typedefs\ntypedef long type;\ntype typeMemberOutside;\n\n// sample typedef with tabs\ntypedef uint8\t\ttest;\n\nstruct add_const {\n    typedef const int type;\n    const int typeMember1;\n    type typeMember2;\n};\n\n\nint main() {\n  typedef char *type;\n  char *cptr1;\n  type cptr2;\n}\n',
+})

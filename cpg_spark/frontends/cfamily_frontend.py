@@ -166,6 +166,10 @@ class CFamilyFrontend(Emitter):
         # (record_name_or_'', fn_name) -> [template_info]: function
         # templates (TemplateDeclaration.java / FunctionTemplateTest)
         self._templates: dict[tuple, list] = {}
+        # scope stack of typedef alias -> normalized target type; resolved
+        # at parse time like the reference's ScopeManager typedef table
+        # (TypedefTest: member/function-local typedefs shadow outer ones)
+        self._typedefs: list[dict[str, str]] = [{}]
         self._path_n = 0
 
     # ------------------------------------------------------------- tokens
@@ -306,7 +310,14 @@ class CFamilyFrontend(Emitter):
             t.text in _PRIMITIVES
             or (t.text not in _KEYWORDS and t.text[0].isupper())
             or t.text in self.records
+            or self._typedef_lookup(t.text) is not None
         )
+
+    def _typedef_lookup(self, name: str) -> str | None:
+        for scope in reversed(self._typedefs):
+            if name in scope:
+                return scope[name]
+        return None
 
     def parse_type(self) -> str | None:
         """Type = [qualifiers] Ident (::Ident|.Ident)* [<...>] [*&]* [\\[\\]]*
@@ -361,15 +372,27 @@ class CFamilyFrontend(Emitter):
             self.next()
             self.next()
             suffix += "[]"
+        # typedef alias expansion (innermost scope wins; expansions are
+        # stored fully-resolved so chains need one lookup)
+        expanded = self._typedef_lookup(name)
+        if expanded is not None:
+            name = expanded
         return normalize_type(name + suffix)
 
     # --------------------------------------------------------------- class
-    def parse_class(self, path: str) -> str | None:
-        kw = self.next().text  # class | struct | interface (java)
-        if self.peek().kind != "ident":
+    def parse_class(self, path: str, anon_name: str | None = None) -> str | None:
+        kw_t = self.next()  # class | struct | interface (java)
+        kw = kw_t.text
+        if self.peek().kind == "ident":
+            name_t = self.next()
+            name = name_t.text
+        elif anon_name is not None and self.peek().kind == "{":
+            # anonymous record in a typedef (`typedef struct {...} S;`) —
+            # named after its first typedef declarator, the common C idiom
+            name_t = kw_t
+            name = anon_name
+        else:
             return None
-        name_t = self.next()
-        name = name_t.text
         rid = self.node(path, "RecordDeclaration", name, self._tloc(name_t),
                         props={"kind": kw})
         rec = {"decl_id": rid, "name": name, "fields": {}, "methods": {},
@@ -405,6 +428,7 @@ class CFamilyFrontend(Emitter):
             return rid
         self.expect("{")
         self.enter_scope("record", name, rid)
+        self._typedefs.append({})  # member typedefs scope the record body
         mi = 0
         while self.peek().kind not in ("}", "eof"):
             t = self.peek()
@@ -423,6 +447,7 @@ class CFamilyFrontend(Emitter):
                 self.next()
             mi += 1
         self.expect("}")
+        self._typedefs.pop()
         self.leave_scope()
         self.accept(";")
         return rid
@@ -447,11 +472,49 @@ class CFamilyFrontend(Emitter):
                 and t.text == record["name"] and self.peek(1).kind == "("):
             return self.parse_function(path, None, record, parent, index,
                                        ctor=True)
+        if self.dialect == "cpp" and self._stmt_has_typedef():
+            return self.parse_typedef(path + ".td",
+                                      record["decl_id"] if record else parent,
+                                      index)
         save = self.i
         tname = self.parse_type()
         if tname is None:
             self.i = save
             return None
+        if (self.dialect == "cpp" and self.peek().kind == "("
+                and self.peek(1).kind == "*"
+                and self.peek(2).kind == "ident"):
+            # function-pointer variable: base (*name)(params)
+            # (FunctionPointerType.java:41; typedefs.cpp uintfp1/intFptr1)
+            self.next()
+            self.next()
+            name_t = self.next()
+            self.accept(")")
+            params = []
+            if self.accept("("):
+                while self.peek().kind not in (")", "eof"):
+                    pt = self.parse_type()
+                    if pt is None:
+                        self.next()
+                        continue
+                    params.append(pt)
+                    if self.peek().kind == "ident":
+                        self.next()
+                    if not self.accept(","):
+                        break
+                self.accept(")")
+            self.accept(";")
+            fpt = normalize_type(f"{tname}(*)({', '.join(params)})")
+            vid = self.node(f"{path}.v[0]", "VariableDeclaration",
+                            name_t.text, self._tloc(name_t))
+            self.eval_type(vid, fpt)
+            self.declare(name_t.text, vid, "var", fpt)
+            ds = self.node(path, "DeclarationStatement", "", None, code="")
+            self.ast_edge(ds, vid, "DECLARATIONS", 0)
+            self.ast_edge(parent, ds,
+                          "STATEMENTS" if self.in_function()
+                          else "DECLARATIONS", index)
+            return ds
         if self.peek().kind != "ident":
             self.i = save
             return None
@@ -681,6 +744,15 @@ class CFamilyFrontend(Emitter):
         vi = 0
         while self.peek().kind == "ident":
             nt = self.next()
+            vtype = tname
+            # sized-array declarator: `int arr1[20];` has type int[20]
+            # (TypedefTest testSingle arr1/arr2 parity)
+            while self.peek().kind == "[" and self.peek(1).kind in ("int",
+                                                                    "]"):
+                self.next()
+                n = self.next().text if self.peek().kind == "int" else ""
+                self.accept("]")
+                vtype = normalize_type(vtype + f"[{n}]")
             init_id = None
             if self.accept("="):
                 init_id, _ = self.parse_expr(f"{path}.init[{vi}]")
@@ -711,7 +783,7 @@ class CFamilyFrontend(Emitter):
             if record is not None and not self.in_function():
                 fid = self.node(f"{path}.f[{vi}]", "FieldDeclaration",
                                 nt.text, self._tloc(nt))
-                self.eval_type(fid, tname)
+                self.eval_type(fid, vtype)
                 if init_id:
                     self.ast_edge(fid, init_id, "INITIALIZER", 0)
                     self.edge(init_id, "DFG", fid)  # FieldDeclaration.java:100
@@ -721,16 +793,16 @@ class CFamilyFrontend(Emitter):
                               len(record["fields"]))
                 record["fields"][nt.text] = fid
                 self.scopes[-1].decls[nt.text] = {
-                    "decl_id": fid, "kind": "field", "type": tname}
+                    "decl_id": fid, "kind": "field", "type": vtype}
                 ids.append(fid)
             else:
                 vid = self.node(f"{path}.v[{vi}]", "VariableDeclaration",
                                 nt.text, self._tloc(nt))
-                self.eval_type(vid, tname)
+                self.eval_type(vid, vtype)
                 if init_id:
                     self.ast_edge(vid, init_id, "INITIALIZER", 0)
                     self.edge(init_id, "DFG", vid)  # VariableDeclaration.java:118
-                self.declare(nt.text, vid, "var", tname)
+                self.declare(nt.text, vid, "var", vtype)
                 ids.append(vid)
             vi += 1
             if not self.accept(","):
@@ -746,9 +818,138 @@ class CFamilyFrontend(Emitter):
                           else "STATEMENTS", index)
         return ds
 
+    # ------------------------------------------------------------ typedefs
+    def _stmt_has_typedef(self) -> bool:
+        """``typedef`` is legal anywhere in the decl-specifier-seq
+        (TypedefTest testArbitraryTypedefLocation: ``unsigned long typedef
+        long int ullong;``) — scan this statement's specifier tokens."""
+        j = self.i
+        while j < len(self.toks):
+            t = self.toks[j]
+            if t.kind in (";", "{", "}", "eof", "(", "="):
+                return False
+            if t.kind == "ident" and t.text == "typedef":
+                return True
+            j += 1
+        return False
+
+    def parse_typedef(self, path: str, parent: str, index: int):
+        """``typedef`` declaration (reference TypedefDeclaration +
+        ScopeManager typedef table; TypedefTest over typedefs.cpp):
+        registers alias -> fully-resolved target type in the current
+        typedef scope — chains resolve at registration so every later
+        spelled use expands in one lookup — and emits a TypedefDeclaration
+        node plus a Type->Type alias SUPER_TYPE edge feeding the
+        canonicalization CC (SURVEY A1).  Handles pointer / sized-array /
+        function-pointer declarators, declarator lists, and the anonymous
+        ``typedef struct {...} S, *pS;`` idiom."""
+        # splice out the typedef token(s) wherever they sit in the
+        # specifier sequence, then parse a normal declaration shape
+        j = self.i
+        while j < len(self.toks) and self.toks[j].kind not in (";", "{",
+                                                               "eof"):
+            if (self.toks[j].kind == "ident"
+                    and self.toks[j].text == "typedef"):
+                del self.toks[j]
+                continue
+            j += 1
+        if (self.peek().kind == "ident"
+                and self.peek().text in ("struct", "class")
+                and self.peek(1).kind == "{"):
+            # anonymous record: name it after the first plain declarator
+            k = self.i + 1
+            depth = 0
+            while k < len(self.toks):
+                kk = self.toks[k].kind
+                if kk == "{":
+                    depth += 1
+                elif kk == "}":
+                    depth -= 1
+                    if depth == 0:
+                        k += 1
+                        break
+                k += 1
+            while k < len(self.toks) and self.toks[k].kind == "*":
+                k += 1
+            anon = self.toks[k].text if (k < len(self.toks) and
+                                         self.toks[k].kind == "ident") \
+                else "anonymous"
+            rid = self.parse_class(path + ".rec", anon_name=anon)
+            if rid is not None:
+                self.ast_edge(parent, rid, "DECLARATIONS", index)
+            base = anon
+        else:
+            base = self.parse_type()
+        if base is None:
+            while self.peek().kind not in (";", "eof"):
+                self.next()
+            self.accept(";")
+            return None
+        last = None
+        ti = 0
+        while True:
+            ptr = ""
+            while self.peek().kind == "*":
+                self.next()
+                ptr += "*"
+            alias_t = None
+            target = None
+            if self.peek().kind == "(" and self.peek(1).kind == "*":
+                # function-pointer alias: base (*name)(params)
+                self.next()
+                self.next()
+                if self.peek().kind == "ident":
+                    alias_t = self.next()
+                self.accept(")")
+                params = []
+                if self.accept("("):
+                    while self.peek().kind not in (")", "eof"):
+                        pt = self.parse_type()
+                        if pt is None:
+                            self.next()
+                            continue
+                        params.append(pt)
+                        if self.peek().kind == "ident":
+                            self.next()  # optional param name
+                        if not self.accept(","):
+                            break
+                    self.accept(")")
+                target = normalize_type(
+                    f"{base}(*)({', '.join(params)})")
+            elif self.peek().kind == "ident":
+                alias_t = self.next()
+                arr = ""
+                while self.peek().kind == "[":
+                    self.next()
+                    n = ""
+                    if self.peek().kind == "int":
+                        n = self.next().text
+                    self.accept("]")
+                    arr += f"[{n}]"
+                target = normalize_type(base + ptr + arr)
+            if alias_t is None:
+                break
+            alias = alias_t.text
+            self._typedefs[-1][alias] = target
+            tid = self.node(f"{path}.td[{ti}]", "TypedefDeclaration", alias,
+                            self._tloc(alias_t), props={"type": target})
+            self.ast_edge(parent, tid, "DECLARATIONS", index)
+            self.edge(tid, "EVAL_TYPE", self.type_node(target))
+            # alias spelling's Type node -> target Type node: the A1
+            # alias-CC input (Go `type A = B` emits the same shape)
+            self.edge(self.type_node(alias), "SUPER_TYPE",
+                      self.type_node(target))
+            last = tid
+            ti += 1
+            if not self.accept(","):
+                break
+        self.accept(";")
+        return last
+
     # -------------------------------------------------------------- blocks
     def parse_block(self, path: str, parent: str, field: str) -> list[dict]:
         self.expect("{")
+        self._typedefs.append({})  # block-local typedef scope
         cid = self.node(path, "CompoundStatement", "", None, code="")
         self.ast_edge(parent, cid, field, 0)
         infos = []
@@ -759,6 +960,7 @@ class CFamilyFrontend(Emitter):
                 infos.append(got[1])
             si += 1
         self.expect("}")
+        self._typedefs.pop()
         return [{"kind": "compound", "nid": cid, "stmts": infos}]
 
     # ---------------------------------------------------------- statements
@@ -806,6 +1008,14 @@ class CFamilyFrontend(Emitter):
                                 self._tloc(t))
                 return self._attach((nid, {"kind": "continue", "nid": nid,
                                            "label": lbl}), parent, index)
+            if kw == "typedef" and self.dialect == "cpp":
+                # function-local typedef scopes to the enclosing block
+                # (TypedefTest testMemberTypeDef: main's `typedef char
+                # *type` shadows the file-level one)
+                nid = self.parse_typedef(path + ".td", parent, index)
+                if nid is None:
+                    return None
+                return nid, {"kind": "plain", "nid": nid}
             if self.peek(1).kind == ":" and kw not in _KEYWORDS:
                 # `lab1: stmt` — LabelStatement wrapping the labeled
                 # statement (graph/statements/LabelStatement; the loop the
@@ -1054,16 +1264,18 @@ class CFamilyFrontend(Emitter):
         lhs = self._binary_rhs(lhs, path, min_prec)
         # assignment (right-assoc, lowest)
         if self.peek().kind in _ASSIGN_OPS and min_prec <= 1:
-            op = self.next().text
+            op_t = self.next()
             rhs = self.parse_expr(path + ".r", 1)
-            return self._make_assign(lhs, op, rhs, path)
+            return self._make_assign(lhs, op_t.text, rhs, path,
+                                     self._tloc(op_t))
         # ternary
         if self.peek().kind == "?" and min_prec <= 1:
-            self.next()
+            q_t = self.next()
             tid, _ = self.parse_expr(path + ".t", 1)
             self.accept(":")
             eid, _ = self.parse_expr(path + ".e", 1)
-            nid = self.node(path + ".cond", "ConditionalExpression", "", None)
+            nid = self.node(path + ".cond", "ConditionalExpression", "",
+                            self._tloc(q_t))
             lid, _ = lhs
             self.ast_edge(nid, lid, "CONDITION", 0)
             self.ast_edge(nid, tid, "THEN_EXPR", 0)
@@ -1073,10 +1285,10 @@ class CFamilyFrontend(Emitter):
             return nid, {"kind": "conditional", "name": "", "type": None}
         return lhs
 
-    def _make_assign(self, lhs, op, rhs, path):
+    def _make_assign(self, lhs, op, rhs, path, loc=None):
         lid, lmeta = lhs
         rid, rmeta = rhs
-        nid = self.node(path + ".asg", "BinaryOperator", op, None,
+        nid = self.node(path + ".asg", "BinaryOperator", op, loc,
                         props={"operator": op}, code=op)
         self._mark_write(lid)
         self.ast_edge(nid, lid, "LHS", 0)
@@ -1105,7 +1317,8 @@ class CFamilyFrontend(Emitter):
             prec = _PREC.get(key)
             if prec is None or prec < min_prec or key == "?":
                 return lhs
-            op = self.next().text
+            op_t = self.next()
+            op = op_t.text
             rhs = self.parse_unary(f"{path}.r{n}.u")
             while True:
                 nt = self.peek()
@@ -1117,8 +1330,9 @@ class CFamilyFrontend(Emitter):
                 rhs = self._binary_rhs(rhs, f"{path}.r{n}", prec + 1)
             lid, lmeta = lhs
             rid, rmeta = rhs
-            nid = self.node(f"{path}.b{n}", "BinaryOperator", op, None,
-                            props={"operator": op}, code=op)
+            nid = self.node(f"{path}.b{n}", "BinaryOperator", op,
+                            self._tloc(op_t), props={"operator": op},
+                            code=op)
             self.ast_edge(nid, lid, "LHS", 0)
             self.ast_edge(nid, rid, "RHS", 0)
             self.edge(lid, "DFG", nid)

@@ -283,21 +283,41 @@ def _materialize(spark, ctx):
     )
 
 
+# Stage graph: inner lists are independent stages (no data dependency)
+# that run CONCURRENTLY — link (shuffle-join heavy, has serial phases:
+# dim sizing, broadcast build) and dfg_refine (pure Arrow cogroup kernel)
+# both read only the committed parse output, so overlapping them keeps
+# executor slots full while either stage is in a low-parallelism phase
+# and overlaps their stage-commit I/O with the other's compute.  Each
+# still commits + resumes independently (north_rule: resumable after any
+# stage).
 CPG_STAGES = [
     Stage("ingest", _ingest),
     Stage("parse", _parse),
-    Stage("link", _link),
-    Stage("dfg_refine", _dfg_refine),
+    [Stage("link", _link), Stage("dfg_refine", _dfg_refine)],
     Stage("materialize", _materialize),
 ]
 
 
 def run_cpg_pipeline(spark: SparkSession, docs: DataFrame, workdir: str,
                      run_id: str | None = None, resume: bool = True) -> Pipeline:
+    from concurrent.futures import ThreadPoolExecutor
+
     p = Pipeline(spark, workdir, run_id)
     ctx: dict[str, DataFrame] = {"docs": docs}
-    for stage in CPG_STAGES:
-        ctx.update(p.run_stage(stage, ctx, resume=resume))
+    for step in CPG_STAGES:
+        group = step if isinstance(step, list) else [step]
+        if len(group) == 1 or os.environ.get("CPG_SPARK_SEQUENTIAL") == "1":
+            for stage in group:
+                ctx.update(p.run_stage(stage, ctx, resume=resume))
+            continue
+        # concurrent job submission is thread-safe in Spark; stages in a
+        # group share the immutable ctx and merge their outputs after the
+        # barrier
+        with ThreadPoolExecutor(max_workers=len(group)) as ex:
+            futs = [ex.submit(p.run_stage, s, dict(ctx), resume) for s in group]
+            for f in futs:
+                ctx.update(f.result())
     return p
 
 

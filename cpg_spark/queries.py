@@ -1165,3 +1165,90 @@ def q_cpg_ts_triples(spark, sf_dir):
     _, edges, _, _ = split_parse_output(parse_docs(docs))
     return (edges.groupBy("pred").agg(F.count("*").alias("n_edges"))
             .orderBy("pred"))
+
+
+def q_cpg_eog_jumps(spark, sf_dir):
+    """Jump-statement EOG targets over the reference's own cfg fixtures
+    (EOGTest.java testJavaSwitch / testJavaBreakContinue over
+    cpg-core/src/test/resources/cfg/{Switch,BreakContinue}.java): break
+    binds the innermost switch-or-loop, `break label` exits the statement
+    carrying the label (a while OR a switch), continue returns to its
+    loop condition, and un-break-ed case bodies fall through.  One row
+    per EOG edge leaving a Break/ContinueStatement."""
+    from cpg_spark.fixtures_cfamily import JAVA_FIXTURES
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": f"java/{name}/0001",
+          "spans": [{"kind": "code/java", "text": JAVA_FIXTURES[name],
+                     "media_ref": None, "offset": 0}]}
+         for name in ("CfgSwitch", "CfgBreakContinue")], schema=DOCS_SCHEMA)
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+    jumps = nodes.filter(
+        F.col("label").isin("BreakStatement", "ContinueStatement"))
+    return (
+        edges.filter(F.col("pred") == "EOG").select("subj", "obj")
+        .join(jumps.select(F.col("node_id").alias("subj"),
+                           F.col("doc_id"),
+                           F.col("label").alias("jump_kind"),
+                           F.col("loc.start_line").alias("jump_line"),
+                           F.col("name").alias("jump_label")), "subj")
+        .join(nodes.select(F.col("node_id").alias("obj"),
+                           F.col("label").alias("target_kind"),
+                           F.col("loc.start_line").alias("target_line")),
+              "obj")
+        .select("doc_id", "jump_kind", "jump_line", "jump_label",
+                "target_kind", "target_line")
+        .orderBy("doc_id", "jump_kind", "jump_line")
+    )
+
+
+def q_cpg_typedefs(spark, sf_dir):
+    """Typedef alias resolution over the reference's typedefs.cpp
+    (TypedefTest; scope-stack alias table resolved at parse time like the
+    reference's ScopeManager typedefs): every alias spelling of one type
+    mints the SAME canonical Type node — simple/chained aliases, pointer/
+    sized-array/function-pointer declarators, the anonymous
+    `typedef struct {...} S, *pS;` idiom, typedef-anywhere specifiers,
+    and member/function-local shadowing."""
+    from cpg_spark.fixtures_cfamily import CPP_FIXTURES
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "cpp/typedefs/0001",
+          "spans": [{"kind": "code/cpp", "text": CPP_FIXTURES["typedefs"],
+                     "media_ref": None, "offset": 0}]}], schema=DOCS_SCHEMA)
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+    decls = nodes.filter(
+        F.col("label").isin("VariableDeclaration", "FieldDeclaration")
+        & F.col("name").isin(
+            "l1", "l4", "arr1", "arr2", "uintfp1", "uintfp2",
+            "someUllong1", "someUllong2", "cptr1", "cptr2",
+            "typeMember1", "typeMember2", "ps1", "ps2"))
+    types = nodes.filter(F.col("label") == "Type").select(
+        F.col("node_id").alias("obj"), F.col("name").alias("type_name"))
+    return (
+        edges.filter(F.col("pred") == "EVAL_TYPE")
+        .join(decls.select(F.col("node_id").alias("subj"),
+                           F.col("name").alias("decl_name")), "subj")
+        .join(types, "obj")
+        .select("decl_name", "type_name")
+        .orderBy("decl_name")
+    )
+
+
+def q_identifier_pass(spark, sf_dir):
+    """IdentifierPass (cpg-analysis/.../IdentifierPass.kt:33-56 — dense
+    ``node.id = lastId++`` in deterministic walk order) as a distributed
+    operator: range-partition on the order key, per-partition counts, and
+    an offset-stamped narrow pass — NEVER a single-partition global
+    window.  Here: dense ids over orders by o_orderkey."""
+    from cpg_spark.operators.identifiers import sequential_ids
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return (
+        sequential_ids(o, ["o_orderkey"], id_col="seq_id")
+        .orderBy("o_orderkey")
+    )
