@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_typenorm": Q.q_cpg_typenorm,
         "cpg_typedefs": Q.q_cpg_typedefs,
         "identifier_pass": Q.q_identifier_pass,
+        "cpg_inferred_records": Q.q_cpg_inferred_records,
         "cpg_unreachable": Q.q_cpg_unreachable,
         "cpg_llvm_triples": Q.q_cpg_llvm_triples,
         "cpg_llvm_compress": Q.q_cpg_llvm_compress,
@@ -520,6 +521,21 @@ def oracle_sql() -> dict[str, str]:
               ('unsigned long long int', CAST(1 AS BIGINT)))
               AS t(type_name, n_nodes)
             ORDER BY type_name
+        """,
+        # golden oracle: InferenceTest over the reference's
+        # inference/{record,record_ptr}.cpp — the unknown record T is
+        # inferred as struct in record.cpp; record_ptr's node->dump()
+        # member call upgrades its T to class and infers the method;
+        # field types come from the write's DFG predecessor
+        "cpg_inferred_records": """
+            SELECT * FROM (VALUES
+              ('T', 'class', 'dump', 'MethodDeclaration', NULL),
+              ('T', 'class', 'next', 'FieldDeclaration', 'T*'),
+              ('T', 'class', 'value', 'FieldDeclaration', 'int'),
+              ('T', 'struct', 'next', 'FieldDeclaration', 'T*'),
+              ('T', 'struct', 'value', 'FieldDeclaration', 'int'))
+              AS t(record, kind, member, member_label, member_type)
+            ORDER BY kind, member
         """,
         # IdentifierPass (IdentifierPass.kt:33-56): dense sequential ids in
         # total order — assigned distributed (range partition + offsets),

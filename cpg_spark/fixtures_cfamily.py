@@ -468,3 +468,10 @@ JAVA_FIXTURES.update({
 CPP_FIXTURES.update({
     'typedefs': '// simple typedef\ntypedef unsigned long ulong;\n\n// chained typedef\ntypedef ulong ulong2;\ntypedef ulong2 ulong3;\n\n// the following objects have the same type\nunsigned long l1;\nulong l2;\nulong2 l3;\nulong3 l4;\n\nunsigned long *l1ptr;\nulong *l2ptr;\nulong2 *l3ptr;\nulong3 *l4ptr;\n\nunsigned long l1arr[];\nulong l2arr[];\nulong2 l3arr[];\nulong3 l4arr[];\n\n// special cases\ntypedef long *longp_t;\ntypedef int intarr[20];\ntypedef unsigned int (*uint_fp_t)(long, long);\n\nlong *longptr1;\nlongp_t longptr2;\n\nint arr1[20];\nintarr arr2;\n\nunsigned int (*uintfp1)(long, long);\nuint_fp_t uintfp2;\n\n// more complicated typedef\ntypedef int int_t, *intp_t, (*fp)(int, ulong), arr_t[10];\n\nint i1;\nint_t i2;\n\n// the following two objects have the same type\nint a1[10];\narr_t a2;\n\n// int pointers\nint *intPtr1;\nintp_t intPtr2;\n\n// int function ptr\nint fun(int i, ulong u) {\n  return 0;\n}\n\nint (*intFptr1)(int, unsigned long);\nfp intFptr2;\n\n// common C idiom to avoid having to write "struct S"\ntypedef struct {int a; int b;} S, *pS;\n\n// struct pointers\nS *ps1;\npS ps2;\n\n// typedef can be used anywhere in the decl-specifier-seq\nunsigned long typedef long int ullong;\n// more conventionally spelled "typedef unsigned long long int ullong;"\nunsigned long long int someUllong1;\nullong someUllong2;\n\n// std::add_const, like many other metafunctions, use member typedefs\ntypedef long type;\ntype typeMemberOutside;\n\n// sample typedef with tabs\ntypedef uint8\t\ttest;\n\nstruct add_const {\n    typedef const int type;\n    const int typeMember1;\n    type typeMember2;\n};\n\n\nint main() {\n  typedef char *type;\n  char *cptr1;\n  type cptr2;\n}\n',
 })
+
+
+# InferenceTest fixtures (cpg-core/src/test/resources/inference/).
+CPP_FIXTURES.update({
+    'inference_record': 'int main() {\n    T node;\n    node.value = 42;\n    node.next = &node;\n}\n',
+    'inference_record_ptr': 'int main() {\n    T* node = new T();\n    node->value = 42;\n    node->next = node;\n\n    node->dump();\n}\n',
+})

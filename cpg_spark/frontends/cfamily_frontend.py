@@ -1356,8 +1356,17 @@ class CFamilyFrontend(Emitter):
                             props={"operator": op, "postfix": "false"})
             self.ast_edge(nid, iid, "INPUT", 0)
             self.edge(iid, "DFG", nid)
-            return nid, {"kind": "unary", "name": op,
-                         "type": imeta.get("type")}
+            # address-of / dereference adjust the type like the
+            # reference's UnaryOperator type modification (& wraps in a
+            # PointerType, * unwraps one level)
+            ty = imeta.get("type")
+            if ty and op == "&":
+                ty = normalize_type(ty + "*")
+            elif ty and op == "*":
+                ty = ty[:-1] if ty.endswith("*") else ty
+            if ty and op in ("&", "*"):
+                self.eval_type(nid, ty)
+            return nid, {"kind": "unary", "name": op, "type": ty}
         if t.kind in ("++", "--"):
             op = self.next().text
             iid, _ = self.parse_unary(path + ".i")

@@ -294,26 +294,31 @@ def joined_mentions(mentions: DataFrame, symbols: DataFrame,
         how="inner", force=strategy,
     )
     arm_ab = arm_ab.drop("_vis")
+    # the two residual name-only arms go through the SAME
+    # broadcast/salted strategy machinery (a bare .join(dim, ...) here
+    # planned as a sort-merge join that shuffled + sorted the full dim
+    # once per arm — measured as a 2x compute-tier regression at 192k
+    # docs); their extra predicates are post-filters so the three arms
+    # share ONE single-key dim subtree (one broadcast build, reused)
     # unknown-base member calls: name-only against the method slice
-    arm_c = facts.filter(
-        (F.col("kind") == "member_call") & F.col("base_type").isNull()
-    ).join(dim.filter(F.col("d_kind") == "method"),
-           F.col("name") == F.col("d_name"))
-    # imports: (name, source module) equi-join; base-less imports fall
-    # back to the name join (both fact slices are tiny)
-    arm_d = facts.filter(
-        (F.col("kind") == "import") & F.col("base_type").isNotNull()
-    ).join(dim, (F.col("name") == F.col("d_name"))
-           & (F.col("base_type") == F.col("d_module")))
-    arm_d_bare = facts.filter(
-        (F.col("kind") == "import") & F.col("base_type").isNull()
-    ).join(dim, F.col("name") == F.col("d_name"))
+    arm_c_facts = facts.filter(
+        (F.col("kind") == "member_call") & F.col("base_type").isNull())
+    arm_c, _ = linking_join(
+        arm_c_facts, dim, key_pairs=[("name", "d_name")],
+        salt_src="mention_id", dim_rows=dim_rows, buckets=buckets,
+        how="inner", force=used)
+    arm_c = arm_c.filter(F.col("d_kind") == "method")
+    # imports: (name, source module); base-less imports name-only
+    arm_d_facts = facts.filter(F.col("kind") == "import")
+    arm_d, _ = linking_join(
+        arm_d_facts, dim, key_pairs=[("name", "d_name")],
+        salt_src="mention_id", dim_rows=dim_rows, buckets=buckets,
+        how="inner", force=used)
+    arm_d = arm_d.filter(
+        F.col("base_type").isNull()
+        | (F.col("base_type") == F.col("d_module")))
 
-    joined = (
-        arm_ab.unionByName(arm_c).unionByName(arm_d)
-        .unionByName(arm_d_bare)
-        .persist()
-    )
+    joined = arm_ab.unionByName(arm_c).unionByName(arm_d).persist()
     return joined, used, dim_rows
 
 
@@ -775,11 +780,14 @@ def link_all(mentions: DataFrame, symbols: DataFrame,
 
 def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
                   edges: DataFrame, strategy: str | None = None,
-                  buckets: int = 16):
+                  buckets: int = 16, infer_records: bool = False):
     """One output frame (row_kind edge|node) carrying linked edges,
     OVERRIDES edges and inferred nodes — materializing a SINGLE table lets
     Catalyst reuse the name-join exchanges across the edge and
     inferred-node branches instead of executing the join per output.
+    ``infer_records`` additionally mints inferred RecordDeclarations for
+    member accesses on unknown records (InferenceConfiguration.inferRecords,
+    off by default like the reference — cpg_spark/operators/infer.py).
     Returns (combined, stats)."""
     from cpg_spark.operators.hierarchy import (overrides_edges,
                                                supertype_record_closure)
@@ -819,6 +827,14 @@ def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
         .withColumn("row_kind", F.lit("edge"))
     )
     nodes_part = inferred_nodes.withColumn("row_kind", F.lit("node"))
+    if infer_records:
+        from cpg_spark.operators.infer import infer_records as _infer
+
+        rec_nodes, rec_edges = _infer(mentions, nodes, edges)
+        all_edges = all_edges.unionByName(
+            rec_edges.withColumn("row_kind", F.lit("edge")))
+        nodes_part = nodes_part.unionByName(
+            rec_nodes.withColumn("row_kind", F.lit("node")))
     combined = all_edges.unionByName(nodes_part, allowMissingColumns=True)
     return combined, {"calls": s1, "refs": s2}
 

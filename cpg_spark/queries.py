@@ -1252,3 +1252,49 @@ def q_identifier_pass(spark, sf_dir):
         sequential_ids(o, ["o_orderkey"], id_col="seq_id")
         .orderBy("o_orderkey")
     )
+
+
+def q_cpg_inferred_records(spark, sf_dir):
+    """Record inference over the reference's InferenceTest fixtures
+    (inference/{record,record_ptr}.cpp; VariableUsageResolver.java:415-452
+    + inferRecordDeclaration :503-): member accesses on the unknown type
+    ``T`` mint an inferred RecordDeclaration — ``struct`` until a member
+    CALL is discovered (record_ptr's ``node->dump()`` upgrades it to
+    ``class``) — plus inferred fields typed from the write's DFG
+    predecessor (value=42 -> int, next=&node/node -> T*) and an inferred
+    method for the call."""
+    from cpg_spark.fixtures_cfamily import CPP_FIXTURES
+    from cpg_spark.operators.infer import infer_records
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": f"cpp/{name}/0001",
+          "spans": [{"kind": "code/cpp", "text": CPP_FIXTURES[name],
+                     "media_ref": None, "offset": 0}]}
+         for name in ("inference_record", "inference_record_ptr")],
+        schema=DOCS_SCHEMA)
+    nodes, edges, mentions, _ = split_parse_output(parse_docs(docs))
+    inf_nodes, inf_edges = infer_records(mentions, nodes, edges)
+    recs = inf_nodes.filter(F.col("label") == "RecordDeclaration").select(
+        F.col("node_id").alias("rec_id"), F.col("name").alias("record"),
+        F.col("props").getItem("kind").alias("kind"))
+    members = inf_edges.filter(F.col("pred").isin("FIELDS", "METHODS")).select(
+        F.col("subj").alias("rec_id"), F.col("obj").alias("member_id"))
+    mnodes = inf_nodes.filter(
+        F.col("label") != "RecordDeclaration").select(
+        F.col("node_id").alias("member_id"), F.col("name").alias("member"),
+        F.col("label").alias("member_label"))
+    mtypes = inf_edges.filter(F.col("pred") == "EVAL_TYPE").select(
+        F.col("subj").alias("member_id"), F.col("obj").alias("tid"))
+    tnames = nodes.filter(F.col("label") == "Type").select(
+        F.col("node_id").alias("tid"), F.col("name").alias("member_type"))
+    return (
+        recs.join(members, "rec_id")
+        .join(mnodes, "member_id")
+        .join(mtypes, "member_id", "left")
+        .join(tnames, "tid", "left")
+        .select("record", "kind", "member", "member_label", "member_type")
+        .dropDuplicates()
+        .orderBy("kind", "member")
+    )

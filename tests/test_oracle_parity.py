@@ -75,6 +75,10 @@ def test_query_matches_oracle(spark, ddb, name):
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
     )
+    # round-1 lesson (VERDICT "pass-but-vacuous"): an oracle check that
+    # matches on the EMPTY set proves nothing — every registered query
+    # must exercise its operator on real rows
+    assert len(s_rows) > 0, f"{name}: vacuous 0-row oracle check"
     ms = _rows_to_multiset(s_cols, s_rows)
     md = _rows_to_multiset(d_cols, d_rows)
     if ms != md:
