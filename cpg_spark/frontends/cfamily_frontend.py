@@ -1028,6 +1028,17 @@ class CFamilyFrontend(Emitter):
                 sub_id, sub_info = self.parse_stmt(path + ".sub", nid, 0)
                 return nid, {"kind": "label", "nid": nid, "name": kw,
                              "sub": sub_info}
+            if kw == "goto" and self.peek(1).kind == "ident":
+                # GotoStatement: EOG jumps to the LabelStatement (forward
+                # or backward — resolved at build_eog time like the
+                # reference's label object listener,
+                # EvaluationOrderGraphPass.java:754-762)
+                g_t = self.next()
+                lab = self.next().text
+                self.accept(";")
+                nid = self.node(path, "GotoStatement", lab, self._tloc(g_t))
+                self.ast_edge(parent, nid, "STATEMENTS", index)
+                return nid, {"kind": "goto", "nid": nid, "name": lab}
             if kw in ("throw", "delete", "goto", "try"):
                 # gap statements (reference logs NOT_IMPLEMENTED analogues)
                 while self.peek().kind not in (";", "{", "eof"):

@@ -44,6 +44,11 @@ class EogBuilder:
         # continue targets: {"label": str|None, "head": node id} per loop
         self.loop_heads: list[dict] = []
         self._pending_label: str | None = None
+        # goto resolution is deferred to build_eog end (forward gotos) —
+        # the reference registers an object listener per goto and fires
+        # it when the label lands (EvaluationOrderGraphPass.java:754-762)
+        self.gotos: list[tuple[str, str]] = []
+        self.labels: dict[str, str] = {}
 
     def _edge(self, a: str, b: str, branch: str | None = None) -> None:
         props = {"index": self.index}
@@ -208,6 +213,8 @@ class EogBuilder:
             # statements exits here; loops consume the pending label for
             # `continue <name>` targeting
             self.connect(preds, nid)
+            if info.get("name"):
+                self.labels[info["name"]] = nid
             sub = info.get("sub")
             frame = {"label": info.get("name"), "breaks": []}
             self.break_frames.append(frame)
@@ -231,6 +238,14 @@ class EogBuilder:
             if head is not None:
                 self._edge(nid, head)
             return []
+        if kind == "goto":
+            # no fall-through (currentEOG.clear(),
+            # EvaluationOrderGraphPass.java:761); target edge added when
+            # the whole body has been walked so forward labels resolve
+            self.connect(preds, nid)
+            if info.get("name"):
+                self.gotos.append((nid, info["name"]))
+            return []
         if kind == "try":
             self.connect(preds, nid)
             exits = self.seq(info.get("body") or [], [(nid, None)])
@@ -253,6 +268,13 @@ def build_eog(emitter, root_id: str, body_infos: list[dict]) -> None:
     (EvaluationOrderGraphPass.java handleFunctionDeclaration)."""
     b = EogBuilder(emitter)
     exits = b.seq(body_infos, [(root_id, None)])
+    # deferred goto -> label edges (forward gotos legal); a goto whose
+    # label never lands stays edge-less, like the reference's unfired
+    # listener
+    for gid, label in b.gotos:
+        target = b.labels.get(label)
+        if target is not None:
+            b._edge(gid, target)
     for pid, branch in exits:
         if pid != root_id:
             b._edge(pid, root_id, branch)

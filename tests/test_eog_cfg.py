@@ -118,3 +118,54 @@ def test_break_continue_loops():
     # continue (line 18) -> do condition (line 21)
     cont2 = g.at_line("ContinueStatement", 18)
     assert 21 in g.succ_lines(cont2)
+
+
+def _cpp(src, doc="cpp/g/0001", mod="g"):
+    from cpg_spark.frontends.cfamily_frontend import parse_cpp_document
+
+    g = parse_cpp_document(doc, 1, src, mod)
+    nodes = {n["node_id"]: n for n in g.nodes}
+    eog = {}
+    for e in g.edges:
+        if e["pred"] == "EOG":
+            eog.setdefault(e["subj"], []).append(e["obj"])
+    return nodes, eog
+
+
+def test_goto_backward():
+    """cfg/goto.cpp main(): `goto label` jumps back to the LabelStatement
+    (EvaluationOrderGraphPass.java:754-762 handleGotoStatement)."""
+    src = "int main(void){\n\tlabel:\n\tgoto label;\n}\n"
+    nodes, eog = _cpp(src)
+    goto = next(n for n in nodes.values() if n["label"] == "GotoStatement")
+    lab = next(n for n in nodes.values() if n["label"] == "LabelStatement")
+    assert lab["node_id"] in eog[goto["node_id"]]
+
+
+def test_goto_forward_no_fallthrough():
+    """A forward goto resolves after the body walk; the skipped statement
+    gets NO incoming EOG (currentEOG.clear())."""
+    src = ("int main(){\n  int x = 1;\n  goto end;\n  x = 2;\nend:\n"
+           "  x = 3;\n}\n")
+    nodes, eog = _cpp(src)
+    goto = next(n for n in nodes.values() if n["label"] == "GotoStatement")
+    lab = next(n for n in nodes.values() if n["label"] == "LabelStatement")
+    assert lab["node_id"] in eog[goto["node_id"]]
+    skipped = next(n for n in nodes.values()
+                   if n["label"] == "BinaryOperator"
+                   and (n["loc"] or {}).get("start_line") == 4)
+    incoming = {s for s, ts in eog.items() if skipped["node_id"] in ts}
+    assert not incoming
+
+
+def test_fix455_eog_continues_past_function_style_declaration():
+    """fix-455/main.cpp: `Test t2();` is a declaration statement and the
+    EOG must continue beyond it to the function exit."""
+    src = ("class Test {\npublic:\n  int call(int a) {\n    return a + 1;\n"
+           "  }\n};\n\nint main() {\n  int foo = 42;\n  foo = 3;\n"
+           "  Test t;\n  t.call(foo);\n\n  Test t2();\n}\n")
+    nodes, eog = _cpp(src)
+    main_ = next(n for n in nodes.values()
+                 if n["label"] == "FunctionDeclaration" and n["name"] == "main")
+    into_exit = {s for s, ts in eog.items() if main_["node_id"] in ts}
+    assert into_exit, "EOG dead-ends before the function exit"
