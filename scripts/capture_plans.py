@@ -107,7 +107,11 @@ def main() -> None:
         "the visibility rule lives IN the join key; the mention side is "
         "an explode of O(scope depth + imports) visible modules, so the "
         "intermediate stays linear in corpus size and hot names "
-        "(print/main) are split per module (skew erased)\n\n"
+        "(print/main) are split per module (skew erased).  The one "
+        "SortMergeJoin is the per-doc import join, deliberately "
+        "un-hinted: the import dim grows with the corpus so it must "
+        "stay a shuffle join at scale (AQE promotes it to broadcast "
+        "when small at runtime)\n\n"
         f"```\n{trim(plan_of(jm), 80)}\n```\n")
 
     header = (
