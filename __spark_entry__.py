@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_value_eval": Q.q_cpg_value_eval,
         "cpg_order_eval": Q.q_cpg_order_eval,
         "cpg_eog_jumps": Q.q_cpg_eog_jumps,
+        "cpg_eog_reach": Q.q_cpg_eog_reach,
         "cpg_template_calls": Q.q_cpg_template_calls,
         "cypher_params": Q.q_cypher_params,
     }
@@ -765,6 +766,38 @@ def oracle_sql() -> dict[str, str]:
               AS t(doc_id, jump_kind, jump_line, jump_label, target_kind,
                    target_line)
             ORDER BY doc_id, jump_kind, jump_line
+        """,
+        # golden oracle: followNextEOG distributed BFS over the
+        # cfg/BreakContinue.java EOG from `main` — minimal evaluation-order
+        # depth per reachable node, hand-checked against the fixture's
+        # loops/branches/break/continue back-edges (Extensions.kt:139-165)
+        "cpg_eog_reach": """
+            SELECT * FROM (VALUES
+              ('BinaryOperator', 8, 4),
+              ('BinaryOperator', 9, 6),
+              ('BinaryOperator', 10, 7),
+              ('BinaryOperator', 15, 8),
+              ('BinaryOperator', 16, 9),
+              ('BinaryOperator', 17, 11),
+              ('BinaryOperator', 21, 11),
+              ('BreakStatement', 10, 8),
+              ('BreakStatement', 15, 9),
+              ('CompoundStatement', NULL, 1),
+              ('CompoundStatement', NULL, 5),
+              ('CompoundStatement', NULL, 7),
+              ('CompoundStatement', NULL, 10),
+              ('ContinueStatement', 9, 7),
+              ('ContinueStatement', 18, 12),
+              ('DeclarationStatement', NULL, 2),
+              ('DoStatement', 14, 6),
+              ('MemberCallExpression', 7, 3),
+              ('MemberCallExpression', 13, 5),
+              ('MemberCallExpression', 22, 10),
+              ('MethodDeclaration', 5, 0),
+              ('UnaryOperator', 11, 8),
+              ('UnaryOperator', 20, 10))
+              AS t(label, start_line, min_depth)
+            ORDER BY label, start_line, min_depth
         """,
         # golden oracle: cross-document CALLS over the deterministic
         # generated corpus (120 mod docs, 4 hub docs) — each hub helper

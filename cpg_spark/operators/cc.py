@@ -147,3 +147,44 @@ def transitive_closure(
         closure = closure.unionByName(nxt)
         frontier = nxt
     return closure
+
+
+def bfs_reachable(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+) -> DataFrame:
+    """Distributed BFS: (node, min_depth) for every node reachable from
+    ``sources`` (a frame with a ``node`` column; depth 0) — the Spark
+    form of the reference's ``followNextEOG``/``followPrevEOG`` path
+    search (``Extensions.kt:139-165``), which DFS-walks edge lists
+    in-heap.
+
+    Each round joins the frontier against the edge table and anti-joins
+    the visited set, so a node is recorded at its FIRST (minimal) depth;
+    rounds are eagerly checkpointed to cut lineage (SURVEY §7.3).  The
+    loop count is bounded by graph diameter, not size — every round is a
+    pair of equi-joins that shuffle only the frontier."""
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).distinct()
+    visited = (
+        sources.select(F.col("node")).distinct()
+        .withColumn("min_depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_u"])
+            .select(F.col("_v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("min_depth", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -1298,3 +1298,38 @@ def q_cpg_inferred_records(spark, sf_dir):
         .dropDuplicates()
         .orderBy("kind", "member")
     )
+
+
+def q_cpg_eog_reach(spark, sf_dir):
+    """followNextEOG as a DISTRIBUTED operator (SURVEY Q6;
+    Extensions.kt:139-165 walks edge lists in-heap): BFS over the EOG
+    edge table from the `main` method of the reference's
+    cfg/BreakContinue.java, one frontier join per round — every node
+    reachable in evaluation order with its minimal depth.  The golden
+    oracle is the independently hand-checked depth map of the fixture's
+    control flow (loops, branches, break/continue back-edges)."""
+    from cpg_spark.fixtures_cfamily import JAVA_FIXTURES
+    from cpg_spark.operators.cc import bfs_reachable
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "java/CfgBreakContinue/0001",
+          "spans": [{"kind": "code/java",
+                     "text": JAVA_FIXTURES["CfgBreakContinue"],
+                     "media_ref": None, "offset": 0}]}], schema=DOCS_SCHEMA)
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+    sources = nodes.filter(
+        (F.col("label") == "MethodDeclaration") & (F.col("name") == "main")
+    ).select(F.col("node_id").alias("node"))
+    eog = edges.filter(F.col("pred") == "EOG").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    reach = bfs_reachable(eog, sources)
+    return (
+        reach.join(nodes.select(F.col("node_id").alias("node"), "label",
+                                F.col("loc.start_line").alias("start_line")),
+                   "node")
+        .select("label", "start_line",
+                F.col("min_depth").cast("int").alias("min_depth"))
+        .orderBy("label", "start_line", "min_depth")
+    )
