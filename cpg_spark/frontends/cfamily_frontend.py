@@ -1226,8 +1226,21 @@ class CFamilyFrontend(Emitter):
         self.expect("{")
         cases = []
         ci = 0
+        pending_label = None  # C allows `lab: case 0:` (cfg/goto.cpp func)
         while self.peek().kind not in ("}", "eof"):
             tt = self.peek()
+            if (tt.kind == "ident" and self.peek(1).kind == ":"
+                    and tt.text not in ("case", "default")):
+                # label wrapping the next case — goto target inside the
+                # switch body
+                self.next()
+                self.next()
+                lnid = self.node(f"{path}.lab[{ci}]", "LabelStatement",
+                                 tt.text, self._tloc(tt))
+                self.ast_edge(nid, lnid, "STATEMENTS", ci)
+                pending_label = (tt.text, lnid)
+                ci += 1
+                continue
             if tt.kind == "ident" and tt.text == "case":
                 self.next()
                 cnid = self.node(f"{path}.case[{ci}]", "CaseStatement", "",
@@ -1248,6 +1261,11 @@ class CFamilyFrontend(Emitter):
                 cases.append({"nid": cnid, "stmts": stmts, "default": True})
             else:
                 self.next()
+                ci += 1
+                continue
+            if pending_label is not None:
+                cases[-1]["label"], cases[-1]["label_nid"] = pending_label
+                pending_label = None
             ci += 1
         self.expect("}")
         # C/Java case bodies fall through to the next case label unless a

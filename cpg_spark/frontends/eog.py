@@ -191,7 +191,16 @@ class EogBuilder:
             has_default = False
             for case in info.get("cases") or []:
                 cnid = case["nid"]
-                self._edge(sel, cnid)
+                lab = case.get("label_nid")
+                if lab is not None:
+                    # `lab: case 0:` — the selector branches through the
+                    # LabelStatement, and gotos can land on it
+                    if case.get("label"):
+                        self.labels[case["label"]] = lab
+                    self._edge(sel, lab)
+                    self._edge(lab, cnid)
+                else:
+                    self._edge(sel, cnid)
                 if falls:
                     self.connect(carry, cnid)
                 body_exits = self.seq(case.get("stmts") or [],

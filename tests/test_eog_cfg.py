@@ -169,3 +169,20 @@ def test_fix455_eog_continues_past_function_style_declaration():
                  if n["label"] == "FunctionDeclaration" and n["name"] == "main")
     into_exit = {s for s, ts in eog.items() if main_["node_id"] in ts}
     assert into_exit, "EOG dead-ends before the function exit"
+
+
+def test_goto_into_switch_label():
+    """cfg/goto.cpp func(): `label: case 0:` inside a switch body is a
+    legal goto target — both the forward goto (before the switch) and
+    the one inside `default:` jump to it."""
+    src = ("void func(int a){\n\tgoto label;\n\tswitch(a){\n"
+           "\t\tlabel: case 0:\n\t\tdefault:\n\t\tgoto label;\n\t}\n}\n")
+    nodes, eog = _cpp(src)
+    lab = next(n for n in nodes.values() if n["label"] == "LabelStatement")
+    gotos = [n for n in nodes.values() if n["label"] == "GotoStatement"]
+    assert len(gotos) == 2
+    for g in gotos:
+        assert lab["node_id"] in eog[g["node_id"]]
+    # the selector branches through the label into the case
+    case = next(n for n in nodes.values() if n["label"] == "CaseStatement")
+    assert case["node_id"] in eog[lab["node_id"]]
