@@ -1063,10 +1063,11 @@ class CFamilyFrontend(Emitter):
                     (self.peek(1).kind in ("=", ";", ",")
                      or (self.peek(1).kind == "("
                          and tname in self.records)):
+                # parse_var_after_type attaches the DeclarationStatement
+                # to parent itself (record=None -> always); adding a
+                # second STATEMENTS edge here duplicated the AST row
                 got = self.parse_var_after_type(path, tname, None, parent,
                                                 index)
-                self.ast_edge(parent, got[0] if isinstance(got, tuple)
-                              else got, "STATEMENTS", index)
                 nid = got[0] if isinstance(got, tuple) else got
                 return nid, {"kind": "plain", "nid": nid}
             self.i = save
