@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_order_eval": Q.q_cpg_order_eval,
         "cpg_eog_jumps": Q.q_cpg_eog_jumps,
         "cpg_eog_reach": Q.q_cpg_eog_reach,
+        "cpg_triples_profile": Q.q_cpg_triples_profile,
         "cpg_template_calls": Q.q_cpg_template_calls,
         "cypher_params": Q.q_cypher_params,
     }
@@ -766,6 +767,29 @@ def oracle_sql() -> dict[str, str]:
               AS t(doc_id, jump_kind, jump_line, jump_label, target_kind,
                    target_line)
             ORDER BY doc_id, jump_kind, jump_line
+        """,
+        # golden oracle: per-predicate triple counts of the flagship
+        # fixture-corpus graph — pins the whole parse+link output shape
+        # (any frontend/EOG/DFG/link change moves a count)
+        "cpg_triples_profile": """
+            SELECT * FROM (VALUES
+              ('ARGUMENTS', 19),
+              ('AST', 454),
+              ('CALLS', 25),
+              ('CONSTRUCTOR', 1),
+              ('CONSTRUCTORS', 1),
+              ('DFG', 173),
+              ('EOG', 198),
+              ('EVAL_TYPE', 165),
+              ('FIELDS', 11),
+              ('INSTANTIATES', 6),
+              ('METHODS', 11),
+              ('PARAMETERS', 8),
+              ('RECEIVER', 11),
+              ('REFERS_TO', 46),
+              ('SUPER_TYPE', 1))
+              AS t(pred, n_triples)
+            ORDER BY pred
         """,
         # golden oracle: followNextEOG distributed BFS over the
         # cfg/BreakContinue.java EOG from `main` — minimal evaluation-order

@@ -1333,3 +1333,15 @@ def q_cpg_eog_reach(spark, sf_dir):
                 F.col("min_depth").cast("int").alias("min_depth"))
         .orderBy("label", "start_line", "min_depth")
     )
+
+
+def q_cpg_triples_profile(spark, sf_dir):
+    """Per-predicate triple counts of the flagship fixture-corpus graph —
+    a golden regression pin on the WHOLE parse+link output shape: any
+    frontend, EOG, DFG or linking change that adds/loses edges moves one
+    of these counts."""
+    return (
+        q_cpg_triples(spark, sf_dir)
+        .groupBy("pred").agg(F.count("*").alias("n_triples"))
+        .orderBy("pred")
+    )
