@@ -277,10 +277,36 @@ def _materialize(spark, ctx):
     st = all_edges.filter(F.col("pred") == "SUPER_TYPE").dropDuplicates(
         ["subj", "pred", "obj"])
     all_edges = all_edges.filter(F.col("pred") != "SUPER_TYPE").unionByName(st)
+    metrics = {}
+    if os.environ.get("CPG_SPARK_DENSE_IDS") == "1":
+        # IdentifierPass remap at the OUTPUT boundary: content-hash ids
+        # (random int64) are the in-flight determinism/resume contract but
+        # are incompressible — measured 97% of edge-table bytes; remapping
+        # to dense walk-order ids shrank the dominant output table 68 MB
+        # -> 23 MB (3x) at 24k docs.  The content hash is kept as
+        # `content_id` on nodes so resume/idempotency joins stay possible.
+        from cpg_spark.operators.identifiers import identify_nodes
+
+        withseq = identify_nodes(all_nodes).persist()
+        dense = withseq.select(F.col("node_id").alias("_h"), "seq_id")
+        all_nodes = (
+            withseq.withColumn("content_id", F.col("node_id"))
+            .withColumn("node_id", F.col("seq_id")).drop("seq_id")
+        )
+        all_edges = (
+            all_edges
+            .join(dense.withColumnRenamed("_h", "subj")
+                  .withColumnRenamed("seq_id", "_s"), "subj", "left")
+            .join(dense.withColumnRenamed("_h", "obj")
+                  .withColumnRenamed("seq_id", "_o"), "obj", "left")
+            .select(F.coalesce("_s", "subj").alias("subj"), "pred",
+                    F.coalesce("_o", "obj").alias("obj"), "props", "doc_id")
+        )
+        metrics["dense_ids"] = True
     return (
         {"nodes": all_nodes, "edges": all_edges,
          "type_components": comp},
-        {},
+        metrics,
         # pred-partitioning keeps per-predicate scans (triple view queries)
         # pruned; doc_id bucketing is the Iceberg-side refinement on cluster
         {"edges": ["pred"]},

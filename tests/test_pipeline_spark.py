@@ -170,3 +170,49 @@ def test_final_tables_unique_ids(spark, tmp_path_factory):
     assert nodes.count() == nodes.select("node_id").distinct().count()
     edges = spark.read.parquet(p.results[-1].outputs["edges"])
     assert edges.count() == edges.select("subj", "pred", "obj").distinct().count()
+
+
+def test_dense_id_materialize(spark, tmp_path, monkeypatch):
+    """CPG_SPARK_DENSE_IDS=1: output ids are dense walk-order ints
+    (IdentifierPass at the output boundary — content-hash ids are 97% of
+    edge bytes and incompressible), the content hash survives as
+    nodes.content_id, and the triple set is isomorphic to the hash-id
+    run through that mapping."""
+    from pyspark.sql import functions as F
+
+    from cpg_spark.pipeline import run_cpg_pipeline
+    from cpg_spark.synth import fixture_docs
+
+    docs = fixture_docs(spark)
+    p1 = run_cpg_pipeline(spark, docs, str(tmp_path / "w1"), run_id="h",
+                          resume=False)
+    monkeypatch.setenv("CPG_SPARK_DENSE_IDS", "1")
+    p2 = run_cpg_pipeline(spark, docs, str(tmp_path / "w2"), run_id="d",
+                          resume=False)
+    n1 = spark.read.parquet(p1.results[-1].outputs["nodes"])
+    e1 = spark.read.parquet(p1.results[-1].outputs["edges"])
+    n2 = spark.read.parquet(p2.results[-1].outputs["nodes"])
+    e2 = spark.read.parquet(p2.results[-1].outputs["edges"])
+
+    n_nodes = n2.count()
+    assert n_nodes == n1.count()
+    # dense: exactly 0..n-1, no gaps
+    assert n2.agg(F.min("node_id"), F.max("node_id")).first() == (0, n_nodes - 1)
+    assert n2.select("node_id").distinct().count() == n_nodes
+    # every edge endpoint resolves to a node (no dangling hash leftovers)
+    ids = n2.select("node_id")
+    assert e2.join(ids.withColumnRenamed("node_id", "subj"), "subj",
+                   "left_anti").count() == 0
+    assert e2.join(ids.withColumnRenamed("node_id", "obj"), "obj",
+                   "left_anti").count() == 0
+    # isomorphic to the hash-id run: map dense ids back through content_id
+    m = n2.select(F.col("node_id").alias("d"), F.col("content_id").alias("h"))
+    back = (
+        e2.join(m.withColumnRenamed("d", "subj").withColumnRenamed("h", "hs"),
+                "subj")
+        .join(m.withColumnRenamed("d", "obj").withColumnRenamed("h", "ho"),
+              "obj")
+        .select(F.col("hs").alias("subj"), "pred", F.col("ho").alias("obj"))
+    )
+    t1 = e1.select("subj", "pred", "obj")
+    assert back.exceptAll(t1).isEmpty() and t1.exceptAll(back).isEmpty()
