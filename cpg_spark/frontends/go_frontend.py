@@ -620,14 +620,41 @@ class GoFrontend(Emitter):
             return self._attach(self.parse_switch(path), parent, index)
         if t.kind == "ident" and t.text == "break":
             self.next()
-            nid = self.node(path, "BreakStatement", "", self._tloc(t))
-            return self._attach((nid, {"kind": "break", "nid": nid}), parent,
-                                index)
+            # `break Label` binds the labeled enclosing for/switch
+            # (go/ast BranchStmt.Label; same break-frame machinery as the
+            # Java labeled break)
+            lab = None
+            if self.peek().kind == "ident" and self.peek().text not in _KEYWORDS:
+                # ASI inserted ';' at any newline after break, so an
+                # ident here is a same-line label
+                lab = self.next().text
+            nid = self.node(path, "BreakStatement", lab or "", self._tloc(t))
+            info = {"kind": "break", "nid": nid}
+            if lab:
+                info["label"] = lab
+            return self._attach((nid, info), parent, index)
         if t.kind == "ident" and t.text == "continue":
             self.next()
-            nid = self.node(path, "ContinueStatement", "", self._tloc(t))
-            return self._attach((nid, {"kind": "continue", "nid": nid}),
-                                parent, index)
+            lab = None
+            if self.peek().kind == "ident" and self.peek().text not in _KEYWORDS:
+                lab = self.next().text
+            nid = self.node(path, "ContinueStatement", lab or "",
+                            self._tloc(t))
+            info = {"kind": "continue", "nid": nid}
+            if lab:
+                info["label"] = lab
+            return self._attach((nid, info), parent, index)
+        if (t.kind == "ident" and t.text not in _KEYWORDS
+                and self.peek(1).kind == ":" and self.peek(2).kind != "="):
+            # labeled statement `Label: for ...` (go/ast LabeledStmt)
+            self.next()
+            self.next()
+            self.skip_semis()
+            nid = self.node(path, "LabelStatement", t.text, self._tloc(t))
+            self.ast_edge(parent, nid, "STATEMENTS", index)
+            sub_id, sub_info = self.parse_stmt(path + ".sub", nid, 0)
+            return nid, {"kind": "label", "nid": nid, "name": t.text,
+                         "sub": sub_info}
         if t.kind == "{":
             infos = self.parse_block(path, parent, "STATEMENTS")
             return infos[0]["nid"], infos[0]

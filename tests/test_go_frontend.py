@@ -211,3 +211,37 @@ def test_cross_doc_call_and_construct(spark):
     assert ("NewMyStruct", "go/call/0001", "go/struct/0001") in cross
     assert ("myOtherFunc", "go/call/0001", "go/struct/0001") in cross
     raw.unpersist()
+
+
+def test_labeled_break_continue():
+    """Go labeled jumps (go/ast BranchStmt.Label): `continue outer`
+    returns to the OUTER for's condition, `break outer` exits both
+    loops straight to the return."""
+    from cpg_spark.frontends.go_frontend import parse_go_document
+
+    src = (
+        "package main\n\nfunc f() int {\n\ttotal := 0\nouter:\n"
+        "\tfor i := 0; i < 10; i++ {\n\t\tfor j := 0; j < 10; j++ {\n"
+        "\t\t\tif j > 5 {\n\t\t\t\tcontinue outer\n\t\t\t}\n"
+        "\t\t\tif i > 8 {\n\t\t\t\tbreak outer\n\t\t\t}\n"
+        "\t\t\ttotal += j\n\t\t}\n\t}\n\treturn total\n}\n"
+    )
+    g = parse_go_document("go/labeled/0001", 0, src, "main")
+    nodes = {n["node_id"]: n for n in g.nodes}
+    eog = {}
+    for e in g.edges:
+        if e["pred"] == "EOG":
+            eog.setdefault(e["subj"], []).append(e["obj"])
+    brk = next(n for n in g.nodes if n["label"] == "BreakStatement")
+    ret = next(n for n in g.nodes if n["label"] == "ReturnStatement")
+    assert ret["node_id"] in eog[brk["node_id"]], "break outer must exit both loops"
+    cont = next(n for n in g.nodes if n["label"] == "ContinueStatement")
+    (tgt,) = eog[cont["node_id"]]
+    # the target is the OUTER loop's condition: the outer post `i++`
+    # (line 6) also flows into it
+    preds = {s for s, ts in eog.items() if tgt in ts}
+    pred_lines = {(nodes[p]["label"], (nodes[p]["loc"] or {}).get("start_line"))
+                  for p in preds}
+    assert ("UnaryOperator", 6) in pred_lines
+    lab = next(n for n in g.nodes if n["label"] == "LabelStatement")
+    assert lab["name"] == "outer"
