@@ -61,6 +61,14 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    # round-2 additions: bucketed embedding near-dup (the round-1
+    # all-pairs scale-killer, now LSH-banded), IVF ANN, BPE-ish token
+    # counting, n-gram Jaccard, and the distributed IdentifierPass
+    "embedding_neardup",
+    "ann_ivf_topk",
+    "token_counts",
+    "ngram_jaccard_pairs",
+    "identifier_pass",
 ]
 
 
@@ -99,7 +107,9 @@ def run_cpg_bench(spark, n_docs: int) -> tuple[float, int]:
         # single shot measures the VM's mood, not the engine; both raw
         # times are reported in the output JSON for transparency
         runs = [one("bench")]
-        while min(runs) > 75 and len(runs) < 3:
+        # quiet-window capability is ~35-52 s at 24k docs; anything above
+        # 45 s is JIT warmup or neighbor noise, so keep sampling (3 shots)
+        while min(runs) > 45 and len(runs) < 3:
             runs.append(one(f"bench{len(runs) + 1}"))
         return min(runs), n_docs, runs
     finally:
