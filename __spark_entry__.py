@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_typedefs": Q.q_cpg_typedefs,
         "identifier_pass": Q.q_identifier_pass,
         "cpg_inferred_records": Q.q_cpg_inferred_records,
+        "training_data_pipeline": Q.q_training_data_pipeline,
         "cpg_unreachable": Q.q_cpg_unreachable,
         "cpg_llvm_triples": Q.q_cpg_llvm_triples,
         "cpg_llvm_compress": Q.q_cpg_llvm_compress,
@@ -523,6 +524,109 @@ def oracle_sql() -> dict[str, str]:
               ('unsigned long long int', CAST(1 AS BIGINT)))
               AS t(type_name, n_nodes)
             ORDER BY type_name
+        """,
+        # end-to-end training-data pipeline: exact dedup -> MinHash-LSH
+        # near-dup removal -> language gate -> quality gate -> token
+        # budget; ONE WITH-chain oracles the whole composite
+        "training_data_pipeline": """
+            WITH keepers AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            tok AS (SELECT doc_id, text, string_split(text, ' ') AS t
+                    FROM documents),
+            sh AS (
+              SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+                       range(0, greatest(len(t) - 2, 0)),
+                       i -> array_to_string(t[i+1:i+3], ' ')))) AS s
+              FROM tok
+            ),
+            sigs AS (
+              SELECT doc,
+                     min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
+                     min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3,
+                     min(md5('4|' || s)) AS mh4, min(md5('5|' || s)) AS mh5,
+                     min(md5('6|' || s)) AS mh6, min(md5('7|' || s)) AS mh7
+              FROM sh GROUP BY doc
+            ),
+            bands AS (
+              SELECT doc, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_hash FROM sigs
+              UNION ALL SELECT doc, 1, md5(mh2 || '|' || mh3) FROM sigs
+              UNION ALL SELECT doc, 2, md5(mh4 || '|' || mh5) FROM sigs
+              UNION ALL SELECT doc, 3, md5(mh6 || '|' || mh7) FROM sigs
+            ),
+            cands AS (
+              SELECT DISTINCT x.doc AS a, y.doc AS b
+              FROM bands x JOIN bands y
+                ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+               AND x.doc < y.doc
+            ),
+            sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+            pairs AS (
+              SELECT x.doc AS a, y.doc AS b, COUNT(*) AS inter
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc < y.doc
+              GROUP BY x.doc, y.doc
+            ),
+            verified AS (
+              SELECT a, b,
+                     CAST(floor(inter * 1000.0 / (na + nb - inter)) AS BIGINT)
+                       AS jaccard_pm
+              FROM pairs
+              JOIN (SELECT doc AS a, n_sh AS na FROM sizes) USING (a)
+              JOIN (SELECT doc AS b, n_sh AS nb FROM sizes) USING (b)
+            ),
+            dropped AS (
+              SELECT DISTINCT v.b AS doc_id
+              FROM verified v JOIN cands c ON v.a = c.a AND v.b = c.b
+              WHERE v.jaccard_pm >= 500
+            ),
+            survivors AS (
+              SELECT doc_id FROM keepers
+              WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            ),
+            lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(
+                            len(list_filter(t, x -> x IN ('der','die','das','und'))),
+                            len(list_filter(t, x -> x IN ('the','a','of','and'))),
+                            len(list_filter(t, x -> x IN ('el','la','de','que')))) <= 0
+                          THEN 'und'
+                          WHEN len(list_filter(t, x -> x IN ('der','die','das','und')))
+                             = greatest(
+                            len(list_filter(t, x -> x IN ('der','die','das','und'))),
+                            len(list_filter(t, x -> x IN ('the','a','of','and'))),
+                            len(list_filter(t, x -> x IN ('el','la','de','que'))))
+                          THEN 'de'
+                          WHEN len(list_filter(t, x -> x IN ('the','a','of','and')))
+                             = greatest(
+                            len(list_filter(t, x -> x IN ('der','die','das','und'))),
+                            len(list_filter(t, x -> x IN ('the','a','of','and'))),
+                            len(list_filter(t, x -> x IN ('el','la','de','que'))))
+                          THEN 'en' ELSE 'es' END AS lang_pred
+              FROM tok
+            ),
+            qual AS (
+              SELECT doc_id,
+                     CAST(floor(len(list_distinct(t)) * 1000.0 /
+                          greatest(len(t), 1)) AS BIGINT) AS quality_score,
+                     CAST(len(t) AS INT) AS n_tokens
+              FROM tok
+            ),
+            tokc AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+                     CAST(len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+                       AS INT) AS bpe_tokens
+              FROM documents
+            )
+            SELECT s.doc_id, q.quality_score, tc.ws_tokens, tc.bpe_tokens
+            FROM survivors s
+            JOIN lang l USING (doc_id)
+            JOIN qual q USING (doc_id)
+            JOIN tokc tc USING (doc_id)
+            WHERE l.lang_pred = 'en' AND q.quality_score >= 350
+              AND q.n_tokens >= 20
+            ORDER BY s.doc_id
         """,
         # golden oracle: InferenceTest over the reference's
         # inference/{record,record_ptr}.cpp — the unknown record T is

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "token_counts",
     "ngram_jaccard_pairs",
     "identifier_pass",
+    "training_data_pipeline",
 ]
 
 
