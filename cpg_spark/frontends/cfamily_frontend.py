@@ -1374,7 +1374,21 @@ class CFamilyFrontend(Emitter):
                       if lmeta.get("type") == rmeta.get("type") else None)
             if tp:
                 self.eval_type(nid, tp)
-            lhs = (nid, {"kind": "binop", "name": op, "type": tp})
+            meta = {"kind": "binop", "name": op, "type": tp}
+            if op in ("&&", "||"):
+                # short-circuit expression-level EOG
+                # (EvaluationOrderGraphPass.java:551-568 + EOGTest
+                # testConditionShortCircuit): the lhs exit branches to
+                # BOTH the rhs entry and the operator itself (exactly 2
+                # successors); the rhs exit converges on the operator.
+                # Context-free — emitted for every &&/|| wherever it
+                # appears (condition or initializer)
+                r_entry = rmeta.get("sc_entry") or rid
+                self.edge(lid, "EOG", r_entry, {"index": "0"})
+                self.edge(lid, "EOG", nid, {"index": "1"})
+                self.edge(rid, "EOG", nid, {"index": "2"})
+                meta["sc_entry"] = lmeta.get("sc_entry") or lid
+            lhs = (nid, meta)
             n += 1
 
     def parse_unary(self, path: str):

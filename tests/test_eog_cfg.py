@@ -186,3 +186,37 @@ def test_goto_into_switch_label():
     # the selector branches through the label into the case
     case = next(n for n in nodes.values() if n["label"] == "CaseStatement")
     assert case["node_id"] in eog[lab["node_id"]]
+
+
+def test_condition_short_circuit():
+    """EOGTest testConditionShortCircuit over the reference's
+    cfg/ShortCircuit.java: for every &&/|| the lhs exit has EXACTLY two
+    EOG successors — the rhs entry and the operator itself
+    (EvaluationOrderGraphPass.java:551-568 shortCircuitNodes)."""
+    src = (  # embedded copy of the reference fixture
+        "package cfg;\n\npublic class Loops {\n\n"
+        "    public static void main(String[] args) {\n"
+        "        boolean containsArg = args.length > 0 && "
+        "args[0].equals(\"SomeArg\");\n"
+        "        boolean empty = args == null || args.length == 0;\n"
+        "    }\n}\n"
+    )
+    g = parse_java_document("java/ShortCircuit/0001", 0, src, None)
+    edges = g.edges
+    eog = {}
+    for e in edges:
+        if e["pred"] == "EOG":
+            eog.setdefault(e["subj"], []).append(e["obj"])
+    bos = [n for n in g.nodes
+           if n["label"] == "BinaryOperator" and n["name"] in ("&&", "||")]
+    assert len(bos) == 2
+    for bo in bos:
+        lhs = next(e["obj"] for e in edges
+                   if e["pred"] == "AST" and e["subj"] == bo["node_id"]
+                   and (e["props"] or {}).get("field") == "LHS")
+        rhs = next(e["obj"] for e in edges
+                   if e["pred"] == "AST" and e["subj"] == bo["node_id"]
+                   and (e["props"] or {}).get("field") == "RHS")
+        succ = eog[lhs]
+        assert len(succ) == 2 and bo["node_id"] in succ and rhs in succ
+        assert bo["node_id"] in eog[rhs]
