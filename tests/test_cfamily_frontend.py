@@ -236,3 +236,20 @@ def test_constructors_java_no_implicit_stack_construction():
             ctor_np[n["node_id"]] = n["loc"]["start_line"]
     resolved = sorted(ctor_np[e["obj"]] for e in edges["CONSTRUCTOR"])
     assert resolved == [2, 3, 4]
+
+
+def test_bindings_use_then_declare():
+    """bindings/use_then_declare.cpp: a field used BEFORE its declaration
+    in the class body still binds (the reference's two-phase
+    parse-then-resolve; our frontend pre-registers members)."""
+    from cpg_spark.frontends.cfamily_frontend import parse_cpp_document
+
+    src = ("class MyClass {\n  void someFun() {\n    x = 5;\n  }\n"
+           "  int x;\n};\n")
+    g = parse_cpp_document("cpp/utd/0001", 0, src, "utd")
+    nodes = {n["node_id"]: n for n in g.nodes}
+    hits = [(nodes[e["subj"]]["name"], nodes[e["obj"]]["label"])
+            for e in g.edges if e["pred"] == "REFERS_TO"
+            and nodes[e["subj"]]["name"] == "x"]
+    assert ("x", "FieldDeclaration") in hits
+    assert not [m for m in g.mentions if m["name"] == "x"]
