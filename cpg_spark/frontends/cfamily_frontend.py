@@ -246,6 +246,17 @@ class CFamilyFrontend(Emitter):
                 self.accept(";")
                 if parts:
                     self.module_name = ".".join(parts)
+                    # re-root the already-minted module scope and TU/
+                    # namespace nodes: node ids hash the ast path (not
+                    # the name) so renaming is safe — without this,
+                    # mention scope paths stay '<default>.…' while
+                    # exported symbols carry the package module, and
+                    # same-package member refs never become visible
+                    # (fix-328 super.myField)
+                    self.scopes[0].name = self.module_name
+                    for row in self.out.nodes:
+                        if row["node_id"] in (tu_id, ns_id):
+                            row["name"] = self.module_name
             elif t.kind == "ident" and t.text == "import":
                 self.next()
                 parts = []

@@ -318,3 +318,46 @@ def test_inferred_id_same_on_both_mint_paths(spark):
     for kind, name, sig, cont in cases:
         assert got[(name, sig, cont)][kind] == inferred_id(
             kind, name, signature=sig, container=cont)
+
+
+def test_fix328_super_field_write_binds_inherited_field(spark):
+    """fix-328: `super.myField = 2` in Cat's constructor binds Animal's
+    protected field across documents (same package `my`) — the package
+    clause must root the scope path so same-package symbols are visible
+    (JavaLanguageFrontendTest fix-328 leg)."""
+    from pyspark.sql import functions as F
+
+    from cpg_spark.operators.link import link_all
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    cat = ("package my;\n\npublic class Cat extends Animal implements "
+           "OtherBehavior {\n\n    public Cat() {\n        super.myField = 2;"
+           "\n    }\n}\n")
+    animal = ("package my;\n\npublic abstract class Animal implements "
+              "Behavior<T> {\n\n    protected int myField;\n\n}\n")
+    docs = spark.createDataFrame(
+        [{"doc_id": "java/Cat/0001", "spans": [{"kind": "code/java",
+          "text": cat, "media_ref": None, "offset": 0}]},
+         {"doc_id": "java/Animal/0001", "spans": [{"kind": "code/java",
+          "text": animal, "media_ref": None, "offset": 0}]}],
+        schema=DOCS_SCHEMA)
+    nodes, edges, mentions, symbols = split_parse_output(parse_docs(docs))
+    linked, inferred, _ = link_all(mentions, symbols, nodes=nodes,
+                                   edges=edges)
+    n = nodes.select("node_id", "label", "name", "doc_id")
+    hits = (
+        linked.filter(F.col("pred") == "REFERS_TO")
+        .join(n.withColumnRenamed("node_id", "subj")
+              .withColumnRenamed("name", "sname")
+              .withColumnRenamed("label", "slab")
+              .withColumnRenamed("doc_id", "sdoc"), "subj")
+        .join(n.withColumnRenamed("node_id", "obj")
+              .withColumnRenamed("name", "oname")
+              .withColumnRenamed("label", "olab")
+              .withColumnRenamed("doc_id", "odoc"), "obj")
+        .filter(F.col("sname") == "myField")
+        .select("olab", "odoc").collect()
+    )
+    assert [(r["olab"], r["odoc"]) for r in hits] == [
+        ("FieldDeclaration", "java/Animal/0001")]
