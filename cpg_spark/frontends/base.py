@@ -62,7 +62,7 @@ class Scope:
     __slots__ = ("kind", "name", "decls", "node_id")
 
     def __init__(self, kind: str, name: str, node_id: str | None):
-        self.kind = kind  # 'module' | 'record' | 'function'
+        self.kind = kind  # 'module' | 'record' | 'function' | 'block'
         self.name = name
         self.node_id = node_id
         # name -> dict(decl_id, kind, type, ...)
@@ -80,6 +80,12 @@ class Emitter:
         self.out = DocGraph()
         self.scopes: list[Scope] = []
         self._emitted_types: set[str] = set()
+        # monotonically increasing parse-order counter: declarations stamp
+        # it and references capture it, so deferred resolution can honour
+        # the point-of-declaration rule inside function/block scopes
+        # (ScopeManager.kt resolve happens against the live scope tree;
+        # we replay the same visibility from the stamps)
+        self._seq = 0
         # precompute line start offsets for fast code-snippet slicing
         self._line_starts = [0]
         for ln in source.split("\n")[:-1]:
@@ -195,8 +201,14 @@ class Emitter:
     def leave_scope(self) -> None:
         self.scopes.pop()
 
+    def tick(self) -> int:
+        """Next parse-order stamp (shared by declarations and references)."""
+        self._seq += 1
+        return self._seq
+
     def declare(self, name: str, decl_id: str, kind: str, tpe: str | None = None) -> None:
-        self.scopes[-1].decls[name] = {"decl_id": decl_id, "kind": kind, "type": tpe}
+        self.scopes[-1].decls[name] = {
+            "decl_id": decl_id, "kind": kind, "type": tpe, "seq": self.tick()}
 
     def resolve(self, name: str):
         """Innermost-first walk of the scope stack — the reference's

@@ -376,9 +376,11 @@ class CFamilyFrontend(Emitter):
                 self.i = j + 1
         suffix = ""
         while self.peek().kind in ("*", "&"):
-            suffix += self.next().text if self.peek().kind == "*" else ""
-            if suffix.endswith("&"):
-                suffix = suffix[:-1]
+            # '&' (reference) is consumed but held out of the canonical
+            # type string (the reference's TypeParser strips top-level
+            # reference qualifiers for resolution)
+            if self.next().kind == "*":
+                suffix += "*"
         while self.peek().kind == "[" and self.peek(1).kind == "]":
             self.next()
             self.next()
@@ -438,7 +440,9 @@ class CFamilyFrontend(Emitter):
             self.accept(";")
             return rid
         self.expect("{")
-        self.enter_scope("record", name, rid)
+        # keep the record's scope object so out-of-line member definitions
+        # (`Type A::member ...` at file scope) can re-open it
+        rec["scope"] = self.enter_scope("record", name, rid)
         self._typedefs.append({})  # member typedefs scope the record body
         mi = 0
         while self.peek().kind not in ("}", "eof"):
@@ -529,14 +533,75 @@ class CFamilyFrontend(Emitter):
         if self.peek().kind != "ident":
             self.i = save
             return None
+        if (self.dialect == "cpp" and record is None
+                and self.peek(1).kind == "::"):
+            got = self._parse_out_of_line(path, tname, parent, index)
+            if got is not None:
+                return got
+            self.i = save
+            return None
         name_t = self.peek()
         if self.peek(1).kind == "(":
             return self.parse_function(path, tname, record, parent, index)
         # field / variable (possibly comma-separated)
         return self.parse_var_after_type(path, tname, record, parent, index)
 
+    def _parse_out_of_line(self, path, tname, parent, index):
+        """Out-of-line C++ member definitions at file scope:
+        ``Type A::B::member = init;`` binds the initializer to the class's
+        FieldDeclaration (no new variable is minted — the reference's CDT
+        binding resolves the qualified name to the in-class member), and
+        ``Type A::method(...) { ... }`` re-opens A's record scope and
+        attaches the body to the in-class prototype when one exists."""
+        j = self.i
+        segs = [self.toks[j].text]
+        j += 1
+        while self.toks[j].kind == "::" and self.toks[j + 1].kind == "ident":
+            segs.append(self.toks[j + 1].text)
+            j += 2
+        if len(segs) < 2:
+            return None
+        member, owner = segs[-1], segs[-2]
+        rec = self.records.get(owner)
+        if rec is None:
+            return None
+        if self.toks[j].kind == "(":
+            # method definition — reposition at the member ident so
+            # parse_function consumes the name normally
+            self.i = j - 1
+            rec_scope = rec.get("scope")
+            if rec_scope is not None:
+                self.scopes.append(rec_scope)
+            try:
+                reuse = None
+                protos = [f for f in (rec["methods"].get(member) or [])
+                          if not self._functions_by_id[f]["is_definition"]]
+                if len(protos) == 1:
+                    reuse = protos[0]
+                return self.parse_function(path, tname, rec,
+                                           rec["decl_id"], index,
+                                           reuse_fid=reuse)
+            finally:
+                if rec_scope is not None:
+                    self.scopes.pop()
+        if self.toks[j].kind in ("=", ";"):
+            self.i = j
+            fid = rec["fields"].get(member)
+            init_id = None
+            if self.accept("="):
+                init_id, _ = self.parse_expr(path + ".init")
+            self.accept(";")
+            ds = self.node(path, "DeclarationStatement", "", None,
+                           code="")
+            self.ast_edge(parent, ds, "DECLARATIONS", index)
+            if fid is not None and init_id is not None:
+                self.ast_edge(ds, init_id, "INITIALIZER", 0)
+                self.edge(init_id, "DFG", fid)
+            return ds
+        return None
+
     def parse_function(self, path, ret_type, record, parent, index,
-                       ctor=False):
+                       ctor=False, reuse_fid=None):
         name_t = self.next()
         name = name_t.text
         if ctor:
@@ -545,7 +610,13 @@ class CFamilyFrontend(Emitter):
             label = "MethodDeclaration"
         else:
             label = "FunctionDeclaration"
-        fid = self.node(path, label, name, self._tloc(name_t))
+        if reuse_fid is not None:
+            # out-of-line definition of an in-class prototype: the body
+            # attaches to the declared node (the reference merges the CDT
+            # definition binding into the declaration)
+            fid = reuse_fid
+        else:
+            fid = self.node(path, label, name, self._tloc(name_t))
         self.enter_scope("function", name, fid)
         if record is not None:
             # implicit receiver: `this`
@@ -586,8 +657,9 @@ class CFamilyFrontend(Emitter):
                             argument_index=pidx)
             if ptype:
                 self.eval_type(pid, ptype)
-            self.edge(fid, "PARAMETERS", pid, {"index": pidx})
-            self.ast_edge(fid, pid, "PARAMETERS", pidx)
+            if reuse_fid is None:  # else the prototype's edges stand
+                self.edge(fid, "PARAMETERS", pid, {"index": pidx})
+                self.ast_edge(fid, pid, "PARAMETERS", pidx)
             if pt is not None:
                 self.declare(pt.text, pid, "param", ptype)
             # C++ default argument (CallResolver.java:980-1014): calls may
@@ -620,6 +692,13 @@ class CFamilyFrontend(Emitter):
         else:
             self.accept(";")  # declaration only (prototype)
         self.leave_scope()
+        if reuse_fid is not None:
+            # keep the prototype's registration; only mark it defined and
+            # adopt the definition's parameter nodes for arg->param DFG
+            info = self._functions_by_id[fid]
+            info["is_definition"] = has_body or info["is_definition"]
+            info["param_ids"] = param_ids or info["param_ids"]
+            return fid
         fn_info = {
             "decl_id": fid, "kind": "function", "name": name,
             "n_params": len(param_ids), "param_ids": param_ids,
@@ -963,6 +1042,10 @@ class CFamilyFrontend(Emitter):
         self._typedefs.append({})  # block-local typedef scope
         cid = self.node(path, "CompoundStatement", "", None, code="")
         self.ast_edge(parent, cid, field, 0)
+        # each `{}` opens a BlockScope (ScopeManager.enterScope on
+        # CompoundStatement) so same-named locals in sibling/nested blocks
+        # shadow correctly instead of clobbering one function-wide dict
+        self.enter_scope("block", "", cid)
         infos = []
         si = 0
         while self.peek().kind not in ("}", "eof"):
@@ -971,6 +1054,7 @@ class CFamilyFrontend(Emitter):
                 infos.append(got[1])
             si += 1
         self.expect("}")
+        self.leave_scope()
         self._typedefs.pop()
         return [{"kind": "compound", "nid": cid, "stmts": infos}]
 
@@ -1050,7 +1134,23 @@ class CFamilyFrontend(Emitter):
                 nid = self.node(path, "GotoStatement", lab, self._tloc(g_t))
                 self.ast_edge(parent, nid, "STATEMENTS", index)
                 return nid, {"kind": "goto", "nid": nid, "name": lab}
-            if kw in ("throw", "delete", "goto", "try"):
+            if kw == "try" and self.peek(1).kind == "{":
+                return self._attach(self.parse_try(path), parent, index)
+            if kw == "throw":
+                # `throw expr;` — UnaryOperator "throw" (the reference's
+                # CXX/Java handlers build a UnaryOperator with the thrown
+                # expression as input); EOG clears after it
+                self.next()
+                nid = self.node(path, "UnaryOperator", "throw",
+                                self._tloc(t), code="throw")
+                if self.peek().kind not in (";", "eof"):
+                    eid, _ = self.parse_expr(path + ".e")
+                    self.ast_edge(nid, eid, "INPUT", 0)
+                    self.edge(eid, "DFG", nid)
+                self.accept(";")
+                self.ast_edge(parent, nid, "STATEMENTS", index)
+                return nid, {"kind": "throw", "nid": nid}
+            if kw in ("delete", "goto", "try"):
                 # gap statements (reference logs NOT_IMPLEMENTED analogues)
                 while self.peek().kind not in (";", "{", "eof"):
                     self.next()
@@ -1130,8 +1230,10 @@ class CFamilyFrontend(Emitter):
         has_init = self._paren_has_semi()
         self.expect("(")
         if has_init:
-            # C++17 `if (init; cond)` — the init declares into the current
-            # scope (close enough to the reference's handling for P/R)
+            # C++17 `if (init; cond)` — the init declares into a scope
+            # that spans condition + both branches but NOT the code after
+            # the if (IfStatement owns a scope in the reference)
+            self.enter_scope("block", "", nid)
             self.parse_stmt(path + ".init", nid, 0)
             self.accept(";")
         cid, _ = self.parse_expr(path + ".c")
@@ -1149,6 +1251,8 @@ class CFamilyFrontend(Emitter):
             else:
                 info["orelse"] = self._branch(path + ".else", nid,
                                               "ELSE_STATEMENT")
+        if has_init:
+            self.leave_scope()
         return nid, info
 
     def _branch(self, path, parent, field):
@@ -1156,6 +1260,73 @@ class CFamilyFrontend(Emitter):
             return self.parse_block(path, parent, field)
         got = self.parse_stmt(path, parent, 0)
         return [got[1]]
+
+    def parse_try(self, path: str):
+        """TryStatement with CatchClauses (+ Java finally).
+
+        Mirrors the reference's StatementHandler.handleTryStatement
+        (cpp) / StatementAnalyzer.handleTryStatement (java): the try body
+        is a CompoundStatement, each catch owns a scope holding its
+        exception parameter (VariableResolverCppTest
+        testVarNameCoughtAsException binds the catch-local, not an outer
+        same-named declaration)."""
+        t = self.next()  # 'try'
+        nid = self.node(path, "TryStatement", "", self._tloc(t))
+        body = self.parse_block(path + ".body", nid, "TRY_BLOCK")
+        catches = []
+        final = None
+        ci = 0
+        while self.peek().kind == "ident" and self.peek().text in (
+                "catch", "finally"):
+            kw2 = self.next().text
+            if kw2 == "finally":
+                final = self.parse_block(f"{path}.fin", nid, "FINALLY_BLOCK")
+                break
+            cnid = self.node(f"{path}.cat[{ci}]", "CatchClause", "",
+                             self._tloc(t))
+            self.ast_edge(nid, cnid, "CATCH_CLAUSES", ci)
+            self.enter_scope("block", "", cnid)
+            self.expect("(")
+            # parameter: `Type name`, `const Type& name`, `A | B name`
+            # (java multi-catch) or `...` (c++ catch-all)
+            ptype = None
+            ptok = None
+            prev_i = -1
+            while self.peek().kind not in (")", "eof"):
+                if self.i == prev_i:  # progress guard
+                    self.next()
+                    continue
+                prev_i = self.i
+                save = self.i
+                self._skip_modifiers()
+                if ptype is None and self._looks_like_type():
+                    got = self.parse_type()
+                    if got:
+                        ptype = got
+                        continue
+                    self.i = save
+                tk = self.next()
+                if tk.kind == "|":  # java multi-catch: keep first type
+                    prev_i = -1
+                    continue
+                if tk.kind == "ident" and tk.text not in _KEYWORDS:
+                    ptok = tk  # last ident before ')' is the name
+            self.expect(")")
+            if ptok is not None:
+                pname = ptok.text
+                pid = self.node(f"{path}.cat[{ci}].p",
+                                "VariableDeclaration", pname,
+                                self._tloc(ptok))
+                if ptype:
+                    self.eval_type(pid, ptype)
+                self.ast_edge(cnid, pid, "PARAMETER", 0)
+                self.declare(pname, pid, "var", ptype)
+            cstmts = self.parse_block(f"{path}.cat[{ci}].b", cnid, "BODY")
+            self.leave_scope()
+            catches.append({"nid": cnid, "stmts": cstmts})
+            ci += 1
+        return nid, {"kind": "try", "nid": nid, "body": body,
+                     "catches": catches, "final": final}
 
     def parse_while(self, path: str):
         t = self.next()
@@ -1187,6 +1358,15 @@ class CFamilyFrontend(Emitter):
     def parse_for(self, path: str):
         t = self.next()
         self.expect("(")
+        # the for clause opens its own scope: init declarations are
+        # visible in cond/post/body but not after the loop
+        self.enter_scope("block", "", None)
+        try:
+            return self._parse_for_inner(path, t)
+        finally:
+            self.leave_scope()
+
+    def _parse_for_inner(self, path: str, t):
         # java foreach: for (T x : xs)
         save = self.i
         self._skip_modifiers()
@@ -1476,6 +1656,17 @@ class CFamilyFrontend(Emitter):
         while True:
             t = self.peek()
             if t.kind in (".", "->", "::") and self.peek(1).kind == "ident":
+                if (t.kind == "::" and self.dialect == "cpp"
+                        and base[1].get("kind") == "ref"):
+                    # `X::member`: X is syntactically a scope qualifier
+                    # (record/namespace), never an instance — keep the
+                    # qualifier name as the member's base TYPE even when
+                    # X is declared in another document (cross-doc static
+                    # member linking, VariableResolverCppTest
+                    # testExplicitlyReferenceStaticMemberInExternalClass)
+                    base = (base[0], {**base[1],
+                                      "name": "scope:"
+                                      + (base[1].get("name") or "")})
                 self.next()
                 sel = self.next()
                 if self.peek().kind == "(":
@@ -1491,12 +1682,23 @@ class CFamilyFrontend(Emitter):
                                       "type": None})
                         n += 1
                         continue
+                    if (sel.text == "this" and self.dialect == "java"
+                            and bmeta.get("name") in self.records):
+                        # qualified this (JLS 15.8.4): ``Outer.this.m``
+                        # binds members of the NAMED enclosing class, not
+                        # the innermost one (VariableResolverJavaTest
+                        # testVarNameOfOuterClassAccessedViaThis)
+                        base = (bid, {"kind": "qthis",
+                                      "name": f"this:{bmeta.get('name')}",
+                                      "type": bmeta.get("name")})
+                        n += 1
+                        continue
                     nid = self.node(f"{path}.sel{n}", "MemberExpression",
                                     sel.text, self._tloc(sel))
                     self.ast_edge(nid, bid, "BASE", 0)
                     self.pending_members.append(
                         (nid, sel.text, bmeta.get("name"), list(self.scopes),
-                         None, "read"))
+                         None, "read", self.tick()))
                     base = (nid, {"kind": "member", "name": sel.text,
                                   "base_name": bmeta.get("name"),
                                   "type": None})
@@ -1592,13 +1794,15 @@ class CFamilyFrontend(Emitter):
             self.next()
             nid = self.node(path, "DeclaredReferenceExpression", "this",
                             self._tloc(t))
-            self.pending_refs.append((nid, "this", list(self.scopes), "read"))
+            self.pending_refs.append(
+                (nid, "this", list(self.scopes), "read", self.tick()))
             return nid, {"kind": "ref", "name": "this", "type": None}
         if t.kind == "ident" and t.text not in _KEYWORDS:
             self.next()
             nid = self.node(path, "DeclaredReferenceExpression", t.text,
                             self._tloc(t))
-            self.pending_refs.append((nid, t.text, list(self.scopes), "read"))
+            self.pending_refs.append(
+                (nid, t.text, list(self.scopes), "read", self.tick()))
             # the declared type (if already in scope) feeds overload ranking
             d = self.resolve(t.text)
             return nid, {"kind": "ref", "name": t.text,
@@ -1711,7 +1915,8 @@ class CFamilyFrontend(Emitter):
         self.ast_edge(nid, mid, "MEMBER", 0)
         args = self._parse_args(nid, path)
         self.pending_members.append(
-            (nid, name, base_name, list(self.scopes), args, "call"))
+            (nid, name, base_name, list(self.scopes), args, "call",
+             self.tick()))
         return nid, {"kind": "member_call", "name": name, "type": None}
 
     def _parse_args(self, call_id: str, path: str):
@@ -1738,10 +1943,10 @@ class CFamilyFrontend(Emitter):
     def _mark_write(self, nid: str) -> None:
         for j, p in enumerate(self.pending_refs):
             if p[0] == nid:
-                self.pending_refs[j] = (p[0], p[1], p[2], "write")
+                self.pending_refs[j] = (p[0], p[1], p[2], "write", p[4])
         for j, p in enumerate(self.pending_members):
             if p[0] == nid:
-                self.pending_members[j] = p[:5] + ("write",)
+                self.pending_members[j] = p[:5] + ("write", p[6])
 
     def _dfg_args_to_params(self, args, fn_id):
         info = self._functions_by_id.get(fn_id)
@@ -2007,15 +2212,25 @@ class CFamilyFrontend(Emitter):
                     f["n_defaults"] = mx
 
     @staticmethod
-    def _lookup(scopes, name):
+    def _lookup(scopes, name, seq=None):
+        """Innermost-first walk honouring the point-of-declaration rule:
+        inside function/block scopes a declaration is visible only to
+        references parsed AFTER it (C++/Java local semantics); record and
+        module scopes are order-independent (class members bind from the
+        whole body — the reference's two-phase parse-then-resolve)."""
         for s in reversed(scopes):
-            if name in s.decls:
-                return s.decls[name]
+            d = s.decls.get(name)
+            if d is None:
+                continue
+            if (seq is not None and s.kind in ("function", "block")
+                    and d.get("seq", 0) > seq):
+                continue  # declared later in this scope — not visible here
+            return d
         return None
 
     def _resolve_locally(self):
-        for ref_id, name, scopes, access in self.pending_refs:
-            d = self._lookup(scopes, name)
+        for ref_id, name, scopes, access, seq in self.pending_refs:
+            d = self._lookup(scopes, name, seq)
             if d is not None:
                 self.edge(ref_id, "REFERS_TO", d["decl_id"])
                 if access == "write":
@@ -2098,7 +2313,8 @@ class CFamilyFrontend(Emitter):
                     n_args=len(args), n_kwargs=0,
                     arg_ids=[a["arg_id"] for a in args],
                     arg_types=[a.get("type") for a in args]))
-        for mid, attr, base_name, scopes, args, access in self.pending_members:
+        for mid, attr, base_name, scopes, args, access, seq in \
+                self.pending_members:
             base_type = None
             is_super = False
             if base_name in ("this", "super"):
@@ -2117,6 +2333,13 @@ class CFamilyFrontend(Emitter):
                     enc = self.records.get(rec_s.name) if rec_s else None
                     base_type = (enc["supers"][0]
                                  if enc and enc["supers"] else None)
+            elif base_name and base_name.startswith("this:"):
+                # qualified this: members of the named enclosing class
+                base_type = base_name.split(":", 1)[1] or None
+            elif base_name and base_name.startswith("scope:"):
+                # `X::member` scope qualifier: the base IS the type name,
+                # known locally or not (cross-doc static members)
+                base_type = base_name.split(":", 1)[1] or None
             elif base_name and base_name.startswith("super:"):
                 # qualified super (JLS 15.12.1): when X is a CLASS (inner
                 # class referencing its enclosing class), X.super.m() binds
@@ -2130,7 +2353,7 @@ class CFamilyFrontend(Emitter):
                 base_type = (qrec["supers"][0]
                              if qrec and qrec["supers"] else qual)
             elif base_name:
-                bd = self._lookup(scopes, base_name)
+                bd = self._lookup(scopes, base_name, seq)
                 if bd is not None:
                     base_type = (bd.get("type") or "").rstrip("*[]") or None
                 elif base_name in self.imports:

@@ -256,12 +256,24 @@ class EogBuilder:
                 self.gotos.append((nid, info["name"]))
             return []
         if kind == "try":
+            # EvaluationOrderGraphPass.handleTryStatement: body entry from
+            # the try node; each CatchClause is reachable from the try
+            # region (an exception may surface anywhere inside), its exits
+            # merge with the normal exits into finally/next
             self.connect(preds, nid)
             exits = self.seq(info.get("body") or [], [(nid, None)])
+            for cat in info.get("catches") or []:
+                cnid = cat["nid"]
+                self._edge(nid, cnid)
+                exits.extend(self.seq(cat.get("stmts") or [], [(cnid, None)]))
             fin = info.get("final") or []
             if fin:
                 exits = self.seq(fin, exits)
             return exits
+        if kind == "throw":
+            # like return/goto: no fall-through (currentEOG cleared)
+            self.connect(preds, nid)
+            return []
         # plain statement / expression
         self.connect(preds, nid)
         return [(nid, None)]
