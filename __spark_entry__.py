@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_typedefs": Q.q_cpg_typedefs,
         "identifier_pass": Q.q_identifier_pass,
         "cpg_inferred_records": Q.q_cpg_inferred_records,
+        "cpg_jdk_hierarchy": Q.q_cpg_jdk_hierarchy,
         "training_data_pipeline": Q.q_training_data_pipeline,
         "cpg_unreachable": Q.q_cpg_unreachable,
         "cpg_llvm_triples": Q.q_cpg_llvm_triples,
@@ -642,6 +643,36 @@ def oracle_sql() -> dict[str, str]:
               ('T', 'struct', 'value', 'FieldDeclaration', 'int'))
               AS t(record, kind, member, member_label, member_type)
             ORDER BY kind, member
+        """,
+        # golden oracle: JavaExternalTypeHierarchyResolver.java:44-80 —
+        # unresolved supertype names naming JDK types pull in the JDK
+        # ancestry; the record closure then walks through it with minimal
+        # depths (Registry->Map is 2 via HashMap, not 3 via AbstractMap);
+        # in-source inheritance (Child extends Base) stays depth-1 only
+        "cpg_jdk_hierarchy": """
+            SELECT * FROM (VALUES
+              ('AbstractMap', 'Map', 1),
+              ('AbstractMap', 'Object', 1),
+              ('Child', 'Base', 1),
+              ('CustomException', 'Exception', 2),
+              ('CustomException', 'Object', 4),
+              ('CustomException', 'RuntimeException', 1),
+              ('CustomException', 'Throwable', 3),
+              ('Exception', 'Object', 2),
+              ('Exception', 'Throwable', 1),
+              ('HashMap', 'AbstractMap', 1),
+              ('HashMap', 'Map', 1),
+              ('HashMap', 'Object', 2),
+              ('Registry', 'AbstractMap', 2),
+              ('Registry', 'HashMap', 1),
+              ('Registry', 'Map', 2),
+              ('Registry', 'Object', 3),
+              ('RuntimeException', 'Exception', 1),
+              ('RuntimeException', 'Object', 3),
+              ('RuntimeException', 'Throwable', 2),
+              ('Throwable', 'Object', 1))
+              AS t(descendant, ancestor, depth)
+            ORDER BY descendant, ancestor
         """,
         # IdentifierPass (IdentifierPass.kt:33-56): dense sequential ids in
         # total order — assigned distributed (range partition + offsets),

@@ -780,7 +780,8 @@ def link_all(mentions: DataFrame, symbols: DataFrame,
 
 def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
                   edges: DataFrame, strategy: str | None = None,
-                  buckets: int = 16, infer_records: bool = False):
+                  buckets: int = 16, infer_records: bool = False,
+                  jdk_hierarchy: bool | None = None):
     """One output frame (row_kind edge|node) carrying linked edges,
     OVERRIDES edges and inferred nodes — materializing a SINGLE table lets
     Catalyst reuse the name-join exchanges across the edge and
@@ -788,9 +789,27 @@ def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
     ``infer_records`` additionally mints inferred RecordDeclarations for
     member accesses on unknown records (InferenceConfiguration.inferRecords,
     off by default like the reference — cpg_spark/operators/infer.py).
+    ``jdk_hierarchy`` extends unresolved record supertypes with the static
+    JDK ancestry (JavaExternalTypeHierarchyResolver — a default pass in the
+    reference, so ON by default; disable with CPG_SPARK_JDK_HIERARCHY=0).
     Returns (combined, stats)."""
+    import os as _os
+
     from cpg_spark.operators.hierarchy import (overrides_edges,
                                                supertype_record_closure)
+
+    if jdk_hierarchy is None:
+        jdk_hierarchy = _os.environ.get("CPG_SPARK_JDK_HIERARCHY", "1") == "1"
+    jdk_nodes = jdk_edges = None
+    if jdk_hierarchy:
+        from cpg_spark.operators.external_hierarchy import \
+            external_jdk_hierarchy
+
+        jdk_nodes, jdk_edges = external_jdk_hierarchy(nodes, edges)
+        # the closure below must see the implicit JDK records/edges so
+        # `class A extends ArrayList` closes over the JDK chain
+        nodes = nodes.unionByName(jdk_nodes)
+        edges = edges.unionByName(jdk_edges)
 
     # ONE closure computation (depth-ranked) feeds both the inherited
     # member-call walk and the OVERRIDES join
@@ -827,6 +846,11 @@ def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
         .withColumn("row_kind", F.lit("edge"))
     )
     nodes_part = inferred_nodes.withColumn("row_kind", F.lit("node"))
+    if jdk_edges is not None:
+        all_edges = all_edges.unionByName(
+            jdk_edges.withColumn("row_kind", F.lit("edge")))
+        nodes_part = nodes_part.unionByName(
+            jdk_nodes.withColumn("row_kind", F.lit("node")))
     if infer_records:
         from cpg_spark.operators.infer import infer_records as _infer
 

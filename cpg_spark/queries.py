@@ -1374,3 +1374,41 @@ def q_training_data_pipeline(spark, sf_dir):
         .select("doc_id", "quality_score", "ws_tokens", "bpe_tokens")
         .orderBy("doc_id")
     )
+
+
+_JDK_HIER_SRC = """
+public class Base { }
+class CustomException extends RuntimeException {
+    int code;
+}
+class Registry extends HashMap { }
+class Child extends Base { }
+"""
+
+
+def q_cpg_jdk_hierarchy(spark, sf_dir):
+    """External JDK type hierarchy
+    (JavaExternalTypeHierarchyResolver.java:44-80): supertype names with
+    no source RecordDeclaration that name a known JDK type pull in the
+    JDK ancestry as implicit records, and the ordinary record supertype
+    closure then walks through it — ``CustomException extends
+    RuntimeException`` closes over Exception/Throwable/Object; the
+    HashMap diamond (AbstractMap + Map interfaces) keeps minimal depths;
+    in-source inheritance (Child extends Base) is untouched."""
+    from cpg_spark.operators.external_hierarchy import external_jdk_hierarchy
+    from cpg_spark.operators.hierarchy import supertype_record_closure
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "java/jdkhier/0001",
+          "spans": [{"kind": "code/java", "text": _JDK_HIER_SRC,
+                     "media_ref": None, "offset": 0}]}],
+        schema=DOCS_SCHEMA)
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+    jn, je = external_jdk_hierarchy(nodes, edges)
+    closure = supertype_record_closure(
+        nodes.unionByName(jn), edges.unionByName(je), with_depth=True)
+    return closure.select("descendant", "ancestor",
+                          F.col("depth").cast("int").alias("depth")) \
+        .orderBy("descendant", "ancestor")
