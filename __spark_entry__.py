@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identifier_pass": Q.q_identifier_pass,
         "cpg_inferred_records": Q.q_cpg_inferred_records,
         "cpg_jdk_hierarchy": Q.q_cpg_jdk_hierarchy,
+        "cpg_nullptr_check": Q.q_cpg_nullptr_check,
+        "cpg_oob_check": Q.q_cpg_oob_check,
         "training_data_pipeline": Q.q_training_data_pipeline,
         "cpg_unreachable": Q.q_cpg_unreachable,
         "cpg_llvm_triples": Q.q_cpg_llvm_triples,
@@ -673,6 +675,32 @@ def oracle_sql() -> dict[str, str]:
               ('Throwable', 'Object', 1))
               AS t(descendant, ancestor, depth)
             ORDER BY descendant, ancestor
+        """,
+        # golden oracle: NullPointerCheck.kt:53-147 — member-call bases
+        # whose incoming DFG branch may resolve to the null constant;
+        # the constructed receiver (q = new App(); q.run()) and the
+        # array reads never fire
+        "cpg_nullptr_check": """
+            SELECT * FROM (VALUES
+              ('java/app/0001', 'MemberCallExpression', 'p', 13),
+              ('java/app/0001', 'MemberCallExpression', 's', 15),
+              ('py/mod/0001', 'MemberCallExpression', 'obj', 7))
+              AS t(doc_id, label, base_name, line)
+            ORDER BY doc_id, line
+        """,
+        # golden oracle: OutOfBoundsCheck.kt:56-122 — constant-index
+        # subscripts past the array's evaluated capacity: a literal
+        # dimension (new int[4] / a[5]), a COMPUTED dimension
+        # (new int[2 + 2] / b[4], via constant folding), and a Python
+        # initializer-list capacity (xs = [1,2,3]; xs[3]); in-bounds
+        # accesses (a[2], xs[0]) stay out
+        "cpg_oob_check": """
+            SELECT * FROM (VALUES
+              ('java/app/0001', 'a', 5, 4, 5),
+              ('java/app/0001', 'b', 4, 4, 8),
+              ('py/mod/0001', 'xs', 3, 3, 4))
+              AS t(doc_id, array_name, index, capacity, line)
+            ORDER BY doc_id, line
         """,
         # IdentifierPass (IdentifierPass.kt:33-56): dense sequential ids in
         # total order — assigned distributed (range partition + offsets),

@@ -1620,6 +1620,30 @@ class CFamilyFrontend(Emitter):
     def parse_new(self, path: str):
         t = self.next()
         tname = self.parse_type()
+        if self.peek().kind == "[" or (self.peek().kind == "{"
+                                       and (tname or "").endswith("[]")):
+            # `new T[dim]...` — an ArrayCreationExpression with DIMENSIONS
+            # children (ArrayCreationExpression.java:45-90); its capacity
+            # is the evaluated first dimension (EvaluateExtensions.kt:40-43)
+            nid = self.node(path, "ArrayCreationExpression", tname or "",
+                            self._tloc(t))
+            if tname:
+                atype = tname if tname.endswith("[]") else tname + "[]"
+                self.eval_type(nid, normalize_type(atype))
+            di = 0
+            while self.accept("["):
+                if self.peek().kind != "]":
+                    did, _ = self.parse_expr(f"{path}.dim[{di}]")
+                    self.ast_edge(nid, did, "DIMENSIONS", di)
+                self.accept("]")
+                di += 1
+            if self.peek().kind == "{":
+                # `new int[]{...}` initializer — elements not modeled yet;
+                # consume without attaching (dimensions-or-initializer per
+                # the reference's own comment)
+                self._skip_balanced("{", "}")
+            return nid, {"kind": "arraycreate", "name": tname,
+                         "type": (tname or "") + "[]"}
         nid = self.node(path, "ConstructExpression", tname or "",
                         self._tloc(t))
         if tname:
@@ -1630,8 +1654,6 @@ class CFamilyFrontend(Emitter):
         args = []
         if self.peek().kind == "(":
             args = self._parse_args(nid, path)
-        elif self.peek().kind == "[":
-            self._skip_balanced("[", "]")
         self._resolve_ctor(nid, tname, args)
         return nid, {"kind": "construct", "name": tname, "type": tname}
 

@@ -89,7 +89,10 @@ def evaluate_constants(nodes: DataFrame, edges: DataFrame,
         .when(F.col("name").isin("True", "true"), F.lit(1.0))
         .when(F.col("name").isin("False", "false"), F.lit(0.0))
         .otherwise(
-            F.regexp_replace(F.col("name"), "[lLuUfFdD]$", "").cast("double")
+            # try_cast: non-numeric literal spellings (null, nullptr, None,
+            # nil ...) fold to NULL instead of a runtime cast error
+            F.regexp_replace(F.col("name"), "[lLuUfFdD]$", "")
+            .try_cast("double")
         ).alias("value"),
         ((~is_str) & F.col("name").isin(*_BOOL_NAMES)).alias("is_bool"),
         F.when(is_str, F.col("name")).alias("s_value"),

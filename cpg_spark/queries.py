@@ -1412,3 +1412,85 @@ def q_cpg_jdk_hierarchy(spark, sf_dir):
     return closure.select("descendant", "ancestor",
                           F.col("depth").cast("int").alias("depth")) \
         .orderBy("descendant", "ancestor")
+
+
+_CHECKS_JAVA_SRC = """
+public class App {
+    int[] makeArr() {
+        int[] a = new int[4];
+        int x = a[5];
+        int ok = a[2];
+        int[] b = new int[2 + 2];
+        int y = b[4];
+        return a;
+    }
+    void run() {
+        App p = null;
+        p.run();
+        String s = null;
+        int n = s.length();
+        App q = new App();
+        q.run();
+    }
+}
+"""
+
+_CHECKS_PY_SRC = """
+def f():
+    xs = [1, 2, 3]
+    bad = xs[3]
+    good = xs[0]
+    obj = None
+    obj.method()
+"""
+
+
+def _checks_graph(spark):
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "java/app/0001",
+          "spans": [{"kind": "code/java", "text": _CHECKS_JAVA_SRC,
+                     "media_ref": None, "offset": 0}]},
+         {"doc_id": "py/mod/0001",
+          "spans": [{"kind": "code/python", "text": _CHECKS_PY_SRC,
+                     "media_ref": None, "offset": 0}]}],
+        schema=DOCS_SCHEMA)
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+    return nodes, edges
+
+
+def q_cpg_nullptr_check(spark, sf_dir):
+    """Distributed NullPointerCheck (NullPointerCheck.kt:53-147): bases
+    of member calls / member accesses / subscripts whose incoming DFG
+    branch may resolve to the null constant — `App p = null; p.run()`
+    fires, the constructed receiver `q.run()` does not."""
+    from cpg_spark.operators.checks import null_pointer_findings
+
+    nodes, edges = _checks_graph(spark)
+    return (
+        null_pointer_findings(nodes, edges)
+        .select("doc_id", "label", "base_name",
+                F.col("line").cast("int").alias("line"))
+        .orderBy("doc_id", "line")
+    )
+
+
+def q_cpg_oob_check(spark, sf_dir):
+    """Distributed OutOfBoundsCheck (OutOfBoundsCheck.kt:56-122):
+    constant-index subscripts beyond the subscripted array's evaluated
+    capacity — `new int[4]` / `a[5]` fires, the computed dimension
+    `new int[2 + 2]` / `b[4]` fires through constant folding
+    (EvaluateExtensions.kt:40-43), in-bounds accesses do not."""
+    from cpg_spark.operators.checks import out_of_bounds_findings
+
+    nodes, edges = _checks_graph(spark)
+    return (
+        out_of_bounds_findings(nodes, edges)
+        .select("doc_id", "array_name",
+                F.col("index").cast("int").alias("index"),
+                F.col("capacity").cast("int").alias("capacity"),
+                F.col("line").cast("int").alias("line"))
+        .orderBy("doc_id", "line")
+    )
