@@ -68,7 +68,7 @@ _TOKEN_RE = re.compile(
     | (?P<string>"(?:\\.|[^"\\])*")
     | (?P<char>'(?:\\.|[^'\\])*')
     | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?[fFdD]?|\.\d+[fFdD]?|\d+[fFdD])
-    | (?P<int>0[xX][0-9a-fA-F]+[lL]?|\d+[lLuU]*)
+    | (?P<int>0[xX][0-9a-fA-F]+[uUlL]*|0[bB][01]+[uUlL]*|\d+[uUlL]*)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op><<=|>>=|->\*?|::|\+\+|--|&&|\|\||==|!=|<=|>=|\+=|-=|\*=|/=|%=|&=|\|=|\^=|<<|>>|[+\-*/%&|^<>=!~?:.,;(){}\[\]])
     | (?P<ws>\s+)
@@ -464,8 +464,75 @@ class CFamilyFrontend(Emitter):
         self.expect("}")
         self._typedefs.pop()
         self.leave_scope()
+        if (self.dialect == "cpp" and self.peek().kind == "ident"
+                and self.peek().text == "typedef"):
+            # postfix typedef — `struct S { ... } typedef s_t;` is legal C
+            # specifier placement (CXXAmbiguitiesTest fixture
+            # function_ptr_or_type_cast.c:3-5); registers in the ENCLOSING
+            # typedef scope (the record-body scope was just popped)
+            self.next()
+            ti = 0
+            while True:
+                ptr = ""
+                while self.peek().kind == "*":
+                    self.next()
+                    ptr += "*"
+                if self.peek().kind != "ident":
+                    break
+                alias_t = self.next()
+                target = normalize_type(name + ptr)
+                self._typedefs[-1][alias_t.text] = target
+                tid = self.node(f"{path}.td[{ti}]", "TypedefDeclaration",
+                                alias_t.text, self._tloc(alias_t),
+                                props={"type": target})
+                self.edge(tid, "EVAL_TYPE", self.type_node(target))
+                self.edge(self.type_node(alias_t.text), "SUPER_TYPE",
+                          self.type_node(target))
+                ti += 1
+                if not self.accept(","):
+                    break
         self.accept(";")
         return rid
+
+    def _parse_fnptr_var(self, path: str, tname: str, parent, index):
+        """``base (*name)(params) [= init];`` — function-pointer variable
+        (FunctionPointerType.java:41; typedefs.cpp uintfp1/intFptr1), with
+        an optional initializer so ``void (*ptr)(int) = &foo;`` binds the
+        DFG edge the link-stage fnptr walk (CallResolver.java:1402-1434)
+        chases — CXXAmbiguitiesTest function_ptr_or_type_cast.c."""
+        self.next()
+        self.next()
+        name_t = self.next()
+        self.accept(")")
+        params = []
+        if self.accept("("):
+            while self.peek().kind not in (")", "eof"):
+                pt = self.parse_type()
+                if pt is None:
+                    self.next()
+                    continue
+                params.append(pt)
+                if self.peek().kind == "ident":
+                    self.next()
+                if not self.accept(","):
+                    break
+            self.accept(")")
+        fpt = normalize_type(f"{tname}(*)({', '.join(params)})")
+        vid = self.node(f"{path}.v[0]", "VariableDeclaration",
+                        name_t.text, self._tloc(name_t))
+        self.eval_type(vid, fpt)
+        self.declare(name_t.text, vid, "var", fpt)
+        if self.accept("="):
+            init_id, _ = self.parse_expr(f"{path}.init[0]")
+            self.ast_edge(vid, init_id, "INITIALIZER", 0)
+            self.edge(init_id, "DFG", vid)  # VariableDeclaration.java:118
+        self.accept(";")
+        ds = self.node(path, "DeclarationStatement", "", None, code="")
+        self.ast_edge(ds, vid, "DECLARATIONS", 0)
+        self.ast_edge(parent, ds,
+                      "STATEMENTS" if self.in_function()
+                      else "DECLARATIONS", index)
+        return ds
 
     # ------------------------------------------------- members & functions
     def parse_member_or_global(self, path: str, record, parent, index):
@@ -499,37 +566,7 @@ class CFamilyFrontend(Emitter):
         if (self.dialect == "cpp" and self.peek().kind == "("
                 and self.peek(1).kind == "*"
                 and self.peek(2).kind == "ident"):
-            # function-pointer variable: base (*name)(params)
-            # (FunctionPointerType.java:41; typedefs.cpp uintfp1/intFptr1)
-            self.next()
-            self.next()
-            name_t = self.next()
-            self.accept(")")
-            params = []
-            if self.accept("("):
-                while self.peek().kind not in (")", "eof"):
-                    pt = self.parse_type()
-                    if pt is None:
-                        self.next()
-                        continue
-                    params.append(pt)
-                    if self.peek().kind == "ident":
-                        self.next()
-                    if not self.accept(","):
-                        break
-                self.accept(")")
-            self.accept(";")
-            fpt = normalize_type(f"{tname}(*)({', '.join(params)})")
-            vid = self.node(f"{path}.v[0]", "VariableDeclaration",
-                            name_t.text, self._tloc(name_t))
-            self.eval_type(vid, fpt)
-            self.declare(name_t.text, vid, "var", fpt)
-            ds = self.node(path, "DeclarationStatement", "", None, code="")
-            self.ast_edge(ds, vid, "DECLARATIONS", 0)
-            self.ast_edge(parent, ds,
-                          "STATEMENTS" if self.in_function()
-                          else "DECLARATIONS", index)
-            return ds
+            return self._parse_fnptr_var(path, tname, parent, index)
         if self.peek().kind != "ident":
             self.i = save
             return None
@@ -968,6 +1005,23 @@ class CFamilyFrontend(Emitter):
             if rid is not None:
                 self.ast_edge(parent, rid, "DECLARATIONS", index)
             base = anon
+        elif (self.peek().kind == "ident"
+              and self.peek().text in ("struct", "class")
+              and self.peek(1).kind == "ident"
+              and self.peek(2).kind == "{"):
+            # NAMED record with body: `typedef struct S { ... } s_t;` —
+            # parse the record, then alias declarators against its name
+            base = self.peek(1).text
+            rid = self.parse_class(path + ".rec")
+            if rid is not None:
+                self.ast_edge(parent, rid, "DECLARATIONS", index)
+        elif (self.peek().kind == "ident"
+              and self.peek().text in ("struct", "class")
+              and self.peek(1).kind == "ident"):
+            # elaborated type specifier without body:
+            # `typedef struct S s_t;`
+            self.next()
+            base = self.parse_type()
         else:
             base = self.parse_type()
         if base is None:
@@ -1170,6 +1224,13 @@ class CFamilyFrontend(Emitter):
         self._skip_modifiers()
         if self._looks_like_type():
             tname = self.parse_type()
+            if (tname is not None and self.dialect == "cpp"
+                    and self.peek().kind == "(" and self.peek(1).kind == "*"
+                    and self.peek(2).kind == "ident"
+                    and self.peek(3).kind == ")"):
+                # local function-pointer variable, optional initializer
+                ds = self._parse_fnptr_var(path, tname, parent, index)
+                return ds, {"kind": "plain", "nid": ds}
             if tname is not None and self.peek().kind == "ident" and \
                     (self.peek(1).kind in ("=", ";", ",")
                      or (self.peek(1).kind == "("
@@ -1769,14 +1830,50 @@ class CFamilyFrontend(Emitter):
                 return base
             n += 1
 
+    def _int_literal(self, text: str) -> tuple[int, str]:
+        """(value, type) of an integer literal token — radix per prefix
+        (hex/binary/octal/decimal) and the C/C++ suffix + magnitude type
+        ladder (CXXLiteralTest: unsuffixed values promote int → long →
+        unsigned long long as they outgrow each width; ``u``/``l``
+        suffixes pin the unsigned/width floor).  Java keeps its two-rung
+        int/long ladder."""
+        s = text
+        suf = ""
+        while s and s[-1] in "uUlL":
+            suf = s[-1].lower() + suf
+            s = s[:-1]
+        if s[:2].lower() == "0x":
+            val = int(s, 16)
+        elif s[:2].lower() == "0b":
+            val = int(s[2:], 2)
+        elif len(s) > 1 and s[0] == "0":
+            val = int(s, 8)
+        else:
+            val = int(s)
+        n_l = suf.count("l")
+        if self.dialect == "java":
+            return val, ("long" if n_l or val > 2 ** 31 - 1 else "int")
+        unsigned = "u" in suf
+        if unsigned:
+            tp = {0: "unsigned int", 1: "unsigned long"}.get(
+                n_l, "unsigned long long")
+        else:
+            tp = {0: "int", 1: "long"}.get(n_l, "long long")
+            if tp == "int" and val > 2 ** 31 - 1:
+                tp = "long"
+            if val > 2 ** 63 - 1:
+                tp = "unsigned long long"
+        return val, tp
+
     def parse_operand(self, path: str):
         t = self.peek()
         if t.kind == "int":
             self.next()
-            nid = self.node(path, "Literal", t.text.rstrip("lLuU"),
+            val, tp = self._int_literal(t.text)
+            nid = self.node(path, "Literal", str(val),
                             self._tloc(t), props={"value": t.text})
-            self.eval_type(nid, "int")
-            return nid, {"kind": "literal", "name": t.text, "type": "int"}
+            self.eval_type(nid, tp)
+            return nid, {"kind": "literal", "name": str(val), "type": tp}
         if t.kind == "float":
             self.next()
             nid = self.node(path, "Literal", t.text, self._tloc(t),
