@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import re
 
-from cpg_spark.frontends.base import DocGraph, Emitter
+from cpg_spark.frontends.base import DocGraph, Emitter, Scope
 from cpg_spark.frontends.eog import build_eog
 from cpg_spark.frontends.typeparser import normalize_type
 
@@ -146,12 +146,82 @@ class CFamilyParseError(Exception):
     pass
 
 
+def _expand_symbols(toks: list[Tok], symbols: dict | None) -> list[Tok]:
+    """Preprocessor symbol substitution (CXXSymbolConfigurationTest;
+    ``TranslationConfiguration.symbols`` feeds CDT's scanner the same
+    way): object-like ``NAME -> text`` and function-like
+    ``NAME(X[,Y]) -> body`` entries expand at TOKEN level, with every
+    substituted token stamped with the invocation site's line/col — the
+    reference's expanded nodes carry the usage location, not a location
+    inside the (configuration-supplied) replacement text.  One level,
+    non-recursive: the config map is flat text like CDT's IScannerInfo
+    defined symbols; compdb ``-D`` defines arrive through the same map
+    (sources/compdb.py)."""
+    if not symbols:
+        return toks
+    obj: dict[str, str] = {}
+    fnl: dict[str, tuple[list[str], str]] = {}
+    for k, v in symbols.items():
+        m = re.match(r"^(\w+)\(([^)]*)\)$", k.strip())
+        if m:
+            fnl[m.group(1)] = (
+                [p.strip() for p in m.group(2).split(",") if p.strip()],
+                v if v is not None else "")
+        else:
+            obj[k.strip()] = v if v is not None else ""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (t.kind == "ident" and t.text in fnl
+                and toks[i + 1].kind == "("):
+            params, body = fnl[t.text]
+            j, depth = i + 2, 1
+            args: list[list[Tok]] = []
+            cur: list[Tok] = []
+            while j < len(toks) and toks[j].kind != "eof":
+                tk = toks[j]
+                if tk.kind == "(":
+                    depth += 1
+                elif tk.kind == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tk.kind == "," and depth == 1:
+                    args.append(cur)
+                    cur = []
+                    j += 1
+                    continue
+                cur.append(tk)
+                j += 1
+            if cur or args:
+                args.append(cur)
+            sub = {p: (args[n] if n < len(args) else [])
+                   for n, p in enumerate(params)}
+            for bt in tokenize(body)[:-1]:  # drop the body's eof
+                if bt.kind == "ident" and bt.text in sub:
+                    out.extend(Tok(a.kind, a.text, t.line, t.col)
+                               for a in sub[bt.text])
+                else:
+                    out.append(Tok(bt.kind, bt.text, t.line, t.col))
+            i = j + 1
+            continue
+        if t.kind == "ident" and t.text in obj:
+            out.extend(Tok(bt.kind, bt.text, t.line, t.col)
+                       for bt in tokenize(obj[t.text])[:-1])
+            i += 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 class CFamilyFrontend(Emitter):
     def __init__(self, doc_id: str, span_offset: int, source: str,
-                 module_name: str, dialect: str):
+                 module_name: str, dialect: str, symbols: dict | None = None):
         super().__init__(doc_id, span_offset, source, module_name)
         self.dialect = dialect  # 'java' | 'cpp'
-        self.toks = tokenize(source)
+        self.toks = _expand_symbols(tokenize(source), symbols)
         self.i = 0
         self.pending_refs: list = []
         self.pending_calls: list = []
@@ -558,6 +628,24 @@ class CFamilyFrontend(Emitter):
             return self.parse_typedef(path + ".td",
                                       record["decl_id"] if record else parent,
                                       index)
+        if (self.dialect == "cpp" and record is None and t.kind == "ident"
+                and self.peek(1).kind == "::"):
+            # out-of-line constructor ``Owner::Owner(`` — checked BEFORE
+            # parse_type, which would swallow the whole qualified name
+            # (there is no return type to anchor on); CXXIncludeTest's
+            # include.cpp defines SomeClass::SomeClass() at file scope
+            j = self.i
+            segs = [self.toks[j].text]
+            j += 1
+            while (self.toks[j].kind == "::"
+                   and self.toks[j + 1].kind == "ident"):
+                segs.append(self.toks[j + 1].text)
+                j += 2
+            if (len(segs) >= 2 and segs[-1] == segs[-2]
+                    and self.toks[j].kind == "("):
+                self.i = j - 1  # reposition at the ctor name token
+                return self._out_of_line_fn(path, None, segs[-2], parent,
+                                            index, ctor=True)
         save = self.i
         tname = self.parse_type()
         if tname is None:
@@ -600,30 +688,15 @@ class CFamilyFrontend(Emitter):
             return None
         member, owner = segs[-1], segs[-2]
         rec = self.records.get(owner)
-        if rec is None:
-            return None
         if self.toks[j].kind == "(":
             # method definition — reposition at the member ident so
             # parse_function consumes the name normally
             self.i = j - 1
-            rec_scope = rec.get("scope")
-            if rec_scope is not None:
-                self.scopes.append(rec_scope)
-            try:
-                reuse = None
-                protos = [f for f in (rec["methods"].get(member) or [])
-                          if not self._functions_by_id[f]["is_definition"]]
-                if len(protos) == 1:
-                    reuse = protos[0]
-                return self.parse_function(path, tname, rec,
-                                           rec["decl_id"], index,
-                                           reuse_fid=reuse)
-            finally:
-                if rec_scope is not None:
-                    self.scopes.pop()
+            return self._out_of_line_fn(path, tname, owner, parent, index,
+                                        ctor=(member == owner))
         if self.toks[j].kind in ("=", ";"):
             self.i = j
-            fid = rec["fields"].get(member)
+            fid = rec["fields"].get(member) if rec is not None else None
             init_id = None
             if self.accept("="):
                 init_id, _ = self.parse_expr(path + ".init")
@@ -634,8 +707,60 @@ class CFamilyFrontend(Emitter):
             if fid is not None and init_id is not None:
                 self.ast_edge(ds, init_id, "INITIALIZER", 0)
                 self.edge(init_id, "DFG", fid)
+            elif rec is None:
+                # owner record lives in another span/document: emit the
+                # lhs as a member reference so the LINK stage binds it to
+                # the header's FieldDeclaration (CDT's index binding,
+                # re-derived as a join)
+                name_t = self.toks[j - 1]
+                ref = self.node(path + ".lhs", "DeclaredReferenceExpression",
+                                member, self._tloc(name_t))
+                self.ast_edge(ds, ref, "DECLARATIONS", 0)
+                self.out.mentions.append(self._mention(
+                    ref, "member_ref", member, base_type=owner,
+                    scopes=list(self.scopes)))
+                if init_id is not None:
+                    self.ast_edge(ds, init_id, "INITIALIZER", 0)
+                    self.edge(init_id, "DFG", ref)
             return ds
         return None
+
+    def _out_of_line_fn(self, path, tname, owner, parent, index, ctor):
+        """Parse an out-of-line member function positioned at its name
+        token.  When ``owner`` names no locally-parsed record the
+        definition is DETACHED: the record lives in another span or
+        document (a header the includes operator did not splice, or a
+        cross-file definition), so the method is still emitted — carrying
+        ``record=owner`` in its exported symbol and a record scope frame
+        for implicit-this mentions — and hangs off the TU instead of a
+        record node (CXXIncludeTest.testDefinitionsAndDeclaration parses
+        include.cpp's definitions whether or not include.h is loaded)."""
+        rec = self.records.get(owner)
+        detached = rec is None
+        if detached:
+            rec = {"decl_id": None, "name": owner, "fields": {},
+                   "methods": {}, "ctors": [], "supers": []}
+        rec_scope = rec.get("scope")
+        if rec_scope is None and detached:
+            rec_scope = Scope("record", owner, None)
+        if rec_scope is not None:
+            self.scopes.append(rec_scope)
+        try:
+            reuse = None
+            if not detached:
+                pool = (rec["ctors"] if ctor
+                        else rec["methods"].get(self.peek().text) or [])
+                protos = [f for f in pool
+                          if not self._functions_by_id[f]["is_definition"]]
+                if len(protos) == 1:
+                    reuse = protos[0]
+            return self.parse_function(path, tname, rec,
+                                       rec["decl_id"] if not detached
+                                       else parent, index,
+                                       ctor=ctor, reuse_fid=reuse)
+        finally:
+            if rec_scope is not None:
+                self.scopes.pop()
 
     def parse_function(self, path, ret_type, record, parent, index,
                        ctor=False, reuse_fid=None):
@@ -748,7 +873,15 @@ class CFamilyFrontend(Emitter):
         self._functions_by_id[fid] = fn_info
         self._overloads.setdefault(
             (record["name"] if record else "", name), []).append(fn_info)
-        if record is not None:
+        if record is not None and record["decl_id"] is None:
+            # detached out-of-line member (owner record in another
+            # span/document): no local record node to hang off — attach to
+            # the TU; the exported symbol still carries record=owner so
+            # linking binds it to the real record cross-span
+            (record["ctors"] if ctor
+             else record["methods"].setdefault(name, [])).append(fid)
+            self.ast_edge(parent, fid, "DECLARATIONS", index)
+        elif record is not None:
             if ctor:
                 self.edge(record["decl_id"], "CONSTRUCTORS", fid,
                           {"index": len(record["ctors"])})
@@ -2363,8 +2496,19 @@ class CFamilyFrontend(Emitter):
                 # accesses resolve through pending_members above
                 pass
             else:
+                # base_type = innermost record scope: an unqualified name
+                # inside a method may be an implicit-this FIELD of the
+                # (possibly cross-span) enclosing record — the reference's
+                # VariableUsageResolver tries the record scope before
+                # globals; the link stage ranks a field of base_type (or
+                # its ancestors) above foreign module-level declarations
+                rec_s = None
+                for s in scopes:
+                    if s.kind == "record":
+                        rec_s = s
                 self.out.mentions.append(
-                    self._mention(ref_id, "ref", name, scopes=scopes))
+                    self._mention(ref_id, "ref", name, scopes=scopes,
+                                  base_type=rec_s.name if rec_s else None))
         self._share_default_counts()
         for call_id, name, scopes, args, rec_name, targs in self.pending_calls:
             tpls = (self._templates.get((rec_name or "", name))
@@ -2584,7 +2728,8 @@ class CFamilyFrontend(Emitter):
                 })
 
 
-def _parse_cfamily(doc_id, span_offset, source, module_name, dialect):
+def _parse_cfamily(doc_id, span_offset, source, module_name, dialect,
+                   symbols=None):
     if module_name is None:
         if dialect == "java":
             # Java visibility is the PACKAGE, not the file: files without
@@ -2596,7 +2741,8 @@ def _parse_cfamily(doc_id, span_offset, source, module_name, dialect):
             module_name = "<default>"
         else:
             module_name = doc_id.rsplit("/", 2)[-2] if "/" in doc_id else doc_id
-    fe = CFamilyFrontend(doc_id, span_offset, source, module_name, dialect)
+    fe = CFamilyFrontend(doc_id, span_offset, source, module_name, dialect,
+                         symbols=symbols)
     try:
         return fe.run()
     except (CFamilyParseError, RecursionError, IndexError) as e:
@@ -2612,10 +2758,14 @@ def _parse_cfamily(doc_id, span_offset, source, module_name, dialect):
 
 
 def parse_java_document(doc_id: str, span_offset: int, source: str,
-                        module_name: str | None = None) -> DocGraph:
-    return _parse_cfamily(doc_id, span_offset, source, module_name, "java")
+                        module_name: str | None = None,
+                        symbols: dict | None = None) -> DocGraph:
+    return _parse_cfamily(doc_id, span_offset, source, module_name, "java",
+                          symbols=symbols)
 
 
 def parse_cpp_document(doc_id: str, span_offset: int, source: str,
-                       module_name: str | None = None) -> DocGraph:
-    return _parse_cfamily(doc_id, span_offset, source, module_name, "cpp")
+                       module_name: str | None = None,
+                       symbols: dict | None = None) -> DocGraph:
+    return _parse_cfamily(doc_id, span_offset, source, module_name, "cpp",
+                          symbols=symbols)

@@ -668,6 +668,19 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
                | (F.col("base_type") == F.col("d_record"))
                | F.col("_anc_depth").isNotNull())
         )
+        # implicit-this field access: an unqualified ref inside a method
+        # carries base_type = enclosing record; it may bind a field of
+        # that record or an ancestor even when the record is parsed in
+        # another span/document (VariableUsageResolver.java resolve walks
+        # the record scope before globals; CXXIncludeTest's
+        # ``return someField`` in an out-of-line definition)
+        | (
+            (F.col("kind") == "ref")
+            & (F.col("d_kind") == "field")
+            & F.col("base_type").isNotNull()
+            & ((F.col("base_type") == F.col("d_record"))
+               | F.col("_anc_depth").isNotNull())
+        )
         # import mentions must match a symbol of the named source module
         | ((F.col("kind") == "import") & (F.col("d_kind") != "method")
            & (F.col("base_type").isNull() | (F.col("base_type") == F.col("d_module"))))
@@ -679,6 +692,10 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
                & F.col("d_record").isNotNull()
                & (F.col("base_type") == F.col("d_record")), F.lit(0))
         .when(F.col("_anc_depth").isNotNull(), F.col("_anc_depth"))
+        # record scope is innermost: with a record context, a non-field
+        # match (foreign module-level decl) ranks below any field match
+        .when((F.col("kind") == "ref") & F.col("base_type").isNotNull()
+              & (F.col("d_kind") != "field"), F.lit(500))
         .otherwise(F.lit(0)),
     ).drop("_anc_depth")
     same_module = (

@@ -273,7 +273,12 @@ class _SpanParseCache:
         return _graph_rows(g, doc_id, offset)
 
 
-def _rows_for_doc(doc_id: str, spans) -> list[dict]:
+# frontends that consume preprocessor symbol maps (compdb -D defines /
+# TranslationConfiguration.symbols — CXXSymbolConfigurationTest)
+_SYMBOL_KINDS = {"code/cpp", "code/java"}
+
+
+def _rows_for_doc(doc_id: str, spans, defines=None) -> list[dict]:
     # imported lazily so the workers pick up the shipped package
     from cpg_spark.frontends import FRONTENDS
 
@@ -299,7 +304,10 @@ def _rows_for_doc(doc_id: str, spans) -> list[dict]:
         parser = FRONTENDS.get(kind)
         if parser is None or text is None:
             continue  # non-code spans pass through untouched
-        g = parser(doc_id, int(offset), text)
+        if defines and kind in _SYMBOL_KINDS:
+            g = parser(doc_id, int(offset), text, symbols=dict(defines))
+        else:
+            g = parser(doc_id, int(offset), text)
         rows.extend(_graph_rows(g, doc_id, int(offset)))
     return rows
 
@@ -328,7 +336,9 @@ def parse_docs(docs: DataFrame, target_partitions: int | None = None,
             target_partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
         except Exception:
             target_partitions = None
-    if dedup_spans and not docs.isStreaming:
+    # per-doc symbol maps make identical span text parse DIFFERENTLY, so
+    # the content-hash dedup cache would be wrong — bypass it
+    if dedup_spans and not docs.isStreaming and "defines" not in docs.columns:
         return _parse_docs_dedup(docs, target_partitions)
     if target_partitions and not docs.isStreaming:
         docs = docs.repartition(target_partitions, "doc_id")
@@ -339,8 +349,13 @@ def parse_docs(docs: DataFrame, target_partitions: int | None = None,
         # into superlinear GC churn; ~64k-row frames keep workers flat
         out: list[dict] = []
         for pdf in batches:
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                out.extend(_rows_for_doc(doc_id, spans))
+            # optional per-doc preprocessor symbols (compdb_docs options
+            # joined in as a `defines` map column); absent for plain docs
+            defs = (pdf["defines"] if "defines" in pdf.columns
+                    else [None] * len(pdf))
+            for doc_id, spans, defines in zip(pdf["doc_id"], pdf["spans"],
+                                              defs):
+                out.extend(_rows_for_doc(doc_id, spans, defines))
                 if len(out) >= 65536:
                     frame = pd.DataFrame(out, columns=_COLS, dtype=object)
                     yield frame.where(frame.notna(), None)

@@ -38,6 +38,13 @@ _WHERE_RE = re.compile(
     r"(?P<var>\w+)\.(?P<prop>\w+)\s*(?P<op>=|<>|<=|>=|<|>)\s*"
     r"(?P<val>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)"
 )
+# constant-vs-constant predicate (QueryTest.kt:116-171 — ``WHERE 1=1``,
+# ``1='a'``, ``1<0``, ``0>1``): folded at parse time, no plan node
+_WHERE_CONST_RE = re.compile(
+    r"(?P<lhs>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*"
+    r"(?P<op>=|<>|<=|>=|<|>)\s*"
+    r"(?P<rhs>'[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)"
+)
 
 _LOC_FIELDS = {"start_line", "start_col", "end_line", "end_col"}
 
@@ -80,11 +87,31 @@ def _parse(query: str):
     wheres = []
     if m.group("where"):
         for part in re.split(r"(?i)\s+AND\s+", m.group("where")):
-            wm = _WHERE_RE.match(part.strip())
-            if not wm:
+            part = part.strip()
+            wm = _WHERE_RE.match(part)
+            if wm:
+                wheres.append(wm.groupdict())
+                continue
+            cm = _WHERE_CONST_RE.match(part)
+            if not cm:
                 raise CypherError(f"unsupported WHERE clause: {part!r}")
-            wheres.append(wm.groupdict())
+            wheres.append({"const": _eval_const(
+                cm.group("lhs"), cm.group("op"), cm.group("rhs"))})
     return nodes, rels, wheres, m.group("ret"), m.group("limit")
+
+
+def _eval_const(lhs: str, op: str, rhs: str) -> bool:
+    """Fold a literal comparison.  The reference compares the evaluated
+    AST literals (Graph.kt:245-287 handleWhere on two Literal operands);
+    a cross-type compare like ``1='a'`` is simply unequal, never an
+    error (QueryTest.testQueryNoResult)."""
+    a, b = _literal(lhs), _literal(rhs)
+    if isinstance(a, str) != isinstance(b, str):
+        return op == "<>"  # differing types: only <> holds
+    import operator as _op
+
+    return {"=": _op.eq, "<>": _op.ne, "<": _op.lt,
+            ">": _op.gt, "<=": _op.le, ">=": _op.ge}[op](a, b)
 
 
 def _prop_col(var_prefix: str, prop: str):
@@ -136,6 +163,9 @@ def execute_cypher(query: str, nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 .drop(f"__s{i}", f"__o{i}")
             )
     for w in wheres:
+        if "const" in w:
+            df = df.filter(F.lit(bool(w["const"])))
+            continue
         if w["var"] not in vars_seen:
             raise CypherError(f"unknown variable {w['var']}")
         col = _prop_col(f"{w['var']}__", w["prop"])

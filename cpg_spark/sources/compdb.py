@@ -102,3 +102,11 @@ def compdb_docs(compdb: DataFrame, sources: DataFrame,
         F.col("abs_path").alias("doc_id"), "include_dirs", "defines",
     )
     return docs, options
+
+
+def docs_with_defines(docs: DataFrame, options: DataFrame) -> DataFrame:
+    """Attach the per-doc ``defines`` map as a docs column so
+    ``parse_docs`` expands the symbols during frontend parsing
+    (CXXSymbolConfigurationTest / CDT scanner-info defined symbols).
+    Left join — docs without a compdb entry parse with no symbols."""
+    return docs.join(options.select("doc_id", "defines"), "doc_id", "left")

@@ -71,6 +71,38 @@ def test_where_numeric_comparison(graph):
     assert out.count() > 0
 
 
+def test_constant_where_predicates(graph):
+    """QueryTest.kt:116-171 — constant WHERE clauses fold to keep-all or
+    keep-none: ``1=1`` returns every match, ``1='a'`` / ``1<0`` / ``0>1``
+    return none."""
+    nodes, edges = graph
+    base = execute_cypher("MATCH (n) RETURN n", nodes, edges).count()
+    assert base == nodes.count()  # testQueryAllNodes
+    kept = execute_cypher("MATCH (n) WHERE 1=1 RETURN n", nodes, edges)
+    assert kept.count() == base  # testQueryAllNodesWithEquals
+    for q in ("MATCH (n) WHERE 1='a' RETURN n",   # testQueryNoResult
+              "MATCH (n) WHERE 1<0 RETURN n",     # testQueryLesser
+              "MATCH (n) WHERE 0>1 RETURN n"):    # testQueryGreaterThan
+        assert execute_cypher(q, nodes, edges).count() == 0
+
+
+def test_edge_pattern_returns_either_end(graph):
+    """QueryTest.kt:43-86 — the same edge pattern can RETURN the source
+    or the target variable, and a WHERE on the target restricts the
+    source result."""
+    nodes, edges = graph
+    q = "MATCH (f:FunctionDeclaration)-[:PARAMETERS]->(p:ParamVariableDeclaration) RETURN {v}"
+    n_f = execute_cypher(q.format(v="f"), nodes, edges).count()
+    n_p = execute_cypher(q.format(v="p"), nodes, edges).count()
+    assert n_f == n_p > 0
+    narrowed = execute_cypher(
+        "MATCH (f:FunctionDeclaration)-[:PARAMETERS]->"
+        "(p:ParamVariableDeclaration) WHERE p.name = 's2' RETURN f",
+        nodes, edges,
+    ).collect()
+    assert len(narrowed) == 1  # testQueryExistenceOfEdgeWithEquals
+
+
 def test_unsupported_raises(graph):
     nodes, edges = graph
     with pytest.raises(CypherError):

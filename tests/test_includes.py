@@ -1,0 +1,197 @@
+"""Include loading (CXXIncludeTest.java) — the reference's fixture
+programs (include.cpp / include.h / another-include.h, embedded below)
+driven through load_includes -> parse -> link.
+
+Divergence note: the reference's node code/region for a prototype covers
+the full declarator (``SomeClass();`` cols 3-15); ours anchors on the
+name token — the tests pin the start position, which both agree on.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpg_spark.operators.includes import (include_directives,
+                                          load_includes, loaded_includes)
+from cpg_spark.operators.link import link_all
+from cpg_spark.operators.parse import parse_docs, split_parse_output
+from cpg_spark.schemas import DOCS_SCHEMA
+
+# cpg-core/src/test/resources/include.h
+INCLUDE_H = """/**
+ this header file needs to be larger than include.cpp to check if
+
+ we do not run
+
+ into issues when parsing
+
+ the regions and code
+
+ that is why we are producing some extra content here just to make it larger.
+
+*/
+
+class SomeClass {
+public:
+  SomeClass();
+
+  int DoSomething();
+
+private:
+  int someField;
+};
+"""
+
+# cpg-core/src/test/resources/another-include.h
+ANOTHER_INCLUDE_H = (
+    "/* This file is just there to demonstrate include include black "
+    "and white-listing */\n"
+)
+
+# cpg-core/src/test/resources/include.cpp
+INCLUDE_CPP = """#include "include.h"
+#include "another-include.h"
+
+int main() {
+  SomeClass* c = new SomeClass();
+}
+
+SomeClass::SomeClass() {
+}
+
+int SomeClass::DoSomething() { return someField; }
+"""
+
+
+def _docs(spark):
+    def d(i, t):
+        return {"doc_id": i,
+                "spans": [{"kind": "code/cpp", "text": t,
+                           "media_ref": None, "offset": 0}]}
+
+    return spark.createDataFrame(
+        [d("res/include.cpp", INCLUDE_CPP), d("res/include.h", INCLUDE_H),
+         d("res/another-include.h", ANOTHER_INCLUDE_H)],
+        DOCS_SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    """load_includes -> parse -> link over the reference fixture."""
+    docs = load_includes(_docs(spark))
+    raw = parse_docs(docs).persist()
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    nodes, edges = nodes.persist(), edges.persist()
+    linked, inferred, _ = link_all(mentions, symbols,
+                                   nodes=nodes, edges=edges)
+    yield nodes, edges, linked.persist(), inferred
+    raw.unpersist()
+
+
+def test_directive_resolution(spark):
+    """Directives resolve same-directory first, in directive order."""
+    got = {(r["inc_path"], r["header_id"], r["ord"])
+           for r in include_directives(_docs(spark)).collect()}
+    assert got == {("include.h", "res/include.h", 0),
+                   ("another-include.h", "res/another-include.h", 1)}
+
+
+def test_blacklist_whitelist_gates(spark):
+    """testIncludeBlacklist[Relative] / testIncludeWhitelist[Relative] /
+    testIncludeBothLists: relative entries match by path suffix and the
+    blacklist always wins."""
+    docs = _docs(spark)
+    for bl in (["include.h"], ["res/include.h"]):
+        left = loaded_includes(docs, blacklist=bl)
+        assert [r["header_id"] for r in left.collect()] == [
+            "res/another-include.h"]
+    for wl in (["include.h"], ["res/include.h"]):
+        left = loaded_includes(docs, whitelist=wl)
+        assert [r["header_id"] for r in left.collect()] == ["res/include.h"]
+    both = loaded_includes(docs, whitelist=["include.h",
+                                            "another-include.h"],
+                           blacklist=["include.h"])
+    assert [r["header_id"] for r in both.collect()] == [
+        "res/another-include.h"]
+
+
+def test_definitions_and_declaration(graph):
+    """testDefinitionsAndDeclaration: the includer's TU sees the header's
+    record; the out-of-line constructor and DoSomething carry the record;
+    ``return someField`` resolves to the header's FieldDeclaration with
+    no inferred fallback."""
+    nodes, edges, linked, inferred = graph
+    inc = nodes.filter(F.col("doc_id") == "res/include.cpp")
+    by = {(r["label"], r["name"]): r for r in inc.filter(
+        F.col("label").isin("RecordDeclaration", "ConstructorDeclaration",
+                            "MethodDeclaration", "FieldDeclaration",
+                            "FunctionDeclaration")).collect()}
+    assert ("RecordDeclaration", "SomeClass") in by
+    assert ("FunctionDeclaration", "main") in by
+    assert ("FieldDeclaration", "someField") in by
+    # the spliced header's prototype AND the out-of-line definition parse
+    ctors = inc.filter(F.col("label") == "ConstructorDeclaration")
+    assert ctors.count() == 2
+    # someField REFERS_TO the header's field, nothing inferred
+    fields = nodes.filter((F.col("label") == "FieldDeclaration")
+                          & (F.col("name") == "someField")).select(
+        F.col("node_id").alias("obj"))
+    refers = linked.filter(F.col("pred") == "REFERS_TO").join(fields, "obj")
+    assert refers.count() >= 1
+    assert inferred.count() == 0
+
+
+def test_code_and_region_in_include(graph):
+    """testCodeAndRegionInInclude: nodes parsed out of a spliced header
+    span keep the HEADER's own line/column positions (region 16:3 for
+    the constructor prototype, 1-based cols; ours are 0-based)."""
+    nodes, *_ = graph
+    proto = nodes.filter(
+        (F.col("doc_id") == "res/include.cpp")
+        & (F.col("label") == "ConstructorDeclaration")
+        & (F.col("span_offset") == 0)
+    ).first()
+    assert proto is not None
+    assert proto["loc"]["start_line"] == 16
+    assert proto["loc"]["start_col"] == 2
+    assert proto["code"].startswith("SomeClass")
+
+
+def test_load_includes_false(spark):
+    """testLoadIncludes: without include loading the includer has no
+    RecordDeclaration (the class lives in the header), but its
+    out-of-line definitions still parse as detached members carrying
+    record=SomeClass."""
+    raw = parse_docs(_docs(spark).filter(
+        F.col("doc_id") == "res/include.cpp"))
+    nodes, _, _, symbols = split_parse_output(raw)
+    assert nodes.filter(F.col("label") == "RecordDeclaration").count() == 0
+    meth = {(r["kind"], r["name"], r["record"]) for r in symbols.collect()}
+    assert ("method", "DoSomething", "SomeClass") in meth
+    assert ("method", "SomeClass", "SomeClass") in meth  # out-of-line ctor
+
+
+def test_transitive_and_cyclic_includes(spark):
+    """A -> B -> C splices C into A (depth 2); a B <-> C cycle must not
+    loop or self-splice."""
+    def d(i, t):
+        return {"doc_id": i,
+                "spans": [{"kind": "code/cpp", "text": t,
+                           "media_ref": None, "offset": 0}]}
+
+    docs = spark.createDataFrame(
+        [d("p/a.cpp", '#include "b.h"\nint main() { return 0; }\n'),
+         d("p/b.h", '#include "c.h"\nclass B {};\n'),
+         d("p/c.h", '#include "b.h"\nclass C {};\n')],
+        DOCS_SCHEMA,
+    )
+    out = {r["doc_id"]: r["spans"] for r in load_includes(docs).collect()}
+    a_texts = [s["text"] for s in out["p/a.cpp"]]
+    assert any("class B" in t for t in a_texts)
+    assert any("class C" in t for t in a_texts)  # transitive
+    assert [s["offset"] for s in out["p/a.cpp"]] == list(
+        range(len(a_texts)))  # renumbered, strictly increasing
+    b_texts = [s["text"] for s in out["p/b.h"]]
+    assert sum("class C" in t for t in b_texts) == 1  # no dup, no self
