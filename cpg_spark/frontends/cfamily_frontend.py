@@ -241,6 +241,12 @@ class CFamilyFrontend(Emitter):
         # (TypedefTest: member/function-local typedefs shadow outer ones)
         self._typedefs: list[dict[str, str]] = [{}]
         self._path_n = 0
+        # C++ namespace nesting (ScopeManager NameScope FQNs): members
+        # declared inside `namespace A` export module="A" so qualified
+        # lookups merge across files at link time (ScopeManagerTest
+        # testMerge/testScopeFQN)
+        self._ns_stack: list[str] = []
+        self._extra_module_vars: list[tuple] = []
 
     # ------------------------------------------------------------- tokens
     def peek(self, k: int = 0) -> Tok:
@@ -343,7 +349,30 @@ class CFamilyFrontend(Emitter):
                     self.imports[parts[-1]] = mod
                     self.out.mentions.append(self._mention(
                         iid, "import", parts[-1], base_type=mod))
+            elif (t.kind == "ident" and t.text == "namespace"
+                  and self.dialect == "cpp"):
+                self._parse_namespace(ns_id, di)
             elif t.kind == "ident" and t.text == "using":
+                self.next()
+                if (self.dialect == "cpp"
+                        and self.peek().kind == "ident"
+                        and self.peek().text == "namespace"
+                        and self.peek(1).kind == "ident"):
+                    # `using namespace A;` — a UsingDirective in the
+                    # reference; visibility-wise an import of module A
+                    self.next()
+                    parts = [self.next().text]
+                    while (self.peek().kind == "::"
+                           and self.peek(1).kind == "ident"):
+                        self.next()
+                        parts.append(self.next().text)
+                    mod = ".".join(parts)
+                    uid = self.node(self._p("using"), "UsingDirective",
+                                    mod, self._tloc(t))
+                    self.ast_edge(ns_id, uid, "DECLARATIONS", di)
+                    self.imports[parts[-1]] = mod
+                    self.out.mentions.append(self._mention(
+                        uid, "import", parts[-1], base_type=mod))
                 while self.peek().kind not in (";", "eof"):
                     self.next()
                 self.accept(";")
@@ -371,6 +400,75 @@ class CFamilyFrontend(Emitter):
         self._resolve_locally()
         self._export_symbols()
         return self.out
+
+    def _parse_namespace(self, parent_ns_id: str, di: int):
+        """``namespace A { ... }`` / ``namespace A::B { ... }`` — the
+        reference's NameScope (ScopeManagerTest.testScopeFQN nests A::B;
+        NamespaceDeclaration carries the FQN).  Members export
+        ``module = <namespace FQN>`` so two files declaring the same
+        namespace MERGE at link time by module key — the Spark
+        re-derivation of ScopeManager.mergeFrom (testMerge: both files'
+        functions live in ONE name scope and ``A::func1`` resolves
+        globally).  The namespace also emits an import mention of itself:
+        membership grants the whole namespace's symbols to the document,
+        which is exactly the import-visibility gate."""
+        t = self.next()  # 'namespace'
+        parts = []
+        while self.peek().kind == "ident":
+            parts.append(self.next().text)
+            if self.peek().kind == "::" and self.peek(1).kind == "ident":
+                self.next()
+            else:
+                break
+        if not parts or self.peek().kind != "{":
+            # anonymous namespace: contents stay file-local — parse the
+            # body in the current scope without a module override
+            if self.peek().kind == "{":
+                self.next()
+                dj = 0
+                while self.peek().kind not in ("}", "eof"):
+                    nid = self.parse_member_or_global(
+                        self._p("top"), record=None,
+                        parent=parent_ns_id, index=dj)
+                    if nid is None:
+                        self.next()
+                    dj += 1
+                self.accept("}")
+            return None
+        outer = self._ns_stack[-1] if self._ns_stack else None
+        fqn = ".".join(([outer] if outer else []) + parts)
+        nsid = self.node(self._p("ns"), "NamespaceDeclaration", fqn,
+                         self._tloc(t))
+        self.ast_edge(parent_ns_id, nsid, "DECLARATIONS", di)
+        self.out.mentions.append(self._mention(nsid, "import", fqn,
+                                               base_type=fqn))
+        self._ns_stack.append(fqn)
+        self.expect("{")
+        self.enter_scope("module", fqn, nsid)
+        dj = 0
+        while self.peek().kind not in ("}", "eof"):
+            t2 = self.peek()
+            if (t2.kind == "ident" and t2.text == "namespace"):
+                self._parse_namespace(nsid, dj)
+            elif t2.kind == "ident" and t2.text in ("class", "struct"):
+                nid = self.parse_class(self._p("class"))
+                if nid:
+                    self.ast_edge(nsid, nid, "DECLARATIONS", dj)
+            else:
+                nid = self.parse_member_or_global(self._p("top"),
+                                                  record=None,
+                                                  parent=nsid, index=dj)
+                if nid is None:
+                    self.next()
+            dj += 1
+        # namespace-level vars export under the namespace module
+        for vname, d in self.scopes[-1].decls.items():
+            if d.get("kind") == "var":
+                self._extra_module_vars.append((fqn, vname, d))
+        self.leave_scope()
+        self.accept("}")
+        self._ns_stack.pop()
+        return nsid
 
     def _handle_preproc(self, t: Tok, ns_id: str, di: int) -> None:
         m = re.match(r'#\s*include\s*[<"]([^>"]+)[>"]', t.text)
@@ -479,7 +577,8 @@ class CFamilyFrontend(Emitter):
         rid = self.node(path, "RecordDeclaration", name, self._tloc(name_t),
                         props={"kind": kw})
         rec = {"decl_id": rid, "name": name, "fields": {}, "methods": {},
-               "ctors": [], "supers": []}
+               "ctors": [], "supers": [],
+               "module": self._ns_stack[-1] if self._ns_stack else None}
         self.records[name] = rec
         self.declare(name, rid, "record", name)
         # supertypes: java `extends A implements B`, cpp `: public A`
@@ -869,6 +968,8 @@ class CFamilyFrontend(Emitter):
             "is_variadic": is_variadic, "is_definition": has_body,
             "record": record["name"] if record else None,
             "ret_type": ret_type,
+            # namespace members export under the namespace FQN module
+            "module": self._ns_stack[-1] if self._ns_stack else None,
         }
         self._functions_by_id[fid] = fn_info
         self._overloads.setdefault(
@@ -2682,15 +2783,16 @@ class CFamilyFrontend(Emitter):
     # --------------------------------------------------------------- export
     def _export_symbols(self):
         for fid, info in self._functions_by_id.items():
+            mod = info.get("module") or self.module_name
             self.out.symbols.append({
                 "decl_id": fid,
                 "kind": "method" if info.get("record") else "function",
                 "name": info["name"],
-                "fqn": (f"{self.module_name}.{info['record']}.{info['name']}"
+                "fqn": (f"{mod}.{info['record']}.{info['name']}"
                         if info.get("record")
-                        else f"{self.module_name}.{info['name']}"),
+                        else f"{mod}.{info['name']}"),
                 "record": info.get("record"),
-                "module": self.module_name,
+                "module": mod,
                 "doc_id": self.doc_id,
                 "n_params": info["n_params"],
                 "n_defaults": info.get("n_defaults", 0),
@@ -2700,18 +2802,19 @@ class CFamilyFrontend(Emitter):
                 "param_names": info["param_names"],
             })
         for rname, rec in self.records.items():
+            rmod = rec.get("module") or self.module_name
             self.out.symbols.append({
                 "decl_id": rec["decl_id"], "kind": "record", "name": rname,
-                "fqn": f"{self.module_name}.{rname}", "record": None,
-                "module": self.module_name, "doc_id": self.doc_id,
+                "fqn": f"{rmod}.{rname}", "record": None,
+                "module": rmod, "doc_id": self.doc_id,
                 "n_params": None, "has_defaults": None, "is_variadic": None,
                 "param_ids": None, "param_names": None,
             })
             for fname, fid in rec["fields"].items():
                 self.out.symbols.append({
                     "decl_id": fid, "kind": "field", "name": fname,
-                    "fqn": f"{self.module_name}.{rname}.{fname}",
-                    "record": rname, "module": self.module_name,
+                    "fqn": f"{rmod}.{rname}.{fname}",
+                    "record": rname, "module": rmod,
                     "doc_id": self.doc_id, "n_params": None,
                     "has_defaults": None, "is_variadic": None,
                     "param_ids": None, "param_names": None,
@@ -2726,6 +2829,16 @@ class CFamilyFrontend(Emitter):
                     "is_variadic": None, "param_ids": None,
                     "param_names": None,
                 })
+        for mod, vname, d in self._extra_module_vars:
+            # namespace-level vars, collected when the namespace closed
+            self.out.symbols.append({
+                "decl_id": d["decl_id"], "kind": "var", "name": vname,
+                "fqn": f"{mod}.{vname}", "record": None,
+                "module": mod, "doc_id": self.doc_id,
+                "n_params": None, "has_defaults": None,
+                "is_variadic": None, "param_ids": None,
+                "param_names": None,
+            })
 
 
 def _parse_cfamily(doc_id, span_offset, source, module_name, dialect,

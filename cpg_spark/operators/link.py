@@ -284,10 +284,17 @@ def joined_mentions(mentions: DataFrame, symbols: DataFrame,
         .drop("imp_doc_id")
         .withColumnRenamed("imp_module", "_vis")
     )
+    # explicitly-qualified mentions (C++ ``A::func1``, Go ``util.Helper``)
+    # reach their base's module DIRECTLY — qualified lookup is global in
+    # the reference (ScopeManager.lookupScope by FQN after mergeFrom), no
+    # import required; one extra row per qualified mention keeps the
+    # explode linear
+    via_qual = (non_import.filter(F.col("base_type").isNotNull())
+                .withColumn("_vis", F.col("base_type")))
     # a module that is both a scope prefix and imported yields duplicate
     # candidate rows; every consumer runs _pick_winner per mention, so
     # duplicates are harmless and not worth a dedup shuffle
-    fx = via_prefix.unionByName(via_import)
+    fx = via_prefix.unionByName(via_import).unionByName(via_qual)
     arm_ab, used = linking_join(
         fx, dim, key_pairs=[("name", "d_name"), ("_vis", "d_module")],
         salt_src="mention_id", dim_rows=dim_rows, buckets=buckets,
@@ -420,6 +427,18 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
                | F.col("_anc_depth").isNotNull())
         )
         | ((F.col("kind") == "call") & (F.col("d_kind") == "function"))
+        # module/namespace-qualified call (Go ``util.Helper(1)``,
+        # C++ ``A::func1()``): a member_call whose base names the
+        # candidate's MODULE resolves to that module's free functions —
+        # ScopeManagerTest.testMerge resolveFunction("A::func1") across
+        # files, and the Go cross-package path (without this arm the
+        # real function is skipped and a bogus inferred node is minted)
+        | (
+            (F.col("kind") == "member_call")
+            & (F.col("d_kind") == "function")
+            & F.col("base_type").isNotNull()
+            & (F.col("base_type") == F.col("d_module"))
+        )
         # unqualified call inside a method: base_type = enclosing record
         # (set by the frontend) — implicit-this candidates are the
         # record's own and inherited methods (JLS 15.12.1 / the
@@ -680,6 +699,15 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
             & F.col("base_type").isNotNull()
             & ((F.col("base_type") == F.col("d_record"))
                | F.col("_anc_depth").isNotNull())
+        )
+        # module/namespace-qualified reference (Go ``util.GlobalVar``,
+        # C++ ``A::x``): a member_ref whose base names the declaring
+        # module binds its module-level vars/functions/records
+        | (
+            (F.col("kind") == "member_ref")
+            & F.col("d_kind").isin("var", "function", "record")
+            & F.col("base_type").isNotNull()
+            & (F.col("base_type") == F.col("d_module"))
         )
         # import mentions must match a symbol of the named source module
         | ((F.col("kind") == "import") & (F.col("d_kind") != "method")
