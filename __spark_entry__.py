@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_fnptr_calls": Q.q_cpg_fnptr_calls,
         "cpg_type_prop": Q.q_cpg_type_prop,
         "cpg_compdb": Q.q_cpg_compdb,
+        "cpg_includes": Q.q_cpg_includes,
+        "cpg_namespaces": Q.q_cpg_namespaces,
         "cpg_typenorm": Q.q_cpg_typenorm,
         "cpg_typedefs": Q.q_cpg_typedefs,
         "identifier_pass": Q.q_identifier_pass,
@@ -812,6 +814,37 @@ def oracle_sql() -> dict[str, str]:
               ('/src/main.cpp', 'include;/usr/inc', 'DEBUG=1;MAX=4'))
               AS t(abs_path, includes, defs)
             ORDER BY abs_path
+        """,
+        # golden oracle: CXXIncludeTest — default load splices both
+        # headers, blacklist wins over whitelist, the includer's TU sees
+        # the header's record, and the out-of-line `return someField`
+        # binds the header's field (no inferred row appears)
+        "cpg_includes": """
+            SELECT * FROM (VALUES
+              ('blacklist', 'res/another-include.h'),
+              ('bothlists', 'res/another-include.h'),
+              ('default', 'res/another-include.h'),
+              ('default', 'res/include.h'),
+              ('record_in_includer', 'SomeClass'),
+              ('somefield_refers', 'bound'),
+              ('whitelist', 'res/include.h')) AS t(fact, value)
+            ORDER BY fact, value
+        """,
+        # golden oracle: ScopeManagerTest.testMerge/testScopeFQN — two
+        # files' `namespace A` merge (A::func1 binds f1.cpp's real
+        # declaration cross-file), `using namespace A;` resolves an
+        # unqualified call cross-file, and both nested and `A::B` header
+        # forms share module FQN A.B
+        "cpg_namespaces": """
+            SELECT * FROM (VALUES
+              ('func1', 'A', 'A.func1'),
+              ('func1', 'p/f2.cpp', 'p/f1.cpp'),
+              ('func2', 'A', 'A.func2'),
+              ('func2', 'p/f3.cpp', 'p/f2.cpp'),
+              ('nested', 'A.B', 'A.B.nested'),
+              ('nested2', 'A.B', 'A.B.nested2'))
+              AS t(site, from_doc, to_doc)
+            ORDER BY site, from_doc, to_doc
         """,
         # golden oracle: dataflow type propagation over the fixture yields
         # a fixed table (TypeListeners semantics, HasType.java:56-65)

@@ -1494,3 +1494,150 @@ def q_cpg_oob_check(spark, sf_dir):
                 F.col("line").cast("int").alias("line"))
         .orderBy("doc_id", "line")
     )
+
+
+# --- include loading (CXXIncludeTest.java) ---------------------------------
+
+INCLUDE_H_SRC = """class SomeClass {
+public:
+  SomeClass();
+
+  int DoSomething();
+
+private:
+  int someField;
+};
+"""
+
+INCLUDE_CPP_SRC = """#include "include.h"
+#include "another-include.h"
+
+int main() {
+  SomeClass* c = new SomeClass();
+}
+
+SomeClass::SomeClass() {
+}
+
+int SomeClass::DoSomething() { return someField; }
+"""
+
+
+def _include_docs(spark):
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    rows = [("res/include.cpp", INCLUDE_CPP_SRC),
+            ("res/include.h", INCLUDE_H_SRC),
+            ("res/another-include.h", "/* blacklist demo */\n")]
+    return spark.createDataFrame(
+        [{"doc_id": i,
+          "spans": [{"kind": "code/cpp", "text": t,
+                     "media_ref": None, "offset": 0}]}
+         for i, t in rows],
+        schema=DOCS_SCHEMA)
+
+
+def q_cpg_includes(spark, sf_dir):
+    """Include loading as a corpus join (CXXIncludeTest.java): the
+    white/blacklist gates (blacklist priority, relative suffix match),
+    the spliced header making the includer's TU see the record, and the
+    out-of-line ``return someField`` binding the header's field with NO
+    inferred fallback (testDefinitionsAndDeclaration +
+    testIncludeBlacklist/Whitelist/BothLists)."""
+    from cpg_spark.operators.includes import load_includes, loaded_includes
+    from cpg_spark.operators.link import link_all
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+
+    docs = _include_docs(spark)
+    gates = []
+    for gate, kw in [
+        ("default", {}),
+        ("blacklist", {"blacklist": ["include.h"]}),
+        ("whitelist", {"whitelist": ["include.h"]}),
+        ("bothlists", {"whitelist": ["include.h", "another-include.h"],
+                       "blacklist": ["include.h"]}),
+    ]:
+        gates.append(
+            loaded_includes(docs, **kw)
+            .select(F.lit(gate).alias("fact"),
+                    F.col("header_id").alias("value")))
+    inventory = gates[0]
+    for g in gates[1:]:
+        inventory = inventory.unionByName(g)
+
+    raw = parse_docs(load_includes(docs)).persist()
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    linked, inferred, _ = link_all(mentions, symbols,
+                                   nodes=nodes, edges=edges)
+    inc = nodes.filter(F.col("doc_id") == "res/include.cpp")
+    facts = (
+        inc.filter(F.col("label") == "RecordDeclaration")
+        .select(F.lit("record_in_includer").alias("fact"),
+                F.col("name").alias("value"))
+        .unionByName(
+            linked.filter(F.col("pred") == "REFERS_TO")
+            .join(nodes.filter((F.col("label") == "FieldDeclaration")
+                               & (F.col("name") == "someField"))
+                  .select(F.col("node_id").alias("obj")), "obj")
+            .select(F.lit("somefield_refers").alias("fact"),
+                    F.lit("bound").alias("value")).distinct())
+        .unionByName(
+            inferred.select(F.lit("inferred").alias("fact"),
+                            F.col("name").alias("value")))
+    )
+    return inventory.unionByName(facts).orderBy("fact", "value")
+
+
+# --- namespaces (ScopeManagerTest.kt) ---------------------------------------
+
+def q_cpg_namespaces(spark, sf_dir):
+    """ScopeManagerTest.testMerge/testScopeFQN as link facts: two files'
+    ``namespace A`` merge (A::func1 resolves cross-file to the real
+    declaration), nested ``A { B { } }`` and header-form ``A::B`` share
+    one FQN module, and ``using namespace A;`` grants unqualified
+    visibility."""
+    from cpg_spark.operators.link import link_all
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    rows = [
+        ("p/f1.cpp", "namespace A {\nint func1() { return 1; }\n}\n"),
+        ("p/f2.cpp", "namespace A {\nint func2() { return 2; }\n}\n"
+                     "int main() { int x = A::func1(); return x; }\n"),
+        ("p/n1.cpp", "namespace A {\nnamespace B {\n"
+                     "int nested() { return 0; }\n}\n}\n"),
+        ("p/n2.cpp", "namespace A::B {\nint nested2() { return 0; }\n}\n"),
+        ("p/f3.cpp", "using namespace A;\n"
+                     "int use() { return func2(); }\n"),
+    ]
+    docs = spark.createDataFrame(
+        [{"doc_id": i,
+          "spans": [{"kind": "code/cpp", "text": t,
+                     "media_ref": None, "offset": 0}]}
+         for i, t in rows],
+        schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    linked, inferred, _ = link_all(mentions, symbols,
+                                   nodes=nodes, edges=edges)
+    calls = (
+        linked.filter(F.col("pred") == "CALLS")
+        .join(mentions.select(F.col("mention_id").alias("subj"),
+                              F.col("name").alias("site"),
+                              F.col("doc_id").alias("from_doc")), "subj")
+        .join(nodes.select(F.col("node_id").alias("obj"),
+                           F.col("doc_id").alias("to_doc")), "obj", "left")
+        .select("site", "from_doc",
+                F.coalesce("to_doc", F.lit("<inferred>")).alias("to_doc"))
+        # f2's same-file frontend-local call edges are not in `linked`;
+        # restrict to the cross-file link facts the test pins
+        .filter(F.col("from_doc") != F.col("to_doc"))
+    )
+    mods = (
+        symbols.filter(F.col("kind") == "function")
+        .filter(F.col("module").startswith("A"))
+        .select(F.col("name").alias("site"),
+                F.col("module").alias("from_doc"),
+                F.col("fqn").alias("to_doc"))
+    )
+    return calls.unionByName(mods).orderBy("site", "from_doc", "to_doc")
