@@ -40,28 +40,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_INC_RE = r'^\s*#\s*include\s*["<]([^">]+)[">]'
+_INC_RE_ML = r'(?m)^[ \t]*#[ \t]*include[ \t]*["<]([^">]+)[">]'
 
 
 def include_directives(docs: DataFrame) -> DataFrame:
     """(doc_id, inc_path, header_id, ord) — one row per directive that
     resolves to a corpus document.  ``ord`` preserves directive order
-    (span position, then line).  Resolution prefers
+    (span position, then directive index).  Resolution prefers
     ``dirname(doc_id)/inc_path`` over the bare path, like CDT's
-    quoted-include search starting at the including file's directory."""
+    quoted-include search starting at the including file's directory.
+
+    Scale shape: one ``regexp_extract_all`` per span (multiline anchor)
+    gated by a cheap ``contains('#')`` pre-filter — the overwhelmingly
+    common no-include span costs one substring scan and produces ZERO
+    rows; no per-line explode ever materializes."""
     ex = docs.select("doc_id", F.posexplode("spans").alias("sp", "s"))
-    lines = ex.select(
-        "doc_id", "sp",
-        F.posexplode(
-            F.split(F.coalesce(F.col("s.text"), F.lit("")), "\n")
-        ).alias("ln", "line"),
-    )
     dirs = (
-        lines.select(
-            "doc_id", "sp", "ln",
-            F.regexp_extract("line", _INC_RE, 1).alias("inc_path"),
+        ex.filter(F.col("s.text").isNotNull()
+                  & F.col("s.text").contains("#"))
+        .select(
+            "doc_id", "sp",
+            F.posexplode(
+                F.regexp_extract_all("s.text", F.lit(_INC_RE_ML), F.lit(1))
+            ).alias("ln", "inc_path"),
         )
-        .filter(F.col("inc_path") != "")
         .withColumn("ord", F.col("sp") * F.lit(1 << 20) + F.col("ln"))
     )
     dirname = F.regexp_extract("doc_id", r"^(.*)/[^/]*$", 1)
