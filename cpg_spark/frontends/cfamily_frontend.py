@@ -1957,6 +1957,19 @@ class CFamilyFrontend(Emitter):
         CallResolver.java:1209-1250): arity + defaults + implicit-cast
         ranking over the record's constructors — not merely the first."""
         rec = self.records.get(tname)
+        if rec is None and tname:
+            # record in another span/document: defer to the link stage —
+            # constructors export as methods named like their record, so
+            # a member_call mention with base=record binds the real ctor
+            # cross-doc (CXXIncludeTest main(): ``new SomeClass()`` binds
+            # the header's constructor instead of resolving to nothing)
+            self.out.mentions.append(self._mention(
+                nid, "member_call", tname, base_type=tname,
+                scopes=list(self.scopes),
+                n_args=len(args), n_kwargs=0,
+                arg_ids=[a["arg_id"] for a in args],
+                arg_types=[a.get("type") for a in args]))
+            return
         if not rec or not rec["ctors"]:
             return
         cands = [self._functions_by_id[c] for c in rec["ctors"]

@@ -103,7 +103,7 @@ def loaded_includes(docs: DataFrame, whitelist=None,
     (testIncludeBothLists)."""
     d = include_directives(docs)
     keep = F.lit(True)
-    if whitelist is not None:
+    if whitelist:  # EMPTY whitelist = unrestricted, like the reference
         keep = keep & _list_match(F.col("header_id"), list(whitelist))
     if blacklist:
         keep = keep & ~_list_match(F.col("header_id"), list(blacklist))

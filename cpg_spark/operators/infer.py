@@ -65,7 +65,12 @@ def infer_records(mentions: DataFrame, nodes: DataFrame,
     mm = (
         mentions.filter(
             F.col("kind").isin("member_ref", "member_call")
-            & F.col("base_type").isNotNull())
+            & F.col("base_type").isNotNull()
+            # constructor-shaped mentions (name == base, the deferred
+            # ConstructExpression resolution) create the RECORD, not a
+            # method member — the reference infers constructors outside
+            # the record-member walk (InferenceTest pins T's members)
+            & (F.col("name") != F.col("base_type")))
         .select("mention_id", "kind", "name", "base_type", "doc_id",
                 "n_args", module.alias("module"))
     )

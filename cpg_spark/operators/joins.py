@@ -23,9 +23,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# dimension tables below this row count are broadcast (executors hold the
-# hash table; 2M symbol rows ≈ low hundreds of MB — fine on 8G+ executors)
-BROADCAST_MAX_ROWS = 2_000_000
+# dimension tables below this row count are broadcast.  Measured on this
+# box (96k docs, 944k-row symbol dim, warm, best-of-2): broadcast wins at
+# 8 threads (71s vs 88s) but LOSES at 32 (42.5s vs 34.4s) — the driver-side
+# hash-relation build and per-task broadcast deserialization serialize at
+# high parallelism, so pinning broadcast capped 8->32 scaling efficiency at
+# 0.42 while the salted shuffle reaches 0.64.  A corpus-proportional symbol
+# dimension must therefore shuffle; only genuinely small dims (records,
+# enums, imports — thousands of rows) broadcast.  The same logic holds
+# harder on a real cluster: a dim that grows with the corpus has no
+# business on the driver at 10^12 docs.
+BROADCAST_MAX_ROWS = 100_000
 
 
 def salted_equi_join(

@@ -60,7 +60,9 @@ def compute_job():
     raw = parse_docs(docs).persist()
     try:
         nodes, edges, mentions, symbols = split_parse_output(raw)
-        linked, inferred, _ = link_all(mentions, symbols, strategy="broadcast")
+        # strategy=None: the engine sizes the dim and picks for itself
+        # (salted above BROADCAST_MAX_ROWS) — measure what users get
+        linked, inferred, _ = link_all(mentions, symbols)
         return edges.select("subj", "pred", "obj").unionByName(
             linked.select("subj", "pred", "obj")).groupBy("pred").count().count()
     finally:

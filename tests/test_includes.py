@@ -115,6 +115,8 @@ def test_blacklist_whitelist_gates(spark):
                            blacklist=["include.h"])
     assert [r["header_id"] for r in both.collect()] == [
         "res/another-include.h"]
+    # EMPTY whitelist restricts nothing (reference builder semantics)
+    assert loaded_includes(docs, whitelist=[]).count() == 2
 
 
 def test_definitions_and_declaration(graph):
@@ -141,6 +143,13 @@ def test_definitions_and_declaration(graph):
     refers = linked.filter(F.col("pred") == "REFERS_TO").join(fields, "obj")
     assert refers.count() >= 1
     assert inferred.count() == 0
+    # main()'s `new SomeClass()` binds a real constructor cross-span
+    ctor_ids = nodes.filter(
+        (F.col("label") == "ConstructorDeclaration")
+        & (F.col("name") == "SomeClass")).select(
+        F.col("node_id").alias("obj"))
+    ctor_calls = linked.filter(F.col("pred") == "CALLS").join(ctor_ids, "obj")
+    assert ctor_calls.count() >= 1
 
 
 def test_code_and_region_in_include(graph):
