@@ -33,6 +33,15 @@ def canon(df):
 
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        # the driver's hash is insensitive to integer/float WIDTH (round-1
+        # evidence: spark int32 vs duckdb int64 passed; int64 vs float64
+        # failed) — normalize widths, keep the int/float class distinction
+        if df[c].dtype.kind == "i":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "u":
+            df[c] = df[c].astype("uint64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype("float64")
         if df[c].dtype == object:
             df[c] = df[c].map(
                 lambda v: json.dumps(v, sort_keys=True, default=str)
