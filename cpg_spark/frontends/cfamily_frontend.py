@@ -60,6 +60,13 @@ _KEYWORDS = {
     "goto", "instanceof", "public", "private", "protected",
 }
 
+# C++ named casts -> CastExpression named by the keyword (testCast)
+_NAMED_CASTS = {"static_cast", "dynamic_cast", "reinterpret_cast",
+                "const_cast"}
+# type-id operators -> TypeIdExpression unless the argument is a declared
+# value (testTypeId / testUnaryOperator)
+_TYPEID_OPS = {"sizeof", "alignof", "typeid", "typeof"}
+
 _TOKEN_RE = re.compile(
     r"""
       (?P<comment>//[^\n]*|/\*.*?\*/)
@@ -1456,7 +1463,25 @@ class CFamilyFrontend(Emitter):
         # typed local declaration?
         save = self.i
         self._skip_modifiers()
-        if self._looks_like_type():
+        if (self.dialect == "cpp" and self.peek().kind == "ident"
+                and self.peek().text in ("struct", "class", "union", "enum")
+                and self.peek(1).kind == "ident"
+                and self.peek(2).kind == "ident"):
+            # elaborated type specifier in a local declaration:
+            # `struct Point p1 = {...};` (designatedInitializer.c)
+            self.next()
+        # leading cv-qualifiers (`const std::type_info& x = ...`) — the
+        # decl-vs-expr probe must look past them like parse_type does
+        qk = 0
+        while (self.peek(qk).kind == "ident"
+               and self.peek(qk).text in ("const", "unsigned", "signed",
+                                          "volatile")):
+            qk += 1
+        if self._looks_like_type(qk) or (
+                qk and self.peek(qk - 1).text in ("unsigned", "signed")) or (
+                self.peek(qk).kind == "ident"
+                and self.peek(qk).text not in _KEYWORDS
+                and self.peek(qk + 1).kind == "::"):
             tname = self.parse_type()
             if (tname is not None and self.dialect == "cpp"
                     and self.peek().kind == "(" and self.peek(1).kind == "*"
@@ -1467,6 +1492,8 @@ class CFamilyFrontend(Emitter):
                 return ds, {"kind": "plain", "nid": ds}
             if tname is not None and self.peek().kind == "ident" and \
                     (self.peek(1).kind in ("=", ";", ",")
+                     or (self.peek(1).kind == "["
+                         and self.peek(2).kind in ("int", "]"))
                      or (self.peek(1).kind == "("
                          and tname in self.records)):
                 # parse_var_after_type attaches the DeclarationStatement
@@ -1933,10 +1960,13 @@ class CFamilyFrontend(Emitter):
                 self.accept("]")
                 di += 1
             if self.peek().kind == "{":
-                # `new int[]{...}` initializer — elements not modeled yet;
-                # consume without attaching (dimensions-or-initializer per
-                # the reference's own comment)
-                self._skip_balanced("{", "}")
+                # `new int[]{...}` — the braced list is the INITIALIZER
+                # child (ArrayCreationExpression.java initializer); its
+                # element count doubles as the array capacity when no
+                # dimension is given (OutOfBoundsCheck capacity arm 2)
+                lid, _ = self.parse_init_list(f"{path}.init")
+                self.ast_edge(nid, lid, "INITIALIZER", 0)
+                self.edge(lid, "DFG", nid)
             return nid, {"kind": "arraycreate", "name": tname,
                          "type": (tname or "") + "[]"}
         nid = self.node(path, "ConstructExpression", tname or "",
@@ -2163,6 +2193,58 @@ class CFamilyFrontend(Emitter):
             self.pending_refs.append(
                 (nid, "this", list(self.scopes), "read", self.tick()))
             return nid, {"kind": "ref", "name": "this", "type": None}
+        if (t.kind == "ident" and self.dialect == "cpp"
+                and t.text in _NAMED_CASTS and self.peek(1).kind == "<"):
+            # named cast `static_cast<T>(e)` — a CastExpression named by
+            # the cast keyword, castType = T via EVAL_TYPE
+            # (CXXLanguageFrontendTest testCast over castexpr.cpp)
+            self.next()
+            self.expect("<")
+            tname = self.parse_type() or ""
+            self.accept(">")
+            self.expect("(")
+            eid, _ = self.parse_expr(path + ".cast")
+            self.accept(")")
+            nid = self.node(path, "CastExpression", t.text, self._tloc(t))
+            self.ast_edge(nid, eid, "EXPRESSION", 0)
+            if tname:
+                self.eval_type(nid, tname)
+            self.edge(eid, "DFG", nid)  # CastExpression.java:60
+            return nid, {"kind": "cast", "name": t.text, "type": tname}
+        if (t.kind == "ident" and t.text in _TYPEID_OPS
+                and self.peek(1).kind == "("
+                and not (self.dialect == "java" and t.text != "sizeof")):
+            # sizeof/alignof/typeid/typeof — CDT prefers the TYPE-ID
+            # interpretation (TypeIdExpression, testTypeId) unless the
+            # argument is a single identifier naming a declared VALUE, in
+            # which case sizeof(a) is a UnaryOperator
+            # (testUnaryOperator over unaryoperator.cpp)
+            op = self.next().text
+            self.expect("(")
+            if (op in ("sizeof", "alignof")
+                    and self.peek().kind == "ident"
+                    and self.peek(1).kind == ")"
+                    and self.resolve(self.peek().text)):
+                iid, _ = self.parse_expr(path + ".i")
+                self.accept(")")
+                nid = self.node(path, "UnaryOperator", op, self._tloc(t),
+                                props={"operator": op, "postfix": "false"})
+                self.ast_edge(nid, iid, "INPUT", 0)
+                self.edge(iid, "DFG", nid)
+                sz = "std::size_t" if self.dialect == "cpp" else "int"
+                self.eval_type(nid, sz)
+                return nid, {"kind": "unary", "name": op, "type": sz}
+            tname = self.parse_type()
+            if not tname and self.peek().kind == "ident":
+                tname = self.next().text
+            self.accept(")")
+            nid = self.node(path, "TypeIdExpression", op, self._tloc(t),
+                            props={"referenced_type": tname or ""})
+            ety = {"sizeof": "std::size_t", "alignof": "std::size_t",
+                   "typeid": "const std::type_info&"}.get(op, tname)
+            if ety:
+                self.eval_type(nid, ety)
+            return nid, {"kind": "typeid", "name": op, "type": ety}
         if t.kind == "ident" and t.text not in _KEYWORDS:
             self.next()
             nid = self.node(path, "DeclaredReferenceExpression", t.text,
@@ -2194,10 +2276,71 @@ class CFamilyFrontend(Emitter):
             inner = self.parse_expr(path + ".par")
             self.accept(")")
             return inner
+        if t.kind == "{":
+            return self.parse_init_list(path)
         # gap operand
         self.next()
         nid = self.node(path, "Expression", "", self._tloc(t), code=t.text)
         return nid, {"kind": "gap", "name": "", "type": None}
+
+    def parse_init_list(self, path: str):
+        """Braced initializer ``{ 1, 2, 3 }`` -> InitializerListExpression
+        with ordered INITIALIZERS children, each element DFG-flowing into
+        the list (InitializerListExpression.java:81;
+        CXXLanguageFrontendTest testArrays / testInitListExpression).
+        C99 designators ``.y = 0`` / ``[3] = 1`` become
+        DesignatedInitializerExpression elements (testDesignatedInitializer
+        over designatedInitializer.c).  Also feeds the OutOfBoundsCheck
+        capacity arm (element count, operators/checks.py)."""
+        t = self.next()
+        nid = self.node(path, "InitializerListExpression", "",
+                        self._tloc(t))
+        idx = 0
+        while self.peek().kind not in ("}", "eof"):
+            ep = f"{path}.e[{idx}]"
+            if (self.peek().kind == "." and self.peek(1).kind == "ident") \
+                    or self.peek().kind == "[":
+                eid = self._parse_designated(ep)
+            else:
+                eid, _ = self.parse_expr(ep)
+            self.ast_edge(nid, eid, "INITIALIZERS", idx)
+            self.edge(eid, "DFG", nid)  # InitializerListExpression.java:81
+            idx += 1
+            if not self.accept(","):
+                break
+        self.accept("}")
+        return nid, {"kind": "initlist", "name": "", "type": None}
+
+    def _parse_designated(self, path: str):
+        """One designated element: lhs = the designator chain (field refs
+        for ``.name``, index expressions for ``[k]``), rhs = the value
+        (DesignatedInitializerExpression.java lhs/rhs)."""
+        t0 = self.peek()
+        die = self.node(path, "DesignatedInitializerExpression", "",
+                        self._tloc(t0))
+        li = 0
+        while True:
+            if self.peek().kind == "." and self.peek(1).kind == "ident":
+                self.next()
+                sel = self.next()
+                # field designators name members of the record being
+                # initialized — plain refs, resolved later if at all
+                lid = self.node(f"{path}.l[{li}]",
+                                "DeclaredReferenceExpression", sel.text,
+                                self._tloc(sel))
+            elif self.peek().kind == "[":
+                self.next()
+                lid, _ = self.parse_expr(f"{path}.l[{li}]")
+                self.accept("]")
+            else:
+                break
+            self.ast_edge(die, lid, "LHS", li)
+            li += 1
+        self.accept("=")
+        rid, _ = self.parse_expr(f"{path}.r")
+        self.ast_edge(die, rid, "RHS", 0)
+        self.edge(rid, "DFG", die)
+        return die
 
     def _scan_template_args(self) -> bool:
         """Lookahead: a balanced ``<...>`` of type/literal tokens followed

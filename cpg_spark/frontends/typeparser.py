@@ -123,7 +123,11 @@ def normalize_type(spelled: str | None) -> str | None:
             sign = t
         elif t in _LENGTH:
             lengths.append(t)
-        elif t == "::":
+        elif t in ("::", "."):
+            # both spellings qualify the next segment — parse_type
+            # already canonicalizes C++ `::` to `.`, and Java names
+            # arrive dotted; without this, `std.vector` would drop
+            # `vector` as a declarator name
             if base_parts:
                 base_parts.append(".")
         elif t == "*":
