@@ -1969,7 +1969,15 @@ class CFamilyFrontend(Emitter):
                 self.edge(lid, "DFG", nid)
             return nid, {"kind": "arraycreate", "name": tname,
                          "type": (tname or "") + "[]"}
-        nid = self.node(path, "ConstructExpression", tname or "",
+        # `new T(...)` is a NewExpression typed T* whose INITIALIZER is
+        # the ConstructExpression typed T (CXXLanguageFrontendTest
+        # testObjectCreation: newExpression.getInitializer() is the
+        # construct expression; same shape for Java's `new`)
+        nu = self.node(path, "NewExpression", tname or "", self._tloc(t))
+        if tname:
+            self.eval_type(nu, normalize_type(
+                tname + "*" if self.dialect == "cpp" else tname))
+        nid = self.node(f"{path}.ctor", "ConstructExpression", tname or "",
                         self._tloc(t))
         if tname:
             self.eval_type(nid, tname)
@@ -1978,9 +1986,13 @@ class CFamilyFrontend(Emitter):
             self.edge(nid, "INSTANTIATES", rec["decl_id"])
         args = []
         if self.peek().kind == "(":
-            args = self._parse_args(nid, path)
+            args = self._parse_args(nid, f"{path}.ctor")
         self._resolve_ctor(nid, tname, args)
-        return nid, {"kind": "construct", "name": tname, "type": tname}
+        self.ast_edge(nu, nid, "INITIALIZER", 0)
+        self.edge(nid, "DFG", nu)  # NewExpression.java initializer flow
+        return nu, {"kind": "new", "name": tname,
+                    "type": (tname + "*" if tname and self.dialect == "cpp"
+                             else tname)}
 
     def _resolve_ctor(self, nid, tname, args):
         """CONSTRUCTOR edge via the overload ladder (ConstructorsTest /

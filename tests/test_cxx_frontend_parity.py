@@ -173,9 +173,12 @@ def test_cast():
     d_init = _initializer(edges, nodes, _var(nodes, "d"))
     assert d_init["label"] == "CastExpression"
     assert _eval_type(edges, nodes, d_init["node_id"]) == "int"
-    # e's initializer stays a ConstructExpression
+    # e's initializer is the NewExpression wrapping the construct
+    # (testObjectCreation shape)
     e_init = _initializer(edges, nodes, _var(nodes, "e"))
-    assert e_init["label"] == "ConstructExpression"
+    assert e_init["label"] == "NewExpression"
+    nested = _children(edges, nodes, e_init["node_id"], field="INITIALIZER")
+    assert nested and nested[0]["label"] == "ConstructExpression"
 
 
 def test_type_id():
@@ -272,6 +275,101 @@ def test_foreach():
     assert "vector" in (_eval_type(edges, nodes, ls["node_id"]) or "")
     # the loop declares i
     _var(nodes, "i")
+
+
+OBJCREATION_CPP = """
+int method();
+
+class Integer {
+private:
+  int i;
+
+public:
+  Integer(int i) {
+    this->i = i;
+  }
+
+  int method();
+
+  int getI() {
+    return i;
+  }
+
+};
+
+int method() {
+  return 2;
+}
+
+int main() {
+  Integer i(4);
+  i.getI();
+
+  Integer j(method());
+
+  int k = 4;
+
+  auto l = new Integer(k);
+}
+"""
+
+JAVA_ARRAYS = """
+public class Arrays {
+
+  public static void main(String[] args) {
+    int[] a = new int[] {1};
+
+    int b = a[0];
+  }
+
+}
+"""
+
+
+def test_object_creation():
+    """testObjectCreation (CXXLanguageFrontendTest.java:951-1008): `new
+    Integer(k)` is a NewExpression typed Integer* whose INITIALIZER is a
+    ConstructExpression typed Integer with argument k."""
+    nodes, edges = _index(_graph(OBJCREATION_CPP))
+    i = _var(nodes, "i")
+    i_init = _initializer(edges, nodes, i)
+    assert i_init["label"] == "ConstructExpression"
+    assert _eval_type(edges, nodes, i_init["node_id"]) == "Integer"
+    l_init = _initializer(edges, nodes, _var(nodes, "l"))
+    assert l_init["label"] == "NewExpression"
+    assert _eval_type(edges, nodes, l_init["node_id"]) == "Integer*"
+    ctor = _children(edges, nodes, l_init["node_id"], field="INITIALIZER")
+    assert ctor and ctor[0]["label"] == "ConstructExpression"
+    assert _eval_type(edges, nodes, ctor[0]["node_id"]) == "Integer"
+    args = _children(edges, nodes, ctor[0]["node_id"], field="ARGUMENTS")
+    assert args and args[0]["name"] == "k"
+    # the construct expression flows into the new expression
+    assert any(e["subj"] == ctor[0]["node_id"]
+               and e["obj"] == l_init["node_id"] for e in edges["DFG"])
+
+
+def test_java_arrays():
+    """JavaLanguageFrontendTest testArrays (compiling/Arrays.java): the
+    `new int[] {1}` initializer is an ArrayCreationExpression whose
+    INITIALIZER is an InitializerListExpression with one int literal;
+    a[0] subscripts a."""
+    from cpg_spark.frontends.cfamily_frontend import parse_java_document
+
+    g = parse_java_document("java/parity/0001", 1, JAVA_ARRAYS, None)
+    nodes, edges = _index(g)
+    a = _var(nodes, "a")
+    ace = _initializer(edges, nodes, a)
+    assert ace["label"] == "ArrayCreationExpression"
+    ile = _children(edges, nodes, ace["node_id"], field="INITIALIZER")
+    assert ile and ile[0]["label"] == "InitializerListExpression"
+    inits = _children(edges, nodes, ile[0]["node_id"], field="INITIALIZERS")
+    assert [n["name"] for n in inits] == ["1"]
+    ase = [n for n in nodes.values()
+           if n["label"] == "ArraySubscriptionExpression"]
+    assert len(ase) == 1
+    sub = _children(edges, nodes, ase[0]["node_id"],
+                    field="SUBSCRIPT_EXPRESSION")
+    assert sub and sub[0]["name"] == "0"
 
 
 def test_try_catch():
