@@ -254,6 +254,21 @@ class CFamilyFrontend(Emitter):
         # testMerge/testScopeFQN)
         self._ns_stack: list[str] = []
         self._extra_module_vars: list[tuple] = []
+        # function-pointer signature hints: a `&target` / `&A::target`
+        # reference on the RHS of a fnptr declaration/assignment resolves
+        # by the POINTER's signature, not the scope ladder alone
+        # (FunctionPointerTest: `void (*p)(int) = &target;` binds the
+        # 1-param overload).  ref/member node id -> [param type, ...]
+        self._ref_sig_hint: dict[str, list] = {}
+        # member names pulled in by `import static A.member` — refs to
+        # them must export mentions (they resolve cross-document), unlike
+        # plain imported CLASS names (StaticImportsTest single leg)
+        self._static_import_names: set[str] = set()
+        self._pkg_declared = False
+        # assignments whose LHS may be fnptr-typed; the hint is derivable
+        # only after all declarations are known -> deferred to
+        # _resolve_locally: (lhs_id, lhs_meta, rhs_target_id)
+        self._fnptr_assigns: list[tuple] = []
 
     # ------------------------------------------------------------- tokens
     def peek(self, k: int = 0) -> Tok:
@@ -284,10 +299,17 @@ class CFamilyFrontend(Emitter):
     def _tloc(self, t: Tok):
         return (t.line, t.col, t.line, t.col + max(len(t.text), 1))
 
-    def _skip_modifiers(self) -> None:
+    def _skip_modifiers(self) -> list:
+        """Skip (and RETURN) leading declaration modifiers — `static` is
+        semantically load-bearing for Java static imports
+        (StaticImportsTest: only static members are importable) and is
+        recorded on the declaration (FieldDeclaration.getModifiers)."""
         mods = _JAVA_MODIFIERS if self.dialect == "java" else _CPP_SPECIFIERS
+        seen = []
         while self.peek().kind == "ident" and self.peek().text in mods:
-            self.next()
+            seen.append(self.next().text)
+        self._cur_mods = seen
+        return seen
 
     def _skip_balanced(self, open_k: str, close_k: str) -> None:
         depth = 0
@@ -329,6 +351,7 @@ class CFamilyFrontend(Emitter):
                 self.accept(";")
                 if parts:
                     self.module_name = ".".join(parts)
+                    self._pkg_declared = True
                     # re-root the already-minted module scope and TU/
                     # namespace nodes: node ids hash the ast path (not
                     # the name) so renaming is safe — without this,
@@ -342,20 +365,49 @@ class CFamilyFrontend(Emitter):
                             row["name"] = self.module_name
             elif t.kind == "ident" and t.text == "import":
                 self.next()
+                is_static = False
+                if (self.dialect == "java" and self.peek().kind == "ident"
+                        and self.peek().text == "static"
+                        and self.peek(1).kind == "ident"):
+                    # `import static A.member;` / `import static A.*;`
+                    # (JLS 7.5.3-4; ImportResolver static imports,
+                    # StaticImportsTest): the source "module" is the
+                    # CLASS — its static members are re-exported under a
+                    # record-qualified module key by _export_symbols, so
+                    # the ordinary import/star machinery resolves them
+                    self.next()
+                    is_static = True
                 parts = []
+                saw_star = False
                 while self.peek().kind in ("ident", ".", "*"):
                     tk = self.next()
                     if tk.kind == "ident":
                         parts.append(tk.text)
+                    elif tk.kind == "*":
+                        saw_star = True
                 self.accept(";")
                 if parts:
-                    mod = ".".join(parts[:-1]) or parts[0]
+                    if saw_star:
+                        # `import p.*;` / `import static A.*;` — a star
+                        # import of the whole module/class (name `*`
+                        # drives the link-stage asterisk expansion,
+                        # ImportResolver.java:62-120)
+                        mod, name = ".".join(parts), "*"
+                    else:
+                        mod = ".".join(parts[:-1]) or parts[0]
+                        name = parts[-1]
                     iid = self.node(self._p("import"), "IncludeDeclaration",
                                     ".".join(parts), self._tloc(t))
                     self.ast_edge(ns_id, iid, "INCLUDES", di)
                     self.imports[parts[-1]] = mod
+                    if is_static and not saw_star:
+                        # the imported MEMBER name must still become a
+                        # ref/call mention in this document (it resolves
+                        # cross-doc through the import gate), unlike an
+                        # imported class name which only serves as a base
+                        self._static_import_names.add(name)
                     self.out.mentions.append(self._mention(
-                        iid, "import", parts[-1], base_type=mod))
+                        iid, "import", name, base_type=mod))
             elif (t.kind == "ident" and t.text == "namespace"
                   and self.dialect == "cpp"):
                 self._parse_namespace(ns_id, di)
@@ -670,13 +722,62 @@ class CFamilyFrontend(Emitter):
         self.accept(";")
         return rid
 
-    def _parse_fnptr_var(self, path: str, tname: str, parent, index):
+    def _fnptr_decl_ahead(self) -> bool:
+        """After a parsed base type: ``( * name )`` or the C++
+        pointer-to-member form ``( Owner :: * name )``
+        (func_ptr.cpp ``void (A::* no_param) ()``)."""
+        if self.peek().kind != "(":
+            return False
+        j = 1
+        if (self.dialect == "cpp" and self.peek(j).kind == "ident"
+                and self.peek(j + 1).kind == "::"):
+            j += 2
+        if self.peek(j).kind != "*":
+            return False
+        return (self.peek(j + 1).kind == "ident"
+                and self.peek(j + 2).kind == ")")
+
+    @staticmethod
+    def _fnptr_sig(tpe: str | None):
+        """Parameter-type list of a fnptr type spelling
+        (``void(*)(int)`` -> ["int"]); None when not a fnptr type."""
+        if not tpe:
+            return None
+        m = re.search(r"\(\s*\*\s*\)\s*\((.*)\)\s*$", tpe)
+        if m is None:
+            return None
+        inner = m.group(1).strip()
+        if not inner:
+            return []
+        return [p.strip() or None for p in inner.split(",")]
+
+    def _hint_from_init(self, init_id, imeta, params):
+        """Attach the fnptr signature to the function reference inside a
+        declarator initializer / assignment RHS (``= &target`` or
+        ``= target``)."""
+        if imeta is None:
+            return
+        if (imeta.get("kind") == "unary" and imeta.get("name") == "&"
+                and imeta.get("inner_kind") in ("ref", "member")):
+            self._ref_sig_hint[imeta["inner_id"]] = list(params)
+        elif imeta.get("kind") in ("ref", "member"):
+            self._ref_sig_hint[init_id] = list(params)
+
+    def _parse_fnptr_var(self, path: str, tname: str, parent, index,
+                         record=None):
         """``base (*name)(params) [= init];`` — function-pointer variable
         (FunctionPointerType.java:41; typedefs.cpp uintfp1/intFptr1), with
         an optional initializer so ``void (*ptr)(int) = &foo;`` binds the
         DFG edge the link-stage fnptr walk (CallResolver.java:1402-1434)
-        chases — CXXAmbiguitiesTest function_ptr_or_type_cast.c."""
+        chases — CXXAmbiguitiesTest function_ptr_or_type_cast.c.  The
+        C++ pointer-to-member form ``base (Owner::* name)(params)`` and
+        record-field placement (FunctionPointerTest func_ptr.cpp) are
+        handled too; the ``&target`` initializer reference resolves by
+        the declared SIGNATURE (params), not the bare scope ladder."""
         self.next()
+        if (self.peek().kind == "ident" and self.peek(1).kind == "::"):
+            self.next()
+            self.next()
         self.next()
         name_t = self.next()
         self.accept(")")
@@ -694,15 +795,33 @@ class CFamilyFrontend(Emitter):
                     break
             self.accept(")")
         fpt = normalize_type(f"{tname}(*)({', '.join(params)})")
-        vid = self.node(f"{path}.v[0]", "VariableDeclaration",
-                        name_t.text, self._tloc(name_t))
-        self.eval_type(vid, fpt)
-        self.declare(name_t.text, vid, "var", fpt)
+        if record is not None and not self.in_function():
+            # fnptr FIELD (func_ptr.cpp class A) — mirrors
+            # parse_var_after_type's field branch
+            vid = self.node(f"{path}.f[0]", "FieldDeclaration",
+                            name_t.text, self._tloc(name_t))
+            self.eval_type(vid, fpt)
+            self.edge(record["decl_id"], "FIELDS", vid,
+                      {"index": len(record["fields"])})
+            self.ast_edge(record["decl_id"], vid, "FIELDS",
+                          len(record["fields"]))
+            record["fields"][name_t.text] = vid
+            record.setdefault("field_types", {})[name_t.text] = fpt
+            self.scopes[-1].decls[name_t.text] = {
+                "decl_id": vid, "kind": "field", "type": fpt}
+        else:
+            vid = self.node(f"{path}.v[0]", "VariableDeclaration",
+                            name_t.text, self._tloc(name_t))
+            self.eval_type(vid, fpt)
+            self.declare(name_t.text, vid, "var", fpt)
         if self.accept("="):
-            init_id, _ = self.parse_expr(f"{path}.init[0]")
+            init_id, imeta = self.parse_expr(f"{path}.init[0]")
             self.ast_edge(vid, init_id, "INITIALIZER", 0)
             self.edge(init_id, "DFG", vid)  # VariableDeclaration.java:118
+            self._hint_from_init(init_id, imeta, params)
         self.accept(";")
+        if record is not None and not self.in_function():
+            return vid
         ds = self.node(path, "DeclarationStatement", "", None, code="")
         self.ast_edge(ds, vid, "DECLARATIONS", 0)
         self.ast_edge(parent, ds,
@@ -757,10 +876,9 @@ class CFamilyFrontend(Emitter):
         if tname is None:
             self.i = save
             return None
-        if (self.dialect == "cpp" and self.peek().kind == "("
-                and self.peek(1).kind == "*"
-                and self.peek(2).kind == "ident"):
-            return self._parse_fnptr_var(path, tname, parent, index)
+        if self.dialect == "cpp" and self._fnptr_decl_ahead():
+            return self._parse_fnptr_var(path, tname, parent, index,
+                                         record=record)
         if self.peek().kind != "ident":
             self.i = save
             return None
@@ -870,6 +988,8 @@ class CFamilyFrontend(Emitter):
 
     def parse_function(self, path, ret_type, record, parent, index,
                        ctor=False, reuse_fid=None):
+        mods = getattr(self, "_cur_mods", [])
+        self._cur_mods = []
         name_t = self.next()
         name = name_t.text
         if ctor:
@@ -975,6 +1095,10 @@ class CFamilyFrontend(Emitter):
             "is_variadic": is_variadic, "is_definition": has_body,
             "record": record["name"] if record else None,
             "ret_type": ret_type,
+            # Java static members are importable by `import static`
+            # (StaticImportsTest) — exported ALSO as module-level symbols
+            # under the record-qualified module in _export_symbols
+            "is_static": "static" in mods,
             # namespace members export under the namespace FQN module
             "module": self._ns_stack[-1] if self._ns_stack else None,
         }
@@ -1108,6 +1232,8 @@ class CFamilyFrontend(Emitter):
 
     def parse_var_after_type(self, path, tname, record, parent, index):
         """Fields (in record) or globals (module scope), comma-separated."""
+        mods = getattr(self, "_cur_mods", [])
+        self._cur_mods = []
         ids = []
         vi = 0
         while self.peek().kind == "ident":
@@ -1150,8 +1276,12 @@ class CFamilyFrontend(Emitter):
                 init_id = cid
             if record is not None and not self.in_function():
                 fid = self.node(f"{path}.f[{vi}]", "FieldDeclaration",
-                                nt.text, self._tloc(nt))
+                                nt.text, self._tloc(nt),
+                                props={"modifiers": " ".join(mods)}
+                                if mods else None)
                 self.eval_type(fid, vtype)
+                if "static" in mods:
+                    record.setdefault("field_statics", set()).add(nt.text)
                 if init_id:
                     self.ast_edge(fid, init_id, "INITIALIZER", 0)
                     self.edge(init_id, "DFG", fid)  # FieldDeclaration.java:100
@@ -1160,6 +1290,7 @@ class CFamilyFrontend(Emitter):
                 self.ast_edge(record["decl_id"], fid, "FIELDS",
                               len(record["fields"]))
                 record["fields"][nt.text] = fid
+                record.setdefault("field_types", {})[nt.text] = vtype
                 self.scopes[-1].decls[nt.text] = {
                     "decl_id": fid, "kind": "field", "type": vtype}
                 ids.append(fid)
@@ -1484,9 +1615,7 @@ class CFamilyFrontend(Emitter):
                 and self.peek(qk + 1).kind == "::"):
             tname = self.parse_type()
             if (tname is not None and self.dialect == "cpp"
-                    and self.peek().kind == "(" and self.peek(1).kind == "*"
-                    and self.peek(2).kind == "ident"
-                    and self.peek(3).kind == ")"):
+                    and self._fnptr_decl_ahead()):
                 # local function-pointer variable, optional initializer
                 ds = self._parse_fnptr_var(path, tname, parent, index)
                 return ds, {"kind": "plain", "nid": ds}
@@ -1849,6 +1978,19 @@ class CFamilyFrontend(Emitter):
         tp = rmeta.get("type") or lmeta.get("type")
         if tp:
             self.eval_type(nid, tp)
+        if op == "=":
+            # `p = &target;` where p is fnptr-typed: the RHS function
+            # reference resolves by p's signature (FunctionPointerTest
+            # "initialized later on" legs) — deferred until declarations
+            # are all known (_resolve_locally)
+            rt = None
+            if (rmeta.get("kind") == "unary" and rmeta.get("name") == "&"
+                    and rmeta.get("inner_kind") in ("ref", "member")):
+                rt = rmeta.get("inner_id")
+            elif rmeta.get("kind") in ("ref", "member"):
+                rt = rid
+            if rt is not None and lmeta.get("kind") in ("ref", "member"):
+                self._fnptr_assigns.append((lid, dict(lmeta), rt))
         return nid, {"kind": "binop", "name": op, "type": tp}
 
     def _binary_rhs(self, lhs, path: str, min_prec: int):
@@ -1923,7 +2065,14 @@ class CFamilyFrontend(Emitter):
                 ty = ty[:-1] if ty.endswith("*") else ty
             if ty and op in ("&", "*"):
                 self.eval_type(nid, ty)
-            return nid, {"kind": "unary", "name": op, "type": ty}
+            meta = {"kind": "unary", "name": op, "type": ty,
+                    "inner_id": iid, "inner_kind": imeta.get("kind"),
+                    "inner_name": imeta.get("name")}
+            if op == "*" and imeta.get("kind") in ("ref", "member"):
+                # `(*p)(...)` calls through the pointer VARIABLE p —
+                # postfix needs the pointee name to seed the fnptr walk
+                meta["deref_of"] = imeta.get("name")
+            return nid, meta
         if t.kind in ("++", "--"):
             op = self.next().text
             iid, _ = self.parse_unary(path + ".i")
@@ -2082,6 +2231,24 @@ class CFamilyFrontend(Emitter):
                 # (disambiguated from less-than by the balanced-scan)
                 targs = self._parse_template_args(f"{path}.targ{n}")
                 base = self.plain_call(base, f"{path}.call{n}", targs=targs)
+            elif t.kind == "(" and base[1].get("deref_of"):
+                # call through a dereferenced function pointer:
+                # `(*p)(...)` / `(a.*p)(...)` / `(a.*a.f)(...)` — the
+                # reference names these `(*p)` and resolves invokes via
+                # the pointer's DFG (CallResolver.java:1402-1434
+                # handleFunctionPointerCall; FunctionPointerTest).  The
+                # call registers under the POINTER's simple name so the
+                # link-stage backward-DFG walk can seed on the variable/
+                # field declaration.
+                bid, bmeta = base
+                pname = bmeta["deref_of"]
+                nid = self.node(f"{path}.call{n}", "CallExpression",
+                                f"(*{pname})", None)
+                self.ast_edge(nid, bid, "CALLEE", 0)
+                args = self._parse_args(nid, f"{path}.call{n}")
+                self.pending_calls.append(
+                    (nid, pname, list(self.scopes), args, None, None))
+                base = (nid, {"kind": "call", "name": pname, "type": None})
             elif t.kind == "(":
                 # call on an arbitrary expression
                 bid, bmeta = base
@@ -2090,6 +2257,26 @@ class CFamilyFrontend(Emitter):
                 self.ast_edge(nid, bid, "CALLEE", 0)
                 self._parse_args(nid, f"{path}.call{n}")
                 base = (nid, {"kind": "call", "name": bmeta.get("name"),
+                              "type": None})
+            elif (t.kind == "." and self.peek(1).kind == "*"
+                  and self.dialect == "cpp"):
+                # pointer-to-member dereference `obj .* ptrexpr`
+                # (func_ptr.cpp `(a.*no_param)()`, `(a.*a.field)()`):
+                # modeled as a BinaryOperator `.*` whose RHS is the
+                # member-pointer expression; the pointee's simple name
+                # rides in `deref_of` so a following `(` becomes a
+                # fnptr call on that variable/field
+                self.next()
+                self.next()
+                bid, bmeta = base
+                pid_, pmeta = self.parse_postfix(f"{path}.mp{n}")
+                nid = self.node(f"{path}.mpd{n}", "BinaryOperator", ".*",
+                                self._tloc(t), props={"operator": ".*"})
+                self.ast_edge(nid, bid, "LHS", 0)
+                self.ast_edge(nid, pid_, "RHS", 0)
+                self.edge(pid_, "DFG", nid)
+                base = (nid, {"kind": "unary", "name": "*",
+                              "deref_of": pmeta.get("name"),
                               "type": None})
             elif t.kind == "[":
                 self.next()
@@ -2749,9 +2936,71 @@ class CFamilyFrontend(Emitter):
             return d
         return None
 
+    def _process_fnptr_assigns(self):
+        """Derive signature hints for ``p = &target;`` assignments: the
+        LHS's declared fnptr type (now fully known) keys overload
+        selection for the RHS function reference
+        (FunctionPointerTest "initialized later on" legs)."""
+        refs_by_id = {p[0]: p for p in self.pending_refs}
+        members_by_id = {p[0]: p for p in self.pending_members}
+        for lid, lmeta, rt in self._fnptr_assigns:
+            tpe = None
+            pr = refs_by_id.get(lid)
+            if pr is not None:
+                _, name, scopes, _, seq = pr
+                d = self._lookup(scopes, name, seq)
+                tpe = d.get("type") if d else None
+            else:
+                pm = members_by_id.get(lid)
+                if pm is not None:
+                    _, attr, base_name, scopes, _, _, seq = pm
+                    bt = None
+                    if base_name:
+                        bd = self._lookup(scopes, base_name, seq)
+                        if bd is not None:
+                            bt = (bd.get("type") or "").rstrip("*[]") or None
+                        elif base_name in self.records:
+                            bt = base_name
+                    rec = self.records.get(bt) if bt else None
+                    if rec is not None:
+                        tpe = rec.get("field_types", {}).get(attr)
+            sig = self._fnptr_sig(tpe)
+            if sig is not None and rt not in self._ref_sig_hint:
+                self._ref_sig_hint[rt] = sig
+
     def _resolve_locally(self):
+        self._process_fnptr_assigns()
         for ref_id, name, scopes, access, seq in self.pending_refs:
             d = self._lookup(scopes, name, seq)
+            hint = self._ref_sig_hint.get(ref_id)
+            if hint is not None:
+                # function reference behind a fnptr: the pointer's
+                # signature selects the overload
+                # (FunctionPointerTest: &target binds target()/target(int)
+                # by the declarator's parameter list)
+                cands = [f for f in self._overloads.get(("", name), [])
+                         if (f.get("n_params") or 0) == len(hint)]
+                wins = (self._overload_winners(
+                    cands,
+                    [{"type": t, "index": i} for i, t in enumerate(hint)])
+                    or cands)
+                if wins:
+                    fn = wins[0]
+                    self.edge(ref_id, "REFERS_TO", fn["decl_id"])
+                    self.edge(fn["decl_id"], "DFG", ref_id)
+                    continue
+                if d is None:
+                    # unknown function (&fun): a signature-hinted mention;
+                    # the link stage resolves it cross-document or infers
+                    # FunctionDeclaration(name, arity) — n_args carries
+                    # the expected arity
+                    self.out.mentions.append(self._mention(
+                        ref_id, "ref", name, scopes=scopes,
+                        n_args=len(hint), n_kwargs=0,
+                        arg_types=[t or None for t in hint]))
+                    continue
+                # else: the name binds a declared variable (fnptr copy)
+                # — fall through to the generic binding
             if d is not None:
                 self.edge(ref_id, "REFERS_TO", d["decl_id"])
                 if access == "write":
@@ -2760,9 +3009,15 @@ class CFamilyFrontend(Emitter):
                     self.edge(d["decl_id"], "DFG", ref_id)
                 if d.get("type"):
                     self.eval_type(ref_id, d["type"])
-            elif name in self.imports or name == "super":
+            elif ((name in self.imports
+                   and name not in self._static_import_names)
+                  or name == "super"):
                 # `super` is a keyword base, not a reference — its member
-                # accesses resolve through pending_members above
+                # accesses resolve through pending_members above; an
+                # imported CLASS name is a scope qualifier, but a
+                # statically-imported MEMBER name falls through to the
+                # mention below (it binds A's static field/method
+                # cross-document — StaticImportsTest)
                 pass
             else:
                 # base_type = innermost record scope: an unqualified name
@@ -2914,6 +3169,30 @@ class CFamilyFrontend(Emitter):
                         arg_ids=[a["arg_id"] for a in (args or [])],
                         arg_types=[a.get("type") for a in (args or [])]))
             else:
+                hint = self._ref_sig_hint.get(mid)
+                if hint is not None:
+                    # `&A::target` — method reference behind a
+                    # pointer-to-member: signature-directed selection
+                    # (FunctionPointerTest func_ptr.cpp)
+                    wins = []
+                    if base_type:
+                        wins = [f for f in self._method_winners(
+                            base_type, attr,
+                            [{"type": t, "index": i}
+                             for i, t in enumerate(hint)])
+                            if (f.get("n_params") or 0) == len(hint)]
+                    if wins:
+                        fn = wins[0]
+                        self.edge(mid, "REFERS_TO", fn["decl_id"])
+                        self.edge(fn["decl_id"], "DFG", mid)
+                        continue
+                    if self._find_field(rec, attr) is None:
+                        self.out.mentions.append(self._mention(
+                            mid, "member_ref", attr, base_type=base_type,
+                            scopes=scopes, n_args=len(hint), n_kwargs=0,
+                            arg_types=[t or None for t in hint]))
+                        continue
+                    # declared field (member-pointer copy) — fall through
                 fid = self._find_field(rec, attr)
                 if fid is not None:
                     self.edge(mid, "REFERS_TO", fid)
@@ -2949,6 +3228,16 @@ class CFamilyFrontend(Emitter):
         return None
 
     # --------------------------------------------------------------- export
+    def _static_member_modules(self, mod: str | None, rec: str) -> set:
+        """Module keys a Java static member is importable under: the
+        bare class name (default package: ``import static A.test``) and
+        the package-qualified one (``import static p.A.test``)."""
+        if self._pkg_declared:
+            return {f"{self.module_name}.{rec}"}
+        if mod and mod != self.module_name:
+            return {f"{mod}.{rec}"}
+        return {rec}
+
     def _export_symbols(self):
         for fid, info in self._functions_by_id.items():
             mod = info.get("module") or self.module_name
@@ -2969,6 +3258,27 @@ class CFamilyFrontend(Emitter):
                 "param_ids": info["param_ids"],
                 "param_names": info["param_names"],
             })
+            if (self.dialect == "java" and info.get("is_static")
+                    and info.get("record")):
+                # Java static method: ALSO importable as a module-level
+                # symbol of the record-qualified "module" (JLS 7.5.3,
+                # StaticImportsTest) — `import static A.test` then
+                # resolves `test()` through the ordinary import gate
+                for smod in self._static_member_modules(mod,
+                                                        info["record"]):
+                    self.out.symbols.append({
+                        "decl_id": fid, "kind": "function",
+                        "name": info["name"],
+                        "fqn": f"{smod}.{info['name']}",
+                        "record": None, "module": smod,
+                        "doc_id": self.doc_id,
+                        "n_params": info["n_params"],
+                        "n_defaults": info.get("n_defaults", 0),
+                        "is_variadic": info.get("is_variadic", False),
+                        "param_types": info.get("param_types"),
+                        "param_ids": info["param_ids"],
+                        "param_names": info["param_names"],
+                    })
         for rname, rec in self.records.items():
             rmod = rec.get("module") or self.module_name
             self.out.symbols.append({
@@ -2987,6 +3297,19 @@ class CFamilyFrontend(Emitter):
                     "has_defaults": None, "is_variadic": None,
                     "param_ids": None, "param_names": None,
                 })
+                if (self.dialect == "java"
+                        and fname in rec.get("field_statics", ())):
+                    # static field: importable module-level var
+                    # (StaticImportsTest `int y = test;`)
+                    for smod in self._static_member_modules(rmod, rname):
+                        self.out.symbols.append({
+                            "decl_id": fid, "kind": "var", "name": fname,
+                            "fqn": f"{smod}.{fname}",
+                            "record": None, "module": smod,
+                            "doc_id": self.doc_id, "n_params": None,
+                            "has_defaults": None, "is_variadic": None,
+                            "param_ids": None, "param_names": None,
+                        })
         for vname, d in getattr(self, "_module_decls", {}).items():
             if d["kind"] == "var":
                 self.out.symbols.append({

@@ -152,23 +152,31 @@ def symbol_dim(symbols: DataFrame) -> DataFrame:
 
 
 def _function_pointer_targets(missed: DataFrame, nodes: DataFrame,
-                              edges: DataFrame, max_hops: int = 4):
+                              edges: DataFrame, max_hops: int = 4,
+                              mentions: DataFrame | None = None):
     """Resolve calls through function-valued variables by walking the DFG
     backward (CallResolver.java:1402-1434 ``handleFunctionPointerCall``):
     an unresolved call ``f(...)`` whose name matches a same-document
-    variable follows that variable's inbound DFG chain (assignment ->
-    reference -> declaration) up to a FunctionDeclaration.
+    variable/field follows that variable's inbound DFG chain (assignment
+    -> reference -> declaration) up to a Function/MethodDeclaration.
 
     Spark shape: the seed set is only the *missed* mentions (tiny after
     the name join), so each hop is a small join against the DFG edge
     table; the frontier stops at function nodes (walking past a function
-    would follow its return-value edges).  Returns (mention_id, fn_id)
-    pairs — ALL functions reachable, matching the reference's
-    multi-invokes for conditionally-assigned pointers."""
+    would follow its return-value edges).  Returns (hits, terminals):
+    ``hits`` are (mention_id, fn_id) pairs — ALL functions reachable,
+    matching the reference's multi-invokes for conditionally-assigned
+    pointers; ``terminals`` are (mention_id, t_name, t_nargs) rows where
+    the chain ended at an UNRESOLVED signature-hinted function reference
+    (``&fun`` with no local declaration — FunctionPointerTest's inferred
+    leg), for the caller to resolve cross-document or infer."""
     empty = missed.sparkSession.createDataFrame(
         [], "mention_id bigint, fn_id bigint")
+    empty_t = missed.sparkSession.createDataFrame(
+        [], "mention_id bigint, t_name string, t_nargs int")
     vars_ = nodes.filter(
-        F.col("label").isin("VariableDeclaration", "ParamVariableDeclaration")
+        F.col("label").isin("VariableDeclaration",
+                            "ParamVariableDeclaration", "FieldDeclaration")
     ).select("doc_id", "name", F.col("node_id").alias("cur"))
     seeds = (
         missed.select("mention_id", "name", "doc_id")
@@ -179,7 +187,7 @@ def _function_pointer_targets(missed: DataFrame, nodes: DataFrame,
     # the common corpus has FEW missed-call-names-that-are-variables;
     # skip the walk (and its per-round scans of the DFG table) outright
     if seeds.limit(1).count() == 0:
-        return empty
+        return empty, empty_t
     # one materialization of the reversed DFG feeds every hop instead of
     # re-filtering the full edge table per round — restricted to the seed
     # documents (frontend DFG is doc-local at link time, so chains cannot
@@ -194,10 +202,23 @@ def _function_pointer_targets(missed: DataFrame, nodes: DataFrame,
         .select(F.col("obj").alias("cur"), F.col("subj").alias("prev"))
         .persist()
     )
-    fn_ids = nodes.filter(F.col("label") == "FunctionDeclaration").select(
-        F.col("node_id").alias("cur"))
+    fn_ids = nodes.filter(
+        F.col("label").isin("FunctionDeclaration", "MethodDeclaration")
+    ).select(F.col("node_id").alias("cur"))
+    # signature-hinted unresolved function references (ref/member_ref
+    # mentions carrying n_args): valid chain terminals
+    hint_refs = None
+    if mentions is not None:
+        hint_refs = (
+            mentions.filter(F.col("kind").isin("ref", "member_ref")
+                            & F.col("n_args").isNotNull())
+            .select(F.col("mention_id").alias("cur"),
+                    F.col("name").alias("t_name"),
+                    F.col("n_args").alias("t_nargs"))
+        )
     frontier = seeds
     hits = None
+    terms = None
     try:
         for _ in range(max_hops):
             step = (
@@ -211,11 +232,19 @@ def _function_pointer_targets(missed: DataFrame, nodes: DataFrame,
             h = step.join(fn_ids, "cur").select(
                 "mention_id", F.col("cur").alias("fn_id"))
             hits = h if hits is None else hits.unionByName(h)
+            if hint_refs is not None:
+                th = step.join(hint_refs, "cur").select(
+                    "mention_id", "t_name", "t_nargs")
+                terms = th if terms is None else terms.unionByName(th)
             frontier = step.join(fn_ids, "cur", "left_anti")
-        if hits is None:
-            return empty
-        return hits.dropDuplicates(["mention_id", "fn_id"]).localCheckpoint(
-            eager=True)
+        hits = (empty if hits is None
+                else hits.dropDuplicates(["mention_id", "fn_id"])
+                .localCheckpoint(eager=True))
+        terms = (empty_t if terms is None
+                 else terms.dropDuplicates(["mention_id", "t_name",
+                                            "t_nargs"])
+                 .localCheckpoint(eager=True))
+        return hits, terms
     finally:
         dfg_rev.unpersist()
 
@@ -527,8 +556,10 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     # docs collapse to ONE canonical inferred node)
     missed = calls.join(winners.select("mention_id"), "mention_id", "left_anti")
     fp_calls = None
+    term_inferred = None
     if nodes is not None and edges is not None:
-        fp = _function_pointer_targets(missed, nodes, edges)
+        fp, fp_terms = _function_pointer_targets(missed, nodes, edges,
+                                                 mentions=mentions)
         fp_calls = (
             fp.select(
                 F.col("mention_id").alias("subj"),
@@ -544,6 +575,64 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
             F.col("subj").alias("obj"), "props", "doc_id")
         fp_calls = fp_calls.unionByName(fp_dfg)
         missed = missed.join(fp.select("mention_id").distinct(),
+                             "mention_id", "left_anti")
+        # chains ending at an UNRESOLVED signature-hinted function ref
+        # (`&fun`): resolve the terminal's (name, arity) against the
+        # symbol dim, else infer FunctionDeclaration(name, arity) — the
+        # same key link_refs' miss path mints, so both collapse to ONE
+        # node at materialize (FunctionPointerTest noParamUnknown:
+        # every call through any pointer to &fun invokes one inferred fn)
+        tm = fp_terms.join(
+            missed.select("mention_id", "doc_id"), "mention_id")
+        t_dim = fns.filter(F.col("d_kind").isin("function", "method")).select(
+            F.col("d_name").alias("t_name"), "d_decl_id", "d_n_params")
+        tj = tm.join(
+            F.broadcast(
+                t_dim.join(tm.select("t_name").distinct(), "t_name",
+                           "left_semi")),
+            ["t_name"], "left_outer",
+        ).filter(F.col("d_decl_id").isNull()
+                 | (F.coalesce(F.col("d_n_params"), F.lit(0))
+                    == F.col("t_nargs")))
+        tw = Window.partitionBy("mention_id").orderBy(
+            F.col("d_decl_id").isNull().cast("int"), "d_decl_id")
+        tj = (tj.withColumn("_rk", F.row_number().over(tw))
+              .filter(F.col("_rk") == 1).drop("_rk"))
+        t_obj = F.coalesce(
+            F.col("d_decl_id"),
+            _inferred_id_col("FunctionDeclaration", F.col("t_name"),
+                             F.col("t_nargs")))
+        t_calls = tj.select(
+            F.col("mention_id").alias("subj"), F.lit("CALLS").alias("pred"),
+            t_obj.alias("obj"),
+            F.create_map().cast("map<string,string>").alias("props"),
+            "doc_id")
+        t_dfg = t_calls.select(
+            F.col("obj").alias("subj"), F.lit("DFG").alias("pred"),
+            F.col("subj").alias("obj"), "props", "doc_id")
+        fp_calls = fp_calls.unionByName(t_calls).unionByName(t_dfg)
+        term_inferred = (
+            tj.filter(F.col("d_decl_id").isNull())
+            .select(
+                t_obj.alias("node_id"),
+                F.lit("FunctionDeclaration").alias("label"),
+                F.col("t_name").alias("name"),
+                F.lit(None).cast("string").alias("code"),
+                F.lit(None).cast("string").alias("doc_id"),
+                F.lit(None).cast("int").alias("span_offset"),
+                F.lit(None).cast(
+                    "struct<start_line:int,start_col:int,"
+                    "end_line:int,end_col:int>"
+                ).alias("loc"),
+                F.lit(True).alias("is_inferred"),
+                F.lit(False).alias("is_implicit"),
+                F.lit(None).cast("int").alias("argument_index"),
+                F.create_map(F.lit("arity"),
+                             F.col("t_nargs").cast("string")).alias("props"),
+            )
+            .dropDuplicates(["node_id"])
+        )
+        missed = missed.join(fp_terms.select("mention_id").distinct(),
                              "mention_id", "left_anti")
     # unknown-class gate (CallResolverTest.ensureNoUnknownClassDummies):
     # a member call whose base type names NO record anywhere in the corpus
@@ -587,7 +676,10 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
             F.lit(True).alias("is_inferred"),
             F.lit(False).alias("is_implicit"),
             F.lit(None).cast("int").alias("argument_index"),
-            F.create_map().cast("map<string,string>").alias("props"),
+            F.create_map(
+                F.lit("arity"),
+                F.coalesce(F.col("n_args"), F.lit(0)).cast("string")
+            ).alias("props"),
         )
         .dropDuplicates(["node_id"])
     )
@@ -601,6 +693,8 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         arg_param).unionByName(inferred_calls)
     if fp_calls is not None:
         out_edges = out_edges.unionByName(fp_calls)
+    if term_inferred is not None:
+        inferred_nodes = inferred_nodes.unionByName(term_inferred)
     stats = {"strategy": used, "dim_rows": dim_rows}
     return out_edges, inferred_nodes, stats
 
@@ -632,7 +726,8 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
     resolveMember walks superTypesMap)."""
     refs = mentions.filter(
         F.col("kind").isin("ref", "member_ref", "import")
-    ).select("mention_id", "kind", "name", "base_type", "scope_path", "doc_id")
+    ).select("mention_id", "kind", "name", "base_type", "scope_path",
+             "doc_id", "n_args")
     decls = symbol_dim(symbols) if dim is None else dim
     star_src = refs
     # asterisk expansion (ImportResolver.java:62-120): a wildcard import
@@ -709,11 +804,28 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
             & F.col("base_type").isNotNull()
             & (F.col("base_type") == F.col("d_module"))
         )
+        # signature-hinted method reference `&A::target` (n_args carries
+        # the pointer's arity — FunctionPointerTest func_ptr.cpp): binds
+        # the base record's (or an ancestor's) method
+        | (
+            (F.col("kind") == "member_ref")
+            & (F.col("d_kind") == "method")
+            & F.col("n_args").isNotNull()
+            & (F.col("base_type").isNull()
+               | (F.col("base_type") == F.col("d_record"))
+               | F.col("_anc_depth").isNotNull())
+        )
         # import mentions must match a symbol of the named source module
         | ((F.col("kind") == "import") & (F.col("d_kind") != "method")
            & (F.col("base_type").isNull() | (F.col("base_type") == F.col("d_module"))))
         | ((F.col("kind") == "ref")
            & ~F.col("d_kind").isin("field", "method"))
+    ).filter(
+        # fnptr-signature arity gate: a hinted reference (n_args set)
+        # only binds declarations of exactly that arity; unhinted refs
+        # and arity-less dims (vars/fields) pass untouched
+        F.col("n_args").isNull() | F.col("d_n_params").isNull()
+        | (F.col("n_args") == F.col("d_n_params"))
     ).withColumn(
         "_depth_rank",
         F.when(F.col("base_type").isNotNull()
@@ -731,10 +843,19 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
                & F.col("scope_path").startswith(F.col("d_module")),
                F.lit(0)).otherwise(1)
     )
+    # value declarations outrank callables for a VALUE usage — a name
+    # that is both a static field and a static method (StaticImportsTest
+    # single: A.test) binds the field when read as `int y = test;`
+    # (VariableUsageResolver resolves to value symbols; the call path
+    # never reaches link_refs)
+    kind_rank = (F.when(F.col("d_kind").isin("var", "field"), F.lit(0))
+                 .when(F.col("d_kind") == "function", F.lit(1))
+                 .otherwise(F.lit(2)))
     winners = _pick_winner(
-        cand.withColumn("_mod_rank", same_module),
-        ["_depth_rank", "_mod_rank", "d_fqn"],
-    ).drop("_mod_rank", "_depth_rank").persist()
+        cand.withColumn("_mod_rank", same_module)
+        .withColumn("_kind_rank", kind_rank),
+        ["_depth_rank", "_mod_rank", "_kind_rank", "d_fqn", "d_decl_id"],
+    ).drop("_mod_rank", "_depth_rank", "_kind_rank").persist()
     # persist: two consumers (REFERS_TO + DFG)
 
     refers = winners.select(
@@ -749,8 +870,50 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
         F.col("mention_id").alias("obj"),
         F.create_map().cast("map<string,string>").alias("props"), "doc_id",
     )
-    return refers.unionByName(dfg).unionByName(star_refers), {
-        "strategy": used, "dim_rows": dim_rows}
+    # missed signature-hinted function references (`&fun` with no
+    # declaration anywhere visible): infer FunctionDeclaration(name,
+    # arity) — the same deterministic key link_calls' fnptr-terminal path
+    # mints, so call-side and ref-side inference collapse to one node
+    # (FunctionPointerTest: noParamUnknown/singleParamUnknown inferred)
+    hinted = mentions.filter(
+        F.col("kind").isin("ref", "member_ref") & F.col("n_args").isNotNull()
+    ).select("mention_id", "name", "n_args", "doc_id")
+    missed_h = hinted.join(winners.select("mention_id"), "mention_id",
+                           "left_anti").withColumn(
+        "inf_id",
+        _inferred_id_col("FunctionDeclaration", F.col("name"),
+                         F.col("n_args")))
+    ref_inferred = (
+        missed_h.select(
+            F.col("inf_id").alias("node_id"),
+            F.lit("FunctionDeclaration").alias("label"),
+            F.col("name"),
+            F.lit(None).cast("string").alias("code"),
+            F.lit(None).cast("string").alias("doc_id"),
+            F.lit(None).cast("int").alias("span_offset"),
+            F.lit(None).cast(
+                "struct<start_line:int,start_col:int,"
+                "end_line:int,end_col:int>"
+            ).alias("loc"),
+            F.lit(True).alias("is_inferred"),
+            F.lit(False).alias("is_implicit"),
+            F.lit(None).cast("int").alias("argument_index"),
+            F.create_map(F.lit("arity"),
+                         F.col("n_args").cast("string")).alias("props"),
+        )
+        .dropDuplicates(["node_id"])
+    )
+    refers_inf = missed_h.select(
+        F.col("mention_id").alias("subj"), F.lit("REFERS_TO").alias("pred"),
+        F.col("inf_id").alias("obj"),
+        F.create_map().cast("map<string,string>").alias("props"), "doc_id",
+    )
+    dfg_inf = refers_inf.select(
+        F.col("obj").alias("subj"), F.lit("DFG").alias("pred"),
+        F.col("subj").alias("obj"), "props", "doc_id")
+    out = (refers.unionByName(dfg).unionByName(star_refers)
+           .unionByName(refers_inf).unionByName(dfg_inf))
+    return out, ref_inferred, {"strategy": used, "dim_rows": dim_rows}
 
 
 def override_dispatch(calls_edges: DataFrame, overrides: DataFrame) -> DataFrame:
@@ -805,8 +968,10 @@ def link_all(mentions: DataFrame, symbols: DataFrame,
                                                 buckets, closure=closure,
                                                 nodes=nodes, edges=edges,
                                                 dim=dim, prejoined=joined)
-    ref_edges, s2 = link_refs(mentions, symbols, used, buckets, dim=dim,
-                              prejoined=joined, closure=closure)
+    ref_edges, ref_inferred, s2 = link_refs(mentions, symbols, used, buckets,
+                                            dim=dim, prejoined=joined,
+                                            closure=closure)
+    inferred_nodes = inferred_nodes.unionByName(ref_inferred)
     linked = call_edges.unionByName(ref_edges)
     if closure is not None:
         from cpg_spark.operators.hierarchy import overrides_edges
@@ -874,8 +1039,10 @@ def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
                                                 closure=closure,
                                                 nodes=nodes, edges=edges,
                                                 dim=dim, prejoined=joined)
-    ref_edges, s2 = link_refs(mentions, symbols, used, buckets, dim=dim,
-                              prejoined=joined, closure=closure)
+    ref_edges, ref_inferred, s2 = link_refs(mentions, symbols, used, buckets,
+                                            dim=dim, prejoined=joined,
+                                            closure=closure)
+    inferred_nodes = inferred_nodes.unionByName(ref_inferred)
     ov = overrides_edges(nodes, edges, symbols,
                          closure=closure.select("descendant", "ancestor"))
     # dynamic dispatch over BOTH frontend-local and link-resolved CALLS
