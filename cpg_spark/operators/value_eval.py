@@ -42,12 +42,19 @@ _VALUE_LABELS = {
 _BOOL_NAMES = ("True", "False", "true", "false")
 
 
-def _fold_binop(op_col, l, r):
+def _fold_binop(op_col, l, r, int_div):
+    # int / int is INTEGER division (truncating toward zero, C/C++/Java
+    # semantics — ValueEvaluator.kt handleDiv folds Int operands to Int:
+    # `float d = 8/3` evaluates to 2, ValueEvaluatorTest).  Spark's `%`
+    # already follows the dividend's sign like C, so trunc(l/r) is
+    # exactly (l - l % r) / r.
     return (
         F.when(op_col == "+", l + r)
         .when(op_col == "-", l - r)
         .when(op_col == "*", l * r)
-        .when(op_col == "/", l / r)
+        .when(op_col == "/",
+              F.when(int_div & (r != 0), (l - l % r) / r)
+              .otherwise(l / r))
         .when(op_col == "%", l % r)
         .when(op_col == "<", (l < r).cast("double"))
         .when(op_col == "<=", (l <= r).cast("double"))
@@ -69,6 +76,7 @@ def _vals_as(vals: DataFrame, key: str, prefix: str) -> DataFrame:
         F.col("value").alias(f"{prefix}v"),
         F.col("is_bool").alias(f"{prefix}b"),
         F.col("s_value").alias(f"{prefix}s"),
+        F.col("is_int").alias(f"{prefix}i"),
     )
 
 
@@ -96,6 +104,10 @@ def evaluate_constants(nodes: DataFrame, edges: DataFrame,
         ).alias("value"),
         ((~is_str) & F.col("name").isin(*_BOOL_NAMES)).alias("is_bool"),
         F.when(is_str, F.col("name")).alias("s_value"),
+        # integer-typed literal: numeric, not a float spelling, not bool —
+        # drives the int/int truncating-division rule
+        ((~is_str) & ~F.col("name").isin(*_BOOL_NAMES)
+         & ~F.col("name").rlike("[.eE]")).alias("is_int"),
     ).filter(F.col("value").isNotNull() | F.col("s_value").isNotNull())
 
     ast = edges.filter(F.col("pred") == "AST")
@@ -193,10 +205,12 @@ def evaluate_constants(nodes: DataFrame, edges: DataFrame,
             _vals_as(vals, "child", "l"), "child")
         rhs = binop_sides.filter(F.col("side") == "RHS").join(
             _vals_as(vals, "child", "r"), "child")
-        num = _fold_binop(F.col("op"), F.col("lv"), F.col("rv"))
+        both_int = (F.coalesce(F.col("li"), F.lit(False))
+                    & F.coalesce(F.col("ri"), F.lit(False)))
+        num = _fold_binop(F.col("op"), F.col("lv"), F.col("rv"), both_int)
         folded = (
-            binops.join(lhs.select("op_id", "lv", "ls"), "op_id")
-            .join(rhs.select("op_id", "rv", "rs"), "op_id")
+            binops.join(lhs.select("op_id", "lv", "ls", "li"), "op_id")
+            .join(rhs.select("op_id", "rv", "rs", "ri"), "op_id")
             .select(
                 F.col("op_id").alias("node_id"),
                 num.alias("value"),
@@ -205,16 +219,19 @@ def evaluate_constants(nodes: DataFrame, edges: DataFrame,
                 F.when((F.col("op") == "+") & F.col("ls").isNotNull()
                        & F.col("rs").isNotNull(),
                        F.concat(F.col("ls"), F.col("rs"))).alias("s_value"),
+                (both_int & ~_is_bool_op(F.col("op"))).alias("is_int"),
             )
             .filter(F.col("value").isNotNull() | F.col("s_value").isNotNull())
         )
         negs = unary_neg.join(
             vals.select(F.col("node_id").alias("child"),
-                        F.col("value").alias("iv")), "child"
+                        F.col("value").alias("iv"),
+                        F.col("is_int").alias("ii")), "child"
         ).filter(F.col("iv").isNotNull()).select(
             F.col("op_id").alias("node_id"),
             (-F.col("iv")).alias("value"), F.lit(False).alias("is_bool"),
-            F.lit(None).cast("string").alias("s_value"))
+            F.lit(None).cast("string").alias("s_value"),
+            F.col("ii").alias("is_int"))
         # conditional: known condition picks a branch; agreeing branches
         # need no condition
         withc = cond_dim.join(
@@ -227,14 +244,16 @@ def evaluate_constants(nodes: DataFrame, edges: DataFrame,
             .otherwise(F.col("e_child")))
         cond1 = pick.join(_vals_as(vals, "w_child", "w"), "w_child").select(
             F.col("cx").alias("node_id"), F.col("wv").alias("value"),
-            F.col("wb").alias("is_bool"), F.col("ws").alias("s_value"))
+            F.col("wb").alias("is_bool"), F.col("ws").alias("s_value"),
+            F.col("wi").alias("is_int"))
         agree = (
             cond_dim.join(_vals_as(vals, "t_child", "t"), "t_child")
             .join(_vals_as(vals, "e_child", "e"), "e_child")
             .filter(F.col("tv").eqNullSafe(F.col("ev"))
                     & F.col("ts").eqNullSafe(F.col("es")))
             .select(F.col("cx").alias("node_id"), F.col("tv").alias("value"),
-                    F.col("tb").alias("is_bool"), F.col("ts").alias("s_value"))
+                    F.col("tb").alias("is_bool"), F.col("ts").alias("s_value"),
+                    F.col("ti").alias("is_int"))
         )
         # subscript: integer-constant index into an initializer list
         subs_f = (
@@ -246,22 +265,24 @@ def evaluate_constants(nodes: DataFrame, edges: DataFrame,
             .join(ile_elems, ["ile", "eidx"])
             .join(_vals_as(vals, "elem", "x"), "elem")
             .select(F.col("sx").alias("node_id"), F.col("xv").alias("value"),
-                    F.col("xb").alias("is_bool"), F.col("xs").alias("s_value"))
+                    F.col("xb").alias("is_bool"), F.col("xs").alias("s_value"),
+                    F.col("xi").alias("is_int"))
         )
         # DFG copy into targets whose inputs are ALL known and agree
         copied = (
             dfg.join(vals.select(F.col("node_id").alias("src"), "value",
-                                 "is_bool", "s_value"), "src")
+                                 "is_bool", "s_value", "is_int"), "src")
             .groupBy("tgt")
             .agg(F.count("*").alias("n_known"),
                  F.count_distinct(val_key).alias("n"),
                  F.first("value").alias("value"),
                  F.first("is_bool").alias("is_bool"),
-                 F.first("s_value").alias("s_value"))
+                 F.first("s_value").alias("s_value"),
+                 F.first("is_int").alias("is_int"))
             .join(indegree, "tgt")
             .filter((F.col("n") == 1) & (F.col("n_known") == F.col("n_in")))
             .select(F.col("tgt").alias("node_id"), "value", "is_bool",
-                    "s_value")
+                    "s_value", "is_int")
         )
         new = (
             folded.unionByName(negs).unionByName(cond1).unionByName(agree)

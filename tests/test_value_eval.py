@@ -10,21 +10,41 @@ from cpg_spark.operators.parse import parse_docs, split_parse_output
 from cpg_spark.operators.value_eval import evaluate_constants
 from cpg_spark.schemas import DOCS_SCHEMA
 
+# the reference's own fixture, verbatim
+# (cpg-analysis/src/test/resources/value_evaluation/example.cpp)
 EXAMPLE_CPP = """\
 int main() {
     int b = 1 + 1;
+    println(b);
+
     int a = 1;
-    int c = 5 - 2;
-    float e = 7.0 / 2;
-    int f = 2 * 5;
+    a = 2;
+    println(a);
+
+    int c = 5-2;
+    float d = 8/3;
+    float e = 7.0/2;
+    int f = 2*5;
     int g = -c;
+
+    println("Hello " + "world");
+
     bool h = 5 < 3;
-    bool i = 3 > 2;
+    bool i = 3 > 3;
+    bool j = 3 >= 3.2;
+    bool k = 3.1 <= 3;
+    bool l = 3L >= ((float) 3.1);
+    bool m = ((char) 3) >= 3.1;
+    bool n = 3 == 3.1;
 }
 """
 
 
 def test_example_cpp_constants(spark):
+    """ValueEvaluatorTest over the reference's example.cpp: b=2, c=3,
+    d=2 (INTEGER division of 8/3 — ValueEvaluator folds Int/Int to Int),
+    e=3.5, f=10, g=-3, h..n all false, and the string concatenation
+    "Hello " + "world"."""
     docs = spark.createDataFrame(
         [{"doc_id": "cpp/veval/0001",
           "spans": [{"kind": "code/cpp", "text": EXAMPLE_CPP,
@@ -42,13 +62,20 @@ def test_example_cpp_constants(spark):
     )
     got = {r["name"]: (r["value"], r["is_bool"]) for r in named}
     assert got["b"] == (2.0, False)
-    assert got["a"] == (1.0, False)
     assert got["c"] == (3.0, False)
+    assert got["d"] == (2.0, False)  # 8/3 int division, NOT 2.67
     assert got["e"] == (3.5, False)
     assert got["f"] == (10.0, False)
     assert got["g"] == (-3.0, False)
-    assert got["h"] == (0.0, True)
-    assert got["i"] == (1.0, True)
+    for flag in "hijklmn":
+        assert got[flag] == (0.0, True), flag
+    # `a` has two conflicting writes -> conservatively not a constant
+    # (the dedicated ambiguity test below pins this)
+    assert "a" not in got
+    # "Hello " + "world" folds to one string constant
+    concats = {r["s_value"] for r in vals.filter(
+        F.col("s_value").isNotNull()).collect()}
+    assert "Hello world" in concats
     raw.unpersist()
 
 
