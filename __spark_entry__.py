@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_super_calls": Q.q_cpg_super_calls,
         "cpg_overload_calls": Q.q_cpg_overload_calls,
         "cpg_fnptr_calls": Q.q_cpg_fnptr_calls,
+        "cpg_fnptr_sigs": Q.q_cpg_fnptr_sigs,
+        "cpg_static_imports": Q.q_cpg_static_imports,
         "cpg_type_prop": Q.q_cpg_type_prop,
         "cpg_compdb": Q.q_cpg_compdb,
         "cpg_includes": Q.q_cpg_includes,
@@ -864,6 +866,32 @@ def oracle_sql() -> dict[str, str]:
               ('g', 'helper'),
               ('g', 'other')) AS t(site, callee)
             ORDER BY site, callee
+        """,
+        # golden oracle: C fnptr declarators select overloads by the
+        # POINTER's signature (FunctionPointerTest func_ptr.c): both the
+        # deref call (*p)() and the bare call p() invoke the selected
+        # overload; &fun (unknown) yields one inferred decl per arity
+        "cpg_fnptr_sigs": """
+            SELECT * FROM (VALUES
+              ('no_param', CAST(0 AS BIGINT), 'target', false),
+              ('no_param_unknown', CAST(0 AS BIGINT), 'fun', true),
+              ('single_param', CAST(1 AS BIGINT), 'target', false))
+              AS t(site, arity, callee, inferred)
+            ORDER BY site, arity, callee
+        """,
+        # golden oracle: Java `import static A.*` (StaticImportsTest):
+        # static methods resolve by signature cross-document, the
+        # static-field read binds A.staticField, non-static members do
+        # NOT resolve into A (inferred instead)
+        "cpg_static_imports": """
+            SELECT * FROM (VALUES
+              ('call', 'a/0', 'a', false),
+              ('call', 'b/0', 'b', false),
+              ('call', 'b/1', 'b', false),
+              ('call', 'nonStatic/0', 'nonStatic', true),
+              ('field_ref', 'staticField', 'staticField', false))
+              AS t(kind, site, callee, inferred)
+            ORDER BY kind, site, callee
         """,
         # golden oracle: overload resolution over the embedded reference
         # fixtures is a fixed table — display: 4+3 call sites, the 4

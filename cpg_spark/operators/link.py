@@ -556,6 +556,7 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     # docs collapse to ONE canonical inferred node)
     missed = calls.join(winners.select("mention_id"), "mention_id", "left_anti")
     fp_calls = None
+    fp_terms = None
     term_inferred = None
     if nodes is not None and edges is not None:
         fp, fp_terms = _function_pointer_targets(missed, nodes, edges,
@@ -582,6 +583,12 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         # same key link_refs' miss path mints, so both collapse to ONE
         # node at materialize (FunctionPointerTest noParamUnknown:
         # every call through any pointer to &fun invokes one inferred fn)
+        if fp_terms.isEmpty():
+            # common corpus: no unresolved fnptr terminals — skip the
+            # window + dim join entirely (fp_terms is a checkpointed
+            # sliver, so the probe is O(1))
+            fp_terms = None
+    if fp_terms is not None:
         tm = fp_terms.join(
             missed.select("mention_id", "doc_id"), "mention_id")
         t_dim = fns.filter(F.col("d_kind").isin("function", "method")).select(

@@ -66,6 +66,35 @@ VERDICT_SCHEMA = T.StructType([
 ])
 
 
+def to_dot(dfa: dict, base: str | None = None,
+           state_order: list | None = None) -> str:
+    """DOT rendering of a DFA spec — byte-identical to the reference's
+    ``DFA.toDotString()`` (DFA.kt:76-95; FSMTest testFSMDotFile):
+    start marker ``"" -> qstart``, accepting states as doublecircles,
+    one labeled edge per transition (labels ``base.op`` when ``base``
+    is given, matching Edge.toDotLabel)."""
+    if state_order is None:
+        seen = [dfa["start"]]
+        for s, _, t in dfa["edges"]:
+            for q in (s, t):
+                if q not in seen:
+                    seen.append(q)
+        state_order = seen
+    head = 'digraph fsm {\n\t"" [shape=point];\n'
+    edges = ""
+    for q in state_order:
+        shape = ("doublecircle" if q in dfa["accepting"] else "circle")
+        head += f"\t{q} [shape={shape}];\n"
+        if q == dfa["start"]:
+            edges += f'\t"" -> {q};\n'
+        for s, op, t in dfa["edges"]:
+            if s != q:
+                continue
+            label = f"{base}.{op}" if base else op
+            edges += f'\t{s} -> {t} [label="{label}"];\n'
+    return head + edges + "}"
+
+
 def _transitions(dfa: dict) -> dict:
     trans = {}
     for src, op, dst in dfa["edges"]:

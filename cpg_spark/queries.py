@@ -771,6 +771,168 @@ def q_cpg_fnptr_calls(spark, sf_dir):
     )
 
 
+FNPTR_SIG_C = """\
+void target() {}
+void target(int param) {}
+
+int main() {
+  void (*no_param)() = &target;
+  void (*single_param)(int) = &target;
+  void (*no_param_unknown)() = &fun;
+
+  (*no_param)();
+  (*single_param)(42);
+  single_param(43);
+  (*no_param_unknown)();
+}
+"""
+
+
+def q_cpg_fnptr_sigs(spark, sf_dir):
+    """C function-pointer resolution with SIGNATURE-directed overload
+    selection (FunctionPointerTest func_ptr.c): ``void (*p)(int) =
+    &target;`` binds the 1-param overload, deref calls ``(*p)()`` and
+    bare calls ``p()`` both invoke it, and a pointer to an unknown
+    ``&fun`` yields one inferred declaration per signature.  Output:
+    (site, arity, callee, inferred) — a fixed golden table."""
+    from cpg_spark.operators.link import link_all
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "c/fnptrsig/0001",
+          "spans": [{"kind": "code/cpp", "text": FNPTR_SIG_C,
+                     "media_ref": None, "offset": 0}]}], schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    linked, inferred, _ = link_all(mentions, symbols, nodes=nodes,
+                                   edges=edges)
+    targets = (
+        nodes.select("node_id", F.col("name").alias("callee"),
+                     F.lit(False).alias("inferred"))
+        .filter(F.col("name").isNotNull())
+        .unionByName(inferred.select("node_id",
+                                     F.col("name").alias("callee"),
+                                     F.lit(True).alias("inferred")))
+    )
+    # the declared target's arity: count of PARAMETERS edges (inferred
+    # nodes carry it in props)
+    pcount = (
+        edges.filter((F.col("pred") == "PARAMETERS"))
+        .groupBy("subj").agg(F.count("*").alias("arity"))
+        .withColumnRenamed("subj", "node_id")
+    )
+    inf_arity = inferred.select(
+        "node_id", F.col("props").getItem("arity").cast("long").alias("arity"))
+    arity = pcount.unionByName(inf_arity)
+    return (
+        linked.filter(F.col("pred") == "CALLS")
+        .join(mentions.select(F.col("mention_id").alias("subj"),
+                              F.col("name").alias("site")), "subj")
+        .join(targets.withColumnRenamed("node_id", "obj"), "obj")
+        .join(arity.withColumnRenamed("node_id", "obj"), "obj", "left")
+        .select("site", F.coalesce(F.col("arity"), F.lit(0)).alias("arity"),
+                "callee", "inferred")
+        .distinct()
+        .orderBy("site", "arity", "callee")
+    )
+
+
+STATIC_IMPORT_A = """\
+public class A {
+
+  public static int staticField = 42;
+  public int nonStaticField = 43;
+
+  public static void a() {
+
+  }
+
+  public static void b() {
+
+  }
+
+  public static void b(boolean param) {
+
+  }
+
+  public void nonStatic() {
+
+  }
+}
+"""
+
+STATIC_IMPORT_B = """\
+import static A.*;
+
+public class B {
+
+  public static void main(String[] args) {
+    a();
+    b();
+    b(true);
+    nonStatic();
+    int y = staticField;
+  }
+}
+"""
+
+
+def q_cpg_static_imports(spark, sf_dir):
+    """Java ``import static A.*`` resolution (StaticImportsTest,
+    ImportResolver static imports): static methods resolve cross-document
+    by signature, the static-field read binds A.staticField, and the
+    non-static ``nonStatic()`` must NOT resolve into A — it yields an
+    inferred node.  Output: (kind, site, callee, inferred) fixed table."""
+    from cpg_spark.operators.link import link_all
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "java/simports/A",
+          "spans": [{"kind": "code/java", "text": STATIC_IMPORT_A,
+                     "media_ref": None, "offset": 0}]},
+         {"doc_id": "java/simports/B",
+          "spans": [{"kind": "code/java", "text": STATIC_IMPORT_B,
+                     "media_ref": None, "offset": 0}]}], schema=DOCS_SCHEMA)
+    raw = parse_docs(docs).persist()
+    nodes, edges, mentions, symbols = split_parse_output(raw)
+    linked, inferred, _ = link_all(mentions, symbols, nodes=nodes,
+                                   edges=edges)
+    targets = (
+        nodes.select("node_id", F.col("name").alias("callee"),
+                     F.col("label").alias("t_label"),
+                     F.lit(False).alias("inferred"))
+        .unionByName(inferred.select(
+            "node_id", F.col("name").alias("callee"),
+            F.col("label").alias("t_label"), F.lit(True).alias("inferred")))
+    )
+    men_b = mentions.filter(F.col("doc_id") == "java/simports/B")
+    calls = (
+        linked.filter(F.col("pred") == "CALLS")
+        .join(men_b.select(F.col("mention_id").alias("subj"),
+                           F.col("name").alias("m_name"),
+                           F.col("n_args")), "subj")
+        .join(targets.withColumnRenamed("node_id", "obj"), "obj")
+        .select(F.lit("call").alias("kind"),
+                F.concat_ws("/", F.col("m_name"),
+                            F.col("n_args").cast("string")).alias("site"),
+                "callee", "inferred")
+    )
+    refs = (
+        linked.filter(F.col("pred") == "REFERS_TO")
+        .join(men_b.filter(F.col("kind") == "ref")
+              .select(F.col("mention_id").alias("subj"),
+                      F.col("name").alias("m_name")), "subj")
+        .join(targets.withColumnRenamed("node_id", "obj"), "obj")
+        .filter(F.col("t_label") == "FieldDeclaration")
+        .select(F.lit("field_ref").alias("kind"),
+                F.col("m_name").alias("site"), "callee", "inferred")
+    )
+    return calls.unionByName(refs).distinct().orderBy(
+        "kind", "site", "callee")
+
+
 TYPE_PROP_SRC = """\
 def helper(x):
     return 1

@@ -88,3 +88,47 @@ def test_simple_order_reasons(spark, fn, reason):
     rows = evaluate_order(nodes, edges, SIMPLE_DFA, "Botan").collect()
     by_fn = {r["function"]: r for r in rows}
     assert by_fn[fn]["reason"] == reason
+
+
+def test_fsm_dot_string():
+    """FSMTest.testFSMDotFile: the DOT rendering is byte-identical to
+    the reference's DFA.toDotString() over the same 5-state FSM."""
+    from cpg_spark.operators.order_fsm import to_dot
+
+    dfa = {
+        "start": "q1",
+        "accepting": {"q2", "q3", "q5"},
+        "edges": [
+            ("q1", "create()", "q2"),
+            ("q2", "check_whole_msg()", "q3"),
+            ("q2", "update()", "q4"),
+            ("q2", "check_after_update()", "q5"),
+            ("q3", "check_whole_msg()", "q3"),
+            ("q4", "update()", "q4"),
+            ("q4", "check_after_update()", "q5"),
+            ("q5", "check_after_update()", "q5"),
+            ("q5", "update()", "q4"),
+        ],
+    }
+    want = (
+        "digraph fsm {\n"
+        '\t"" [shape=point];\n'
+        "\tq1 [shape=circle];\n"
+        "\tq2 [shape=doublecircle];\n"
+        "\tq3 [shape=doublecircle];\n"
+        "\tq4 [shape=circle];\n"
+        "\tq5 [shape=doublecircle];\n"
+        '\t"" -> q1;\n'
+        '\tq1 -> q2 [label="v.create()"];\n'
+        '\tq2 -> q3 [label="v.check_whole_msg()"];\n'
+        '\tq2 -> q4 [label="v.update()"];\n'
+        '\tq2 -> q5 [label="v.check_after_update()"];\n'
+        '\tq3 -> q3 [label="v.check_whole_msg()"];\n'
+        '\tq4 -> q4 [label="v.update()"];\n'
+        '\tq4 -> q5 [label="v.check_after_update()"];\n'
+        '\tq5 -> q5 [label="v.check_after_update()"];\n'
+        '\tq5 -> q4 [label="v.update()"];\n'
+        "}"
+    )
+    assert to_dot(dfa, base="v",
+                  state_order=["q1", "q2", "q3", "q4", "q5"]) == want
