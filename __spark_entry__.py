@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": Q.q_lang_id,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "token_counts": Q.q_token_counts,
+        # training-data assembly (sequence packing + sampling)
+        "sequence_packing": Q.q_sequence_packing,
+        "pack_stats": Q.q_pack_stats,
+        "stratified_sample": Q.q_stratified_sample,
         # similarity search
         "ann_bruteforce_topk": Q.q_ann_bruteforce_topk,
         "embedding_neardup": Q.q_embedding_neardup,
@@ -399,6 +403,56 @@ def oracle_sql() -> dict[str, str]:
                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
                      AS INT) AS bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "sequence_packing": """
+            SELECT doc_id,
+                   CAST(doc_id % 8 AS INT) AS shard,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                          OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)
+                        - len(string_split(text, ' ')) AS BIGINT)
+                     AS start_offset,
+                   CAST(floor((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                          OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)
+                        - len(string_split(text, ' '))) / 256) AS BIGINT)
+                     AS pack_id
+            FROM documents ORDER BY doc_id
+        """,
+        "pack_stats": """
+            WITH packed AS (
+              SELECT doc_id,
+                     CAST(doc_id % 8 AS INT) AS shard,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                       OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)
+                       - len(string_split(text, ' ')) AS start_offset
+              FROM documents
+            )
+            SELECT shard,
+                   CAST(floor(start_offset / 256) AS BIGINT) AS pack_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(floor(SUM(n_tokens) * 1000 / 256) AS BIGINT)
+                     AS fill_permille
+            FROM packed GROUP BY shard, floor(start_offset / 256)
+            ORDER BY shard, pack_id
+        """,
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 AS sample_bucket
+              FROM documents
+            )
+            SELECT doc_id, lang, sample_bucket FROM b
+            WHERE sample_bucket < CASE lang WHEN 'en' THEN 5000
+                                            WHEN 'es' THEN 2500
+                                            WHEN 'de' THEN 1000
+                                            ELSE -1 END
+            ORDER BY doc_id
         """,
         "ann_bruteforce_topk": """
             WITH q AS (SELECT vec_id AS query_id,

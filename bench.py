@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "identifier_pass",
     "training_data_pipeline",
+    # training-data assembly: concat-then-chunk packing (per-shard
+    # windows) and zero-shuffle deterministic stratified sampling
+    "sequence_packing",
+    "stratified_sample",
 ]
 
 

@@ -1803,3 +1803,50 @@ def q_cpg_namespaces(spark, sf_dir):
                 F.col("fqn").alias("to_doc"))
     )
     return calls.unionByName(mods).orderBy("site", "from_doc", "to_doc")
+
+
+# ---------------------------------------------------------------------------
+# training-data assembly: sequence packing + stratified sampling
+# ---------------------------------------------------------------------------
+
+def q_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk sequence packing over the documents table
+    (cpg_spark.operators.packing.pack_concat_chunks): per document, the
+    context-window index its first token lands in, sharded 8 ways so the
+    packing window never serializes into one partition."""
+    from cpg_spark.operators.packing import pack_concat_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pack_concat_chunks(docs, capacity=256, n_shards=8)
+        .select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_pack_stats(spark, sf_dir):
+    """Per-(shard, window) fill statistics of the packed stream — the
+    batch-assembly health metric (docs per window, fill per-mille)."""
+    from cpg_spark.operators.packing import (pack_concat_chunks,
+                                             pack_stats)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pack_stats(pack_concat_chunks(docs, capacity=256, n_shards=8),
+                   capacity=256)
+        .orderBy("shard", "pack_id")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample (zero-shuffle scan
+    filter; md5 buckets make re-runs and the DuckDB oracle identical)."""
+    from cpg_spark.operators.packing import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, {"en": 0.5, "es": 0.25, "de": 0.10},
+                          strata_col="lang", key_col="doc_id")
+        .select("doc_id", "lang", "sample_bucket")
+        .orderBy("doc_id")
+    )

@@ -132,6 +132,13 @@ def main():
               f"({time.time()-t0:.1f}s) {row['err'] or ''}")
         results[name] = row
     out = os.path.join(REPO, "CORRECTNESS_local.json")
+    if only and os.path.exists(out):
+        # partial run: merge into the existing evidence instead of
+        # truncating the other queries' rows
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"\n{len(results) - n_fail}/{len(results)} ok -> {out}")
