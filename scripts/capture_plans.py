@@ -80,6 +80,16 @@ def main() -> None:
          "IdentifierPass sequential ids — expect a RANGE partitioning "
          "exchange (rangepartitioning) + per-partition sort, NO "
          "SinglePartition exchange (the naive global-window shape)"),
+        ("sequence_packing",
+         "concat-then-chunk packing — expect the cumulative-sum window "
+         "partitioned by shard (hashpartitioning on shard, NO "
+         "SinglePartition global sort), token count JVM-side"),
+        ("stratified_sample",
+         "deterministic per-stratum sample — expect a pure scan + Filter "
+         "(md5 bucket CASE folded into the predicate); the ONLY Exchange "
+         "is the registered query's orderBy for oracle comparison — the "
+         "operator itself is shuffle-free (asserted Exchange-free in "
+         "tests/test_packing.py)"),
     ]
     for name, why in picks:
         df = qs[name](spark, SF_DIR)
