@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cpg_spark.operators.joins import linking_join
+from cpg_spark.operators.joins import BROADCAST_MAX_ROWS, linking_join
 
 # implicit-conversion groups (CallResolver.java:847-907 subset), mirrored
 # from the frontend-local ladder (cfamily_frontend._NUM_TYPES) so local
@@ -71,12 +71,24 @@ def _inferred_id_col(kind: str, name_col, sig_col, container_col=None):
 def _pick_winner(joined: DataFrame, order_cols: list) -> DataFrame:
     """Deterministic candidate selection: the reference keeps the innermost /
     best-matching declaration (ScopeManager.kt:675-677 'local first'); across
-    documents we rank by (same module, then stable fqn) — W3 in SURVEY.md."""
-    w = Window.partitionBy("mention_id").orderBy(*order_cols)
+    documents we rank by (same module, then stable fqn) — W3 in SURVEY.md.
+
+    Shape: ``min_by`` aggregation, NOT a row_number window.  A window must
+    shuffle EVERY candidate row to its mention's reducer and sort there; the
+    groupBy gets map-side partial aggregation, so at most one candidate per
+    mention survives each map partition — at corpus scale the shuffle volume
+    drops from O(candidates) to O(mentions).  Spark's struct ordering is
+    field-by-field with nulls first, identical to the window's default
+    ascending null ordering, and the trailing d_decl_id in every caller's
+    order_cols means tied keys only occur for duplicate candidate rows (same
+    decl reached via two visibility arms) whose payloads are identical — so
+    the winner is bit-identical to the old window formulation."""
+    ord_key = F.struct(*[F.col(c) for c in order_cols])
+    payload = F.struct(*[F.col(c) for c in joined.columns])
     return (
-        joined.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+        joined.groupBy("mention_id")
+        .agg(F.min_by(payload, ord_key).alias("_w"))
+        .select("_w.*")
     )
 
 
@@ -294,6 +306,21 @@ def joined_mentions(mentions: DataFrame, symbols: DataFrame,
     if dim is None:
         dim = symbol_dim(symbols)
     dim_rows = dim.count() if strategy is None else None
+    if strategy == "salted" or (strategy is None and dim_rows is not None
+                                and dim_rows > BROADCAST_MAX_ROWS):
+        # measure which names are actually hot BEFORE salting: only those
+        # keys get the × buckets dim explosion; the long tail joins
+        # unexploded (hot_fact_keys docstring has the numbers).  One
+        # map-side-combined agg over the pre-explode fact side — the
+        # explode multiplies every name's count by roughly the same
+        # scope-depth factor, so pre-explode counts rank identically.
+        from cpg_spark.operators.joins import hot_fact_keys
+
+        parts = int(mentions.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        hot_keys = hot_fact_keys(facts, "name", parts)
+    else:
+        hot_keys = None
 
     non_import = facts.filter(F.col("kind") != "import")
     segs = F.split(F.col("scope_path"), r"\.")
@@ -327,7 +354,7 @@ def joined_mentions(mentions: DataFrame, symbols: DataFrame,
     arm_ab, used = linking_join(
         fx, dim, key_pairs=[("name", "d_name"), ("_vis", "d_module")],
         salt_src="mention_id", dim_rows=dim_rows, buckets=buckets,
-        how="inner", force=strategy,
+        how="inner", force=strategy, hot_keys=hot_keys,
     )
     arm_ab = arm_ab.drop("_vis")
     # the two residual name-only arms go through the SAME
@@ -342,14 +369,14 @@ def joined_mentions(mentions: DataFrame, symbols: DataFrame,
     arm_c, _ = linking_join(
         arm_c_facts, dim, key_pairs=[("name", "d_name")],
         salt_src="mention_id", dim_rows=dim_rows, buckets=buckets,
-        how="inner", force=used)
+        how="inner", force=used, hot_keys=hot_keys)
     arm_c = arm_c.filter(F.col("d_kind") == "method")
     # imports: (name, source module); base-less imports name-only
     arm_d_facts = facts.filter(F.col("kind") == "import")
     arm_d, _ = linking_join(
         arm_d_facts, dim, key_pairs=[("name", "d_name")],
         salt_src="mention_id", dim_rows=dim_rows, buckets=buckets,
-        how="inner", force=used)
+        how="inner", force=used, hot_keys=hot_keys)
     arm_d = arm_d.filter(
         F.col("base_type").isNull()
         | (F.col("base_type") == F.col("d_module")))
