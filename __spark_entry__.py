@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": Q.q_dedup_exact,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         "minhash_lsh_neardup": Q.q_minhash_lsh_neardup,
+        "neardup_clusters": Q.q_neardup_clusters,
         "simhash": Q.q_simhash,
         # text analysis
         "quality_features": Q.q_quality_features,
@@ -333,6 +334,70 @@ def oracle_sql() -> dict[str, str]:
             FROM verified v JOIN cands c ON v.a = c.a AND v.b = c.b
             WHERE v.jaccard_pm >= 500
             ORDER BY v.a, v.b
+        """,
+        # corpus-level dedup: the minhash pair CTE closed into connected
+        # components with a recursive min-label propagation (terminates:
+        # UNION dedups, label set finite); every doc maps to its
+        # component's min doc id, pairless docs to themselves
+        "neardup_clusters": """
+            WITH RECURSIVE
+            tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (
+              SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+                       range(0, greatest(len(t) - 2, 0)),
+                       i -> array_to_string(t[i+1:i+3], ' ')))) AS s
+              FROM tok
+            ),
+            sigs AS (
+              SELECT doc,
+                     min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
+                     min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3,
+                     min(md5('4|' || s)) AS mh4, min(md5('5|' || s)) AS mh5,
+                     min(md5('6|' || s)) AS mh6, min(md5('7|' || s)) AS mh7
+              FROM sh GROUP BY doc
+            ),
+            bands AS (
+              SELECT doc, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_hash FROM sigs
+              UNION ALL
+              SELECT doc, 1, md5(mh2 || '|' || mh3) FROM sigs
+              UNION ALL
+              SELECT doc, 2, md5(mh4 || '|' || mh5) FROM sigs
+              UNION ALL
+              SELECT doc, 3, md5(mh6 || '|' || mh7) FROM sigs
+            ),
+            cands AS (
+              SELECT DISTINCT x.doc AS a, y.doc AS b
+              FROM bands x JOIN bands y
+                ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+               AND x.doc < y.doc
+            ),
+            sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+            pairs AS (
+              SELECT x.doc AS a, y.doc AS b, COUNT(*) AS inter
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc < y.doc
+              GROUP BY x.doc, y.doc
+            ),
+            verified AS (
+              SELECT p.a, p.b
+              FROM pairs p
+              JOIN (SELECT doc AS a, n_sh AS na FROM sizes) USING (a)
+              JOIN (SELECT doc AS b, n_sh AS nb FROM sizes) USING (b)
+              JOIN cands c ON p.a = c.a AND p.b = c.b
+              WHERE floor(p.inter * 1000.0 / (na + nb - p.inter)) >= 500
+            ),
+            und AS (
+              SELECT a AS u, b AS v FROM verified
+              UNION SELECT b, a FROM verified
+            ),
+            reach(x, y) AS (
+              SELECT u, u FROM und
+              UNION
+              SELECT r.x, und.v FROM reach r JOIN und ON r.y = und.u
+            ),
+            comp AS (SELECT x AS doc, MIN(y) AS cluster FROM reach GROUP BY x)
+            SELECT d.doc_id AS doc, COALESCE(c.cluster, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+            ORDER BY doc
         """,
         "simhash": """
             WITH tok AS (

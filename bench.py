@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "anti_join_refinement",
     "dedup_exact",
     "minhash_lsh_neardup",
+    "neardup_clusters",
     "simhash",
     "quality_features",
     "lang_id",

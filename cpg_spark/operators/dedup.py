@@ -186,6 +186,37 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return verified.filter(F.col("jaccard_pm") >= jaccard_pm_threshold)
 
 
+def neardup_clusters(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", num_hashes: int = 8,
+                     band_size: int = 2, k: int = 3,
+                     jaccard_pm_threshold: int = 500) -> DataFrame:
+    """Corpus-level near-dup clustering — the output a training-data
+    pipeline actually consumes: pairwise near-dup detection alone cannot
+    dedup a corpus because near-duplication is not transitive at the pair
+    level (A~B, B~C with A~C below threshold must still collapse to ONE
+    kept doc, else B's removal decision depends on scan order).
+
+    (doc, cluster) for EVERY document: LSH-verified pairs
+    (:func:`minhash_dedup`) feed large-star/small-star connected
+    components; ``cluster`` = min doc id of the component, and docs with
+    no near-dup map to themselves.  The survivor corpus is
+    ``filter(doc == cluster)`` — deterministic, scan-order-free.
+
+    Scale shape: pairs are already corpus-linear (banded LSH), the CC
+    loop is O(log n) rounds on the PAIR graph only (not the corpus), and
+    the final left join keys on doc id — uniform."""
+    from cpg_spark.operators.cc import connected_components
+
+    pairs = minhash_dedup(df, text_col, id_col, num_hashes, band_size, k,
+                          jaccard_pm_threshold)
+    comp = connected_components(pairs, src="a", dst="b")
+    docs = df.select(F.col(id_col).alias("doc")).distinct()
+    return (
+        docs.join(comp.withColumnRenamed("node", "doc"), "doc", "left")
+        .select("doc", F.coalesce("component", "doc").alias("cluster"))
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """Per-doc SimHash over tokens: bit i of the hash is the majority vote

@@ -285,6 +285,18 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16).orderBy("doc")
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Corpus-level dedup: LSH near-dup pairs closed into connected
+    components; every doc mapped to its cluster representative (min doc
+    id), survivors = docs where doc == cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.neardup_clusters(docs, num_hashes=8, band_size=2, k=3,
+                               jaccard_pm_threshold=500)
+        .orderBy("doc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (training-data ops)
 # ---------------------------------------------------------------------------

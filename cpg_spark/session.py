@@ -49,6 +49,17 @@ def build_session(
         # object-store traffic
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # shuffle/spill scratch dirs.  On a cluster every executor has its own
+    # local disks (NVMe), so shuffle I/O scales with machines; this sandbox
+    # shares ONE virtual disk across all local threads, which becomes the
+    # bottleneck at high parallelism (measured: parse+persist 94.7 s on
+    # disk vs 69.7 s on tmpfs at local[32]/192k docs, identical at
+    # local[8]).  CPG_SPARK_LOCAL_DIR (e.g. a tmpfs path) models the
+    # per-executor-local-storage reality for scaling measurements.
+    local_dir = os.environ.get("CPG_SPARK_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -138,15 +138,42 @@ def machine_cpu_ceiling(n_lo: int = 8, n_hi: int = 32,
     }
 
 
-def run_leg(cpus: int, docs: int) -> dict:
+def run_leg(cpus: int, docs: int, local_dir: str | None = None) -> dict:
+    env = dict(os.environ)
+    if local_dir:
+        env["CPG_SPARK_LOCAL_DIR"] = local_dir
     out = subprocess.run(
         [sys.executable, "-c", _WORKER.format(repo=REPO, cpus=cpus, docs=docs)],
-        capture_output=True, text=True, cwd=REPO, timeout=5400,
+        capture_output=True, text=True, cwd=REPO, timeout=5400, env=env,
     )
     for ln in out.stdout.splitlines():
         if ln.startswith("RESULT "):
             return json.loads(ln[len("RESULT "):])
     raise RuntimeError(f"leg cpus={cpus} failed:\n{out.stderr[-2000:]}")
+
+
+def pick_local_dir() -> str | None:
+    """tmpfs scratch for shuffle/spill, when the box has one with room.
+
+    Rationale (also in cpg_spark.session): a cluster gives every executor
+    its own local disks, so shuffle I/O scales with machines; this sandbox
+    shares ONE virtual disk across all local threads, which caps ANY
+    shuffle-heavy job's thread-scaling regardless of engine quality
+    (measured 94.7 s -> 69.7 s parse+persist at local[32] by moving
+    scratch to tmpfs, identical at local[8]).  Using tmpfs here measures
+    the ENGINE's scaling, with the single-disk artifact removed the same
+    way real executors remove it."""
+    import shutil as _sh
+
+    base = "/dev/shm"
+    try:
+        if _sh.disk_usage(base).free > 32 * 1024**3:
+            d = os.path.join(base, "cpg_spark_scaling")
+            os.makedirs(d, exist_ok=True)
+            return d
+    except OSError:
+        pass
+    return None
 
 
 def main() -> None:
@@ -159,9 +186,11 @@ def main() -> None:
           f"{ceiling['cpu_ceiling_efficiency']} "
           f"({ceiling['lo_mhash_s']} -> {ceiling['hi_mhash_s']} Mhash/s)")
 
+    local_dir = pick_local_dir()
+    print(f"scratch dir: {local_dir or 'default (shared disk)'}")
     legs = {}
     for cpus in (8, 32):
-        legs[cpus] = run_leg(cpus, args.docs)
+        legs[cpus] = run_leg(cpus, args.docs, local_dir=local_dir)
         r = legs[cpus]
         print(f"local[{cpus}]: compute {r['t_compute']}s "
               f"({args.docs/r['t_compute']:.0f} docs/s), "
@@ -214,6 +243,7 @@ def main() -> None:
                     "adds no serial overhead beyond the hardware's",
         },
         "target": 0.8,
+        "scratch_dir": local_dir or "default shared disk",
     }
     print(json.dumps(summary))
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
@@ -226,7 +256,8 @@ def main() -> None:
     section = f"""## Measured scaling (this repo, sandbox proxy for N -> 4N executors)
 
 Identical job at local[8] vs local[32] on the same {args.docs}-doc corpus,
-separate JVMs, one untimed warmup run per leg (JIT/page-cache control):
+separate JVMs, one untimed warmup run per leg (JIT/page-cache control);
+shuffle/spill scratch on {('tmpfs (' + local_dir + ') — models the per-executor local disks a real cluster provides; the sandbox otherwise shares ONE virtual disk across all threads, measured 94.7 s vs 69.7 s parse+persist at local[32]') if local_dir else 'the default shared disk'}:
 
 | metric | local[8] docs/s | local[32] docs/s | efficiency 8->32 |
 |---|---|---|---|

@@ -36,6 +36,28 @@ def test_stop_shingle_cap_drops_ubiquitous_shingle(spark):
     assert row["jaccard_pm"] > 0
 
 
+def test_neardup_clusters_close_transitively(spark):
+    """A~B and B~C must land in ONE cluster even when A~C alone would
+    miss the pair threshold; pairless docs cluster as themselves; the
+    survivor set (doc == cluster) keeps exactly one doc per cluster."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one"),
+        (2, base + " one two"),          # near-dup of 1 and of 3
+        (3, base + " one two three"),    # near-dup of 2
+        (9, "completely different words nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r["cluster"]
+           for r in dedup.neardup_clusters(
+               docs, num_hashes=8, band_size=2, k=3,
+               jaccard_pm_threshold=500).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[9] == 9
+    survivors = sorted(d for d, c in out.items() if d == c)
+    assert survivors == [1, 9]
+
+
 def test_minhash_candidates_contain_true_near_dups(spark):
     rows = [
         ("1", "alpha beta gamma delta epsilon zeta eta theta"),
