@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": Q.q_lang_id,
         "doc_fingerprint": Q.q_doc_fingerprint,
         "token_counts": Q.q_token_counts,
+        "repetition_features": Q.q_repetition_features,
+        "top_tokens": Q.q_top_tokens,
+        "decontaminate": Q.q_decontaminate,
+        "segment_dedup": Q.q_segment_dedup,
         # training-data assembly (sequence packing + sampling)
         "sequence_packing": Q.q_sequence_packing,
         "pack_stats": Q.q_pack_stats,
@@ -468,6 +472,123 @@ def oracle_sql() -> dict[str, str]:
                      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
                      AS INT) AS bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "repetition_features": """
+            WITH base AS (
+              SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+                     string_split(text, ' ') AS tk
+              FROM documents
+            ),
+            meta AS (
+              SELECT doc_id, n_chars,
+                     CAST(len(tk) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+              FROM base
+            ),
+            grams AS (
+              SELECT doc_id, unnest(list_transform(
+                       range(0, greatest(len(tk) - 1, 0)),
+                       i -> array_to_string(tk[i+1:i+2], ' '))) AS gram
+              FROM base
+            ),
+            counts AS (
+              SELECT doc_id, gram, COUNT(*) AS cnt
+              FROM grams GROUP BY doc_id, gram
+            ),
+            top AS (
+              SELECT doc_id, gram AS top2_gram, cnt AS top2_count
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram DESC) AS rn
+                    FROM counts)
+              WHERE rn = 1
+            )
+            SELECT m.doc_id, m.n_tokens,
+                   CAST(floor((m.n_tokens - m.n_distinct) * 1000.0
+                              / greatest(m.n_tokens, 1)) AS BIGINT)
+                     AS dup_token_pm,
+                   COALESCE(t.top2_gram, '') AS top2_gram,
+                   CAST(COALESCE(t.top2_count, 0) AS BIGINT) AS top2_count,
+                   CAST(floor(COALESCE(t.top2_count, 0)
+                              * len(COALESCE(t.top2_gram, '')) * 1000.0
+                              / greatest(m.n_chars, 1)) AS BIGINT)
+                     AS top2_char_pm
+            FROM meta m LEFT JOIN top t USING (doc_id)
+            ORDER BY m.doc_id
+        """,
+        "top_tokens": """
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "decontaminate": """
+            WITH bench AS (
+              SELECT array_to_string(string_split(text, ' ')[1:20], ' ')
+                       AS text
+              FROM documents WHERE doc_id % 17 = 3
+            ),
+            bg AS (
+              SELECT DISTINCT unnest(list_transform(
+                       range(0, greatest(len(string_split(text, ' ')) - 7,
+                                         0)),
+                       i -> md5(array_to_string(
+                              string_split(text, ' ')[i+1:i+8], ' '))))
+                       AS gh
+              FROM bench
+            ),
+            dg AS (
+              SELECT DISTINCT doc_id, gh FROM (
+                SELECT doc_id, unnest(list_transform(
+                         range(0, greatest(len(string_split(text, ' ')) - 7,
+                                           0)),
+                         i -> md5(array_to_string(
+                                string_split(text, ' ')[i+1:i+8], ' '))))
+                         AS gh
+                FROM documents)
+            ),
+            hits AS (
+              SELECT doc_id, COUNT(*) AS n_hits
+              FROM dg JOIN bg USING (gh) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0
+                        END AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "segment_dedup": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ),
+            segs AS (
+              SELECT doc_id,
+                     CAST(unnest(range(0, CAST(ceil(len(tk) / 10.0)
+                                               AS BIGINT))) AS INT)
+                       AS seg_no,
+                     unnest(list_transform(
+                       range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+                       i -> array_to_string(tk[i*10+1:i*10+10], ' ')))
+                       AS seg
+              FROM t
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY md5(seg)
+                          ORDER BY doc_id, seg_no) AS rn
+              FROM segs
+            ),
+            rebuilt AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                     string_agg(seg, ' ' ORDER BY seg_no) AS kept_text
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(ceil(len(string_split(d.text, ' ')) / 10.0)
+                        AS BIGINT) AS n_segs,
+                   COALESCE(r.n_kept, 0) AS n_kept,
+                   COALESCE(r.kept_text, '') AS kept_text
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "sequence_packing": """
             SELECT doc_id,

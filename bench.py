@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     # windows) and zero-shuffle deterministic stratified sampling
     "sequence_packing",
     "stratified_sample",
+    # training-data curation: Gopher repetition metrics, vocabulary heavy
+    # hitters, benchmark decontamination, sub-document segment dedup
+    "repetition_features",
+    "top_tokens",
+    "decontaminate",
+    "segment_dedup",
 ]
 
 

@@ -217,6 +217,115 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
     )
 
 
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text", n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with an evaluation set (the standard 13-gram-overlap rule
+    of GPT-3 appendix C / PaLM, n configurable; the tiny-vocabulary
+    testdata uses n=8).
+
+    Returns one row per input document: (doc_id, n_hits, contaminated)
+    where n_hits counts the document's DISTINCT contaminated n-grams.
+
+    Scale shape: the benchmark side is distinct-hashed and BROADCAST —
+    eval sets are bounded by construction (thousands of documents) while
+    the training corpus is the 10^12-doc side, so the corpus never
+    shuffles; hits aggregate per doc with map-side combine and join back
+    to the corpus on the uniform doc id."""
+    bgrams = (
+        benchmark.select(
+            F.explode(shingles(bench_text_col, n)).alias("g")
+        )
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    dgrams = (
+        df.select(F.col(id_col).alias("doc"),
+                  F.explode(shingles(text_col, n)).alias("g"))
+        .select("doc", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    hits = (
+        dgrams.join(F.broadcast(bgrams), "gh")
+        .groupBy("doc").agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.when(F.coalesce("n_hits", F.lit(0)) > 0, 1).otherwise(0)
+            .cast("int").alias("contaminated"),
+        )
+    )
+
+
+def segment_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", seg_tokens: int = 10) -> DataFrame:
+    """Sub-document exact dedup (the CCNet paragraph-dedup shape): split
+    each document into fixed-width token segments, keep only the FIRST
+    corpus-wide occurrence of each distinct segment (first = smallest
+    (doc_id, seg_no), scan-order-free), and reassemble the surviving text.
+
+    Real corpora segment on paragraph boundaries; the flat testdata has no
+    newlines, so the segmenter is a fixed token window — the operator's
+    joins and winner rule are identical either way.
+
+    Returns (doc_id, n_segs, n_kept, kept_text).
+
+    Scale shape: ONE shuffle keyed on the segment content hash (uniform by
+    construction) picks winners via min(struct) — map-side combinable, no
+    window over a skewed key; the keep-filter is a self-join back on the
+    same hash key, and reassembly shuffles on doc id."""
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = (
+        df.select(F.col(id_col).alias("doc"), toks.alias("tk"),
+                  n_segs.alias("n_segs"))
+        .select(
+            "doc", "n_segs",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_segs") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("tk"),
+                                     (i * seg_tokens + 1).cast("int"),
+                                     seg_tokens)),
+                )
+            ).alias("seg_no", "seg"),
+        )
+        .select("doc", "n_segs", "seg_no", "seg", F.md5("seg").alias("h"))
+    )
+    winners = segs.groupBy("h").agg(
+        F.min(F.struct("doc", "seg_no")).alias("w")
+    ).select("h", F.col("w.doc").alias("wdoc"), F.col("w.seg_no").alias("wseg"))
+    kept = segs.join(winners, "h").filter(
+        (F.col("doc") == F.col("wdoc")) & (F.col("seg_no") == F.col("wseg"))
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg_no", "seg"))),
+                lambda x: x["seg"],
+            ),
+        ).alias("kept_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), n_segs.alias("n_segs"))
+        .join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_segs").cast("long").alias("n_segs"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """Per-doc SimHash over tokens: bit i of the hash is the majority vote

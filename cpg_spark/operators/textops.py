@@ -125,6 +125,75 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", fp.alias("fingerprint"))
 
 
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1:
+    repetitious documents are low-quality training data):
+
+    * ``dup_token_pm``     — permille of tokens that are repeats of an
+      earlier token (1000 * (n - n_distinct) / n).
+    * ``top2_gram``/``top2_count`` — the most frequent word 2-gram
+      (ties broken by gram text, deterministic).
+    * ``top2_char_pm``     — permille of document characters covered by
+      occurrences of that top 2-gram — the "fraction of characters in the
+      most common n-gram" filter.
+
+    Relational formulation (explode -> count -> max(struct)) instead of a
+    per-row O(len^2) array scan: the shuffle keys on (doc, gram) — uniform,
+    corpus-linear — and the per-doc reduce is a map-side-combinable agg,
+    so the operator survives documents of any length."""
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        distinct_token_count(text_col).cast("long").alias("n_distinct"),
+        shingles(text_col, 2).alias("g2"),
+    )
+    grams = base.select("doc", F.explode("g2").alias("gram"))
+    counts = grams.groupBy("doc", "gram").agg(F.count("*").alias("cnt"))
+    # max(struct) = highest count, ties -> lexicographically greatest gram:
+    # deterministic winner with map-side partial aggregation (no window)
+    top = counts.groupBy("doc").agg(
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("t")
+    ).select("doc", F.col("t.gram").alias("top2_gram"),
+             F.col("t.cnt").alias("top2_count"))
+    return (
+        base.select("doc", "n_chars", "n_tokens", "n_distinct")
+        .join(top, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.floor(
+                (F.col("n_tokens") - F.col("n_distinct")) * 1000
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ).cast("long").alias("dup_token_pm"),
+            F.coalesce("top2_gram", F.lit("")).alias("top2_gram"),
+            F.coalesce("top2_count", F.lit(0)).cast("long").alias("top2_count"),
+            F.floor(
+                F.coalesce("top2_count", F.lit(0))
+                * F.length(F.coalesce("top2_gram", F.lit(""))) * 1000
+                / F.greatest(F.col("n_chars"), F.lit(1))
+            ).cast("long").alias("top2_char_pm"),
+        )
+    )
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-level vocabulary heavy hitters: (token, n) for the k most
+    frequent tokens, ties broken by token text (deterministic).
+
+    Scale shape: explode -> groupBy(token) is ONE shuffle on a uniform-ish
+    key with map-side partial counts; the final top-k is a TakeOrdered over
+    the (small) distinct-token table, not a global sort of the corpus."""
+    tok = df.select(F.explode(tokens(text_col)).alias("token"))
+    return (
+        tok.groupBy("token").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 def shingles(col: str | Column, k: int = 3) -> Column:
     """k-token shingles (ordered n-grams) as an array of strings; used by
     the MinHash / Jaccard dedup family."""

@@ -297,9 +297,40 @@ def q_neardup_clusters(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appx C n-gram-overlap rule): the
+    deterministic eval set is the first 20 tokens of every 17th document,
+    so those documents (and any near-copies) flag themselves — non-vacuous
+    by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 3).select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 20)).alias("text")
+    )
+    return dedup.decontaminate(docs, bench, n=8).orderBy("doc_id")
+
+
+def q_segment_dedup(spark, sf_dir):
+    """Sub-document (paragraph-shape) exact dedup: 10-token segments,
+    corpus-wide keep-first, reassembled text."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.segment_dedup(docs, seg_tokens=10).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # text analysis (training-data ops)
 # ---------------------------------------------------------------------------
+
+def q_repetition_features(spark, sf_dir):
+    """Gopher-style repetition quality metrics per document."""
+    return textops.repetition_features(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def q_top_tokens(spark, sf_dir):
+    """Corpus vocabulary heavy hitters (top-20 tokens)."""
+    return textops.top_tokens(_t(spark, sf_dir, "documents"), k=20)
+
 
 def q_quality_features(spark, sf_dir):
     return textops.quality_features(_t(spark, sf_dir, "documents")).orderBy("doc_id")
