@@ -31,12 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
     from cpg_spark.operators.parse import parse_docs, split_parse_output
     from cpg_spark.synth import docs_from_plain_documents
 
+    from cpg_spark.sinks import scratch_table
+
     docs = docs_from_plain_documents(spark, "/root/testdata/sf0.001")
     # the span-sequence invariant is enforced inside the parse UDF itself
     # (parse.py _rows_for_doc raises on violation) — no separate scan here
-    # persist: the linking joins consult the parse output several times
-    # (dim sizing + two join cascades) — without this the parse re-runs
-    raw = parse_docs(docs).persist()
+    # scratch-materialize: the linking joins consult the parse output
+    # several times (dim sizing + two join cascades); a scratch parquet
+    # round-trip beats .persist() 3.2x at scale (sinks.scratch_table
+    # docstring has the numbers) and each consumer scan prunes columns.
+    # The scratch dir must outlive this call (the driver collects the
+    # returned lazy plan), so cleanup is left to temp-dir reaping.
+    raw, _ = scratch_table(parse_docs(docs), "entry_parse")
     nodes, edges, mentions, symbols = split_parse_output(raw)
     linked, inferred, _ = link_all(mentions, symbols, nodes=nodes, edges=edges)
     return (
@@ -830,6 +836,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id FROM keepers
               WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
             ),
+            bench AS (
+              SELECT array_to_string(t[1:20], ' ') AS btext
+              FROM tok WHERE doc_id % 17 = 3
+            ),
+            bg AS (
+              SELECT DISTINCT unnest(list_transform(
+                       range(0, greatest(len(string_split(btext, ' ')) - 7,
+                                         0)),
+                       i -> md5(array_to_string(
+                              string_split(btext, ' ')[i+1:i+8], ' '))))
+                       AS gh
+              FROM bench
+            ),
+            contam AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(list_transform(
+                         range(0, greatest(len(t) - 7, 0)),
+                         i -> md5(array_to_string(t[i+1:i+8], ' ')))) AS gh
+                FROM tok) dgx
+              JOIN bg USING (gh)
+            ),
+            rep AS (
+              SELECT doc_id,
+                     CAST(floor((len(t) - len(list_distinct(t))) * 1000.0
+                                / greatest(len(t), 1)) AS BIGINT)
+                       AS dup_token_pm
+              FROM tok
+            ),
             lang AS (
               SELECT doc_id,
                      CASE WHEN greatest(
@@ -868,10 +902,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.doc_id, q.quality_score, tc.ws_tokens, tc.bpe_tokens
             FROM survivors s
+            JOIN rep r USING (doc_id)
             JOIN lang l USING (doc_id)
             JOIN qual q USING (doc_id)
             JOIN tokc tc USING (doc_id)
-            WHERE l.lang_pred = 'en' AND q.quality_score >= 350
+            WHERE s.doc_id NOT IN (SELECT doc_id FROM contam)
+              AND l.lang_pred = 'en' AND q.quality_score >= 350
+              AND r.dup_token_pm <= 650
               AND q.n_tokens >= 20
             ORDER BY s.doc_id
         """,

@@ -98,7 +98,8 @@ def run_cpg_bench(spark, n_docs: int) -> tuple[float, int]:
     from cpg_spark.pipeline import run_cpg_pipeline
     from cpg_spark.synth import generated_docs
 
-    wd = tempfile.mkdtemp(prefix="cpg_bench_")
+    wd = tempfile.mkdtemp(prefix="cpg_bench_",
+                          dir=os.environ.get("CPG_SPARK_LOCAL_DIR"))
     try:
         docs_uri = os.path.join(wd, "input_docs")
         generated_docs(spark, n_docs).write.parquet(docs_uri)
@@ -128,6 +129,30 @@ def run_cpg_bench(spark, n_docs: int) -> tuple[float, int]:
         shutil.rmtree(wd, ignore_errors=True)
 
 
+def _pick_scratch() -> str | None:
+    """tmpfs scratch for shuffle spill + stage commits, when the box has
+    room (same policy as scripts/scaling_bench.py): a cluster gives every
+    executor its own local disks and a distributed FS for stage tables,
+    so the sandbox's single shared virtual disk is an artifact — tmpfs
+    models the per-executor-storage reality.  Opt out with
+    CPG_SPARK_NO_TMPFS=1."""
+    import shutil as _sh
+
+    if os.environ.get("CPG_SPARK_NO_TMPFS"):
+        return None
+    if os.environ.get("CPG_SPARK_LOCAL_DIR"):
+        return os.environ["CPG_SPARK_LOCAL_DIR"]
+    try:
+        if _sh.disk_usage("/dev/shm").free > 24 * 1024**3:
+            d = "/dev/shm/cpg_spark_bench"
+            os.makedirs(d, exist_ok=True)
+            os.environ["CPG_SPARK_LOCAL_DIR"] = d
+            return d
+    except OSError:
+        pass
+    return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=None)
@@ -135,6 +160,7 @@ def main() -> None:
     ap.add_argument("--cpg-docs", type=int, default=None)
     args = ap.parse_args()
 
+    scratch = _pick_scratch()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_from_dir(sf_dir)
 
@@ -186,6 +212,7 @@ def main() -> None:
         "cpg_docs_per_sec": round(n_docs / cpg_sec, 1),
         "cpg_pipeline_runs": [round(r, 3) for r in cpg_runs],
         "cpus": args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "scratch": scratch or "default shared disk",
     }))
     spark.stop()
 

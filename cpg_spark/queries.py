@@ -1555,26 +1555,36 @@ def q_cpg_triples_profile(spark, sf_dir):
 def q_training_data_pipeline(spark, sf_dir):
     """END-TO-END training-data pipeline (the task brief's core composite):
     exact dedup -> MinHash-LSH near-dup removal (drop the larger doc of
-    each verified pair) -> language gate (en) -> quality gate -> token
-    budget columns.  Every stage is the registered operator itself, so
-    the composite exercises their composition — one DuckDB WITH-chain is
-    the oracle for the whole thing."""
+    each verified pair) -> benchmark decontamination (drop docs sharing an
+    8-gram with the eval set) -> language gate (en) -> quality gate ->
+    repetition gate (Gopher dup-token fraction) -> token budget columns.
+    Every stage is the registered operator itself, so the composite
+    exercises their composition — one DuckDB WITH-chain is the oracle for
+    the whole thing."""
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
     pairs = dedup.minhash_dedup(docs, num_hashes=8, band_size=2, k=3,
                                 jaccard_pm_threshold=500)
     drop = pairs.select(F.col("b").alias("doc_id")).distinct()
     survivors = kept.join(drop, "doc_id", "left_anti")
+    bench = docs.filter(F.col("doc_id") % 17 == 3).select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 20)).alias("text"))
+    cont = dedup.decontaminate(docs, bench, n=8).select(
+        "doc_id", "contaminated")
+    rep = textops.repetition_features(docs).select("doc_id", "dup_token_pm")
     lang = textops.lang_id(docs).select("doc_id", "lang_pred")
     qual = textops.quality_features(docs).select(
         "doc_id", "quality_score", "n_tokens")
     toks = textops.token_counts(docs).select(
         "doc_id", "ws_tokens", "bpe_tokens")
     return (
-        survivors.join(lang, "doc_id").join(qual, "doc_id")
+        survivors.join(cont, "doc_id").join(rep, "doc_id")
+        .join(lang, "doc_id").join(qual, "doc_id")
         .join(toks, "doc_id")
-        .filter((F.col("lang_pred") == "en")
+        .filter((F.col("contaminated") == 0)
+                & (F.col("lang_pred") == "en")
                 & (F.col("quality_score") >= 350)
+                & (F.col("dup_token_pm") <= 650)
                 & (F.col("n_tokens") >= 20))
         .select("doc_id", "quality_score", "ws_tokens", "bpe_tokens")
         .orderBy("doc_id")

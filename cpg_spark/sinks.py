@@ -20,6 +20,41 @@ def table_uri(workdir: str, run_id: str, stage: str, name: str) -> str:
     return os.path.join(workdir, run_id, stage, name)
 
 
+def scratch_table(df: DataFrame, name: str = "scratch",
+                  base: str | None = None) -> tuple[DataFrame, str]:
+    """Materialize ``df`` ONCE as an uncommitted scratch parquet table and
+    return ``(scan, path)`` — the scale-correct alternative to
+    ``.persist()`` for a WIDE intermediate with several downstream
+    consumers.
+
+    Why not ``.persist()``: building the deserialized columnar cache
+    (InMemoryRelation) is allocation- and GC-bound inside one JVM and
+    stops scaling with threads — the identical parse→link job over 96k
+    docs measured 112.9 s with ``persist`` vs 34.9 s with this parquet
+    round-trip at local[32] (localCheckpoint was worse still, 198 s).
+    The parquet write is vectorized zstd encode, each consumer's scan
+    gets column pruning + predicate pushdown that the cache read cannot
+    match, and re-reads hit the OS page cache.  On a cluster the same
+    call writes executor-spread files to the job's scratch space, i.e.
+    exactly the stage-table shape ``pipeline.py`` commits — minus the
+    lineage/commit bookkeeping.
+
+    ``base`` defaults to ``$CPG_SPARK_SCRATCH_DIR``, else
+    ``$CPG_SPARK_LOCAL_DIR`` (the shuffle scratch, tmpfs in scaling
+    runs), else the system temp dir.  The caller owns cleanup of the
+    returned path (or leaves it to temp-dir reaping)."""
+    import tempfile
+    import uuid
+
+    base = (base or os.environ.get("CPG_SPARK_SCRATCH_DIR")
+            or os.environ.get("CPG_SPARK_LOCAL_DIR")
+            or tempfile.gettempdir())
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"{name}_{uuid.uuid4().hex[:12]}")
+    df.write.parquet(path)
+    return df.sparkSession.read.parquet(path), path
+
+
 def write_table(df: DataFrame, uri: str, partition_by: list[str] | None = None) -> None:
     catalog = os.environ.get("CPG_SPARK_CATALOG")
     if catalog:

@@ -84,6 +84,19 @@ def main() -> None:
          "concat-then-chunk packing — expect the cumulative-sum window "
          "partitioned by shard (hashpartitioning on shard, NO "
          "SinglePartition global sort), token count JVM-side"),
+        ("decontaminate",
+         "benchmark decontamination — expect the eval-set n-gram side as a "
+         "BroadcastHashJoin build (the corpus side never shuffles for the "
+         "overlap probe), hits aggregated with partial_count"),
+        ("segment_dedup",
+         "sub-document segment dedup — expect winner selection as a "
+         "HashAggregate(min(struct)) on the md5 segment hash (map-side "
+         "combinable; NO window/SinglePartition), reassembly exchange "
+         "keyed on doc"),
+        ("repetition_features",
+         "Gopher repetition metrics — expect the top-2-gram winner as "
+         "partial_max(struct) (map-side combine), no window exchange "
+         "beyond the (doc,gram) count"),
         ("stratified_sample",
          "deterministic per-stratum sample — expect a pure scan + Filter "
          "(md5 bucket CASE folded into the predicate); the ONLY Exchange "

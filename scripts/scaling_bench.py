@@ -32,7 +32,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = """
-import json, sys, time, tempfile, shutil
+import json, os, sys, time, tempfile, shutil
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from cpg_spark.session import build_session
@@ -55,9 +55,14 @@ docs.write.parquet(docs_uri)
 docs_scan = spark.read.parquet(docs_uri)
 
 def compute_job():
-    # persist raw: without it every plan subtree (edges, mentions x2,
-    # symbols x2, imports x2) re-executes the parse leaf
-    raw = parse_docs(docs).persist()
+    # scratch-materialize raw: without it every plan subtree (edges,
+    # mentions x2, symbols x2, imports x2) re-executes the parse leaf.
+    # parquet round-trip, NOT .persist(): the columnar cache build is
+    # GC-bound and stops scaling with threads (112.9 s persist vs 34.9 s
+    # scratch at local[32]/96k docs — sinks.scratch_table docstring);
+    # this is also the stage-table shape the production pipeline commits.
+    from cpg_spark.sinks import scratch_table
+    raw, raw_path = scratch_table(parse_docs(docs), "compute_raw")
     try:
         nodes, edges, mentions, symbols = split_parse_output(raw)
         # strategy=None: the engine sizes the dim and picks for itself
@@ -66,7 +71,7 @@ def compute_job():
         return edges.select("subj", "pred", "obj").unionByName(
             linked.select("subj", "pred", "obj")).groupBy("pred").count().count()
     finally:
-        raw.unpersist()
+        shutil.rmtree(raw_path, ignore_errors=True)
 
 def parse_job():
     parse_docs(docs).write.format("noop").mode("overwrite").save()
@@ -85,7 +90,11 @@ t_parse = best_of(parse_job, 2)
 t_compute = best_of(compute_job, 2)
 
 def pipeline_job():
-    wd = tempfile.mkdtemp()
+    # stage commits go to the same scratch device as shuffle: a cluster
+    # writes stage tables to a distributed FS whose aggregate bandwidth
+    # grows with the cluster, so the single shared virtual disk is a
+    # sandbox artifact for commits exactly as it is for shuffle spill
+    wd = tempfile.mkdtemp(dir=os.environ.get("CPG_SPARK_LOCAL_DIR"))
     try:
         run_cpg_pipeline(spark, docs_scan, wd, run_id="m", resume=False)
     finally:
@@ -178,7 +187,9 @@ def pick_local_dir() -> str | None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=96000)
+    # 192k docs: enough parallel work at 32 threads that per-job fixed
+    # costs (scheduling, dim-sizing actions) do not dominate the ratio
+    ap.add_argument("--docs", type=int, default=192000)
     args = ap.parse_args()
 
     ceiling = machine_cpu_ceiling()
