@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": Q.q_ann_ivf_topk,
         # multimodal plumbing (rows-only: stubbed decode kernel)
         "media_feature_extract": Q.q_media_features,
+        "media_frame_sample": Q.q_media_frame_sample,
         # CPG pipeline (rows-only: no SQL equivalent of a code parser)
         "cpg_triples": Q.q_cpg_triples,
         "cpg_crossdoc_calls": Q.q_cpg_crossdoc_calls,

@@ -105,3 +105,99 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.repartition(max(media.rdd.getNumPartitions(), 8)).mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("resized", T.BinaryType(), True),
+])
+
+
+def resize_images(media: DataFrame, target_w: int = 32,
+                  target_h: int = 32) -> DataFrame:
+    """Arrow-batched image resize over the binary column: one output row
+    per image with the resized payload at (target_w, target_h).
+
+    The resample kernel itself is stubbed like the decode (no PIL/libvips
+    in this container): the deterministic fake emits target_w*target_h
+    bytes derived from a rolling hash of the payload, so the batch shape,
+    output size contract (w*h bytes) and schema are all real and pinned
+    by tests.  Partitioning: pure per-row map — no shuffle beyond the
+    repartition to full parallelism (resize is the canonical
+    embarrassingly-parallel media kernel)."""
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                if os.environ.get("CPG_SPARK_FAKE_DECODE", "1") != "1":
+                    raise NotImplementedError(
+                        "real image resize requires PIL/libvips — set "
+                        "CPG_SPARK_FAKE_DECODE=1 or ship codecs via "
+                        "--archives")
+                need = target_w * target_h
+                out = bytearray()
+                seed = payload or b"\x00"
+                while len(out) < need:
+                    seed = hashlib.blake2b(seed, digest_size=32).digest()
+                    out.extend(seed)
+                rows.append({"media_ref": ref, "width": target_w,
+                             "height": target_h,
+                             "resized": bytes(out[:need])})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.repartition(
+        max(media.rdd.getNumPartitions(), 8)
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("frame_no", T.IntegerType(), False),
+    T.StructField("ts_ms", T.IntegerType(), True),
+    T.StructField("frame_sha", T.StringType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  fps_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: FAN-OUT kernel — one input row (a video
+    payload) yields ``n_frames`` output rows (frame_no, timestamp,
+    per-frame feature).  The demux/decode is stubbed (no ffmpeg in this
+    container): the deterministic fake derives each frame's bytes from
+    blake2b(payload, frame_no), so the 1→N batch fan-out, the timestamp
+    arithmetic and the per-frame feature schema are real and tested.
+
+    Scale shape: mapInPandas emits the fan-out inside the Arrow batch —
+    no explode/join; downstream per-frame ops group on (media_ref,
+    frame_no), a uniform composite key."""
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                if os.environ.get("CPG_SPARK_FAKE_DECODE", "1") != "1":
+                    raise NotImplementedError(
+                        "real frame sampling requires ffmpeg — set "
+                        "CPG_SPARK_FAKE_DECODE=1 or ship codecs via "
+                        "--archives")
+                for fno in range(n_frames):
+                    fb = hashlib.blake2b(
+                        payload + fno.to_bytes(4, "big"),
+                        digest_size=16).digest()
+                    rows.append({
+                        "media_ref": ref, "frame_no": fno,
+                        "ts_ms": fno * fps_ms,
+                        "frame_sha": fb.hex(),
+                        "feature": [((b / 255.0) - 0.5) for b in fb],
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.repartition(
+        max(media.rdd.getNumPartitions(), 8)
+    ).mapInPandas(run, schema=FRAME_SCHEMA)

@@ -436,6 +436,21 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: blob-store join -> Arrow-batched
+    1->N frame fan-out (demux kernel stubbed; batch shape, timestamps and
+    per-frame feature schema real)."""
+    from cpg_spark.operators.multimodal import sample_frames, synth_media_table
+    from cpg_spark.synth import fixture_docs
+
+    media = synth_media_table(fixture_docs(spark))
+    return (
+        sample_frames(media, n_frames=4, fps_ms=1000)
+        .select("media_ref", "frame_no", "ts_ms", "frame_sha")
+        .orderBy("media_ref", "frame_no")
+    )
+
+
 def q_cypher_params(spark, sf_dir):
     """openCypher-subset executor (reference Graph.kt:58-360) over the
     parsed fixture graph: function -> PARAMETERS -> param."""

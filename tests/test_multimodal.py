@@ -1,0 +1,64 @@
+"""Multimodal kernels (decode / feature-extract / resize / frame-sample):
+the codecs are stubbed (no PIL/ffmpeg in this container) but every
+Spark-side contract is real — schema, Arrow batch shape, the resize
+output-size invariant, the 1->N frame fan-out, and determinism across
+runs (resume-stable like every content-derived id in the engine)."""
+
+from __future__ import annotations
+
+from cpg_spark.operators.multimodal import (
+    extract_features,
+    media_refs,
+    resize_images,
+    sample_frames,
+    synth_media_table,
+)
+from cpg_spark.synth import fixture_docs
+
+
+def _media(spark):
+    return synth_media_table(fixture_docs(spark))
+
+
+def test_media_refs_preserve_span_offsets(spark):
+    refs = media_refs(fixture_docs(spark)).collect()
+    assert len(refs) > 0
+    assert all(r["media_ref"] for r in refs)
+    assert all(r["offset"] >= 0 for r in refs)
+
+
+def test_extract_features_deterministic(spark):
+    a = {r["media_ref"]: r["sha"] for r in extract_features(_media(spark)).collect()}
+    b = {r["media_ref"]: r["sha"] for r in extract_features(_media(spark)).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_resize_output_size_contract(spark):
+    out = resize_images(_media(spark), target_w=16, target_h=8).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["width"] == 16 and r["height"] == 8
+        # the resample contract: exactly w*h bytes per image
+        assert len(r["resized"]) == 16 * 8
+    # deterministic across runs
+    again = {r["media_ref"]: bytes(r["resized"])
+             for r in resize_images(_media(spark), 16, 8).collect()}
+    assert {r["media_ref"]: bytes(r["resized"]) for r in out} == again
+
+
+def test_sample_frames_fanout_and_timestamps(spark):
+    media = _media(spark)
+    n_media = media.count()
+    frames = sample_frames(media, n_frames=3, fps_ms=500).collect()
+    assert len(frames) == 3 * n_media  # exact 1->N fan-out
+    by_ref: dict = {}
+    for r in frames:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for rows in by_ref.values():
+        nos = sorted(r["frame_no"] for r in rows)
+        assert nos == [0, 1, 2]
+        ts = {r["frame_no"]: r["ts_ms"] for r in rows}
+        assert ts == {0: 0, 1: 500, 2: 1000}
+        # distinct frames of one video differ
+        assert len({r["frame_sha"] for r in rows}) == 3
+        assert all(len(r["feature"]) == 16 for r in rows)
