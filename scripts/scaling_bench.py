@@ -257,7 +257,14 @@ def main() -> None:
         "scratch_dir": local_dir or "default shared disk",
     }
     print(json.dumps(summary))
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
+    out_path = os.path.join(REPO, "BENCH_SCALING.json")
+    # keep cross-run provenance: prior runs' numbers survive regeneration
+    try:
+        with open(out_path) as fh:
+            summary["prior_runs"] = json.load(fh).get("prior_runs", {})
+    except (OSError, ValueError):
+        pass
+    with open(out_path, "w") as fh:
         json.dump(summary, fh, indent=2)
 
     pf = summary["parse_frontends"]
