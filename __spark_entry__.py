@@ -40,9 +40,10 @@ def entry(spark: SparkSession) -> DataFrame:
     # several times (dim sizing + two join cascades); a scratch parquet
     # round-trip beats .persist() 3.2x at scale (sinks.scratch_table
     # docstring has the numbers) and each consumer scan prunes columns.
-    # The scratch dir must outlive this call (the driver collects the
-    # returned lazy plan), so cleanup is left to temp-dir reaping.
-    raw, _ = scratch_table(parse_docs(docs), "entry_parse")
+    # overwrite=True: the scan must outlive this call (the driver
+    # collects the returned lazy plan), and a fixed path keeps repeated
+    # invocations from accumulating dirs on reaper-less tmpfs bases.
+    raw, _ = scratch_table(parse_docs(docs), "entry_parse", overwrite=True)
     nodes, edges, mentions, symbols = split_parse_output(raw)
     linked, inferred, _ = link_all(mentions, symbols, nodes=nodes, edges=edges)
     return (

@@ -118,7 +118,8 @@ def run_cpg_bench(spark, n_docs: int) -> tuple[float, int]:
         # parquet codec init otherwise land entirely in the first timed
         # shot (measured +160 s on a cold JVM at 24k docs)
         warm_uri = os.path.join(wd, "warm_docs")
-        generated_docs(spark, max(n_docs // 10, 500)).write.parquet(warm_uri)
+        warm_n = min(n_docs, max(n_docs // 10, 500))
+        generated_docs(spark, warm_n).write.parquet(warm_uri)
         run_cpg_pipeline(spark, spark.read.parquet(warm_uri), wd,
                          run_id="warm", resume=False)
 
@@ -151,6 +152,7 @@ def _pick_scratch() -> str | None:
     if os.environ.get("CPG_SPARK_LOCAL_DIR"):
         return os.environ["CPG_SPARK_LOCAL_DIR"]
     try:
+        # 24 GiB free: same threshold as scaling_bench.pick_local_dir
         if _sh.disk_usage("/dev/shm").free > 24 * 1024**3:
             d = "/dev/shm/cpg_spark_bench"
             os.makedirs(d, exist_ok=True)

@@ -128,15 +128,16 @@ def resize_images(media: DataFrame, target_w: int = 32,
     repartition to full parallelism (resize is the canonical
     embarrassingly-parallel media kernel)."""
     def run(batches):
+        # gate checked once per partition (before any rows are consumed)
+        # so real-decode mode fails loudly even on empty partitions
+        if os.environ.get("CPG_SPARK_FAKE_DECODE", "1") != "1":
+            raise NotImplementedError(
+                "real image resize requires PIL/libvips — set "
+                "CPG_SPARK_FAKE_DECODE=1 or ship codecs via --archives")
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
-                if os.environ.get("CPG_SPARK_FAKE_DECODE", "1") != "1":
-                    raise NotImplementedError(
-                        "real image resize requires PIL/libvips — set "
-                        "CPG_SPARK_FAKE_DECODE=1 or ship codecs via "
-                        "--archives")
                 need = target_w * target_h
                 out = bytearray()
                 seed = payload or b"\x00"
@@ -176,15 +177,14 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     no explode/join; downstream per-frame ops group on (media_ref,
     frame_no), a uniform composite key."""
     def run(batches):
+        if os.environ.get("CPG_SPARK_FAKE_DECODE", "1") != "1":
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg — set "
+                "CPG_SPARK_FAKE_DECODE=1 or ship codecs via --archives")
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
-                if os.environ.get("CPG_SPARK_FAKE_DECODE", "1") != "1":
-                    raise NotImplementedError(
-                        "real frame sampling requires ffmpeg — set "
-                        "CPG_SPARK_FAKE_DECODE=1 or ship codecs via "
-                        "--archives")
                 for fno in range(n_frames):
                     fb = hashlib.blake2b(
                         payload + fno.to_bytes(4, "big"),

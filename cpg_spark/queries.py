@@ -297,16 +297,20 @@ def q_neardup_clusters(spark, sf_dir):
     )
 
 
-def q_decontaminate(spark, sf_dir):
-    """Benchmark decontamination (GPT-3 appx C n-gram-overlap rule): the
-    deterministic eval set is the first 20 tokens of every 17th document,
-    so those documents (and any near-copies) flag themselves — non-vacuous
-    by construction."""
-    docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 17 == 3).select(
+def _decontam_bench(docs):
+    """The deterministic eval set shared by q_decontaminate and the
+    composite pipeline (and hand-matched by both oracles): the first 20
+    tokens of every 17th document, so those documents (and any
+    near-copies) flag themselves — non-vacuous by construction."""
+    return docs.filter(F.col("doc_id") % 17 == 3).select(
         F.concat_ws(" ", F.slice(F.split("text", " "), 1, 20)).alias("text")
     )
-    return dedup.decontaminate(docs, bench, n=8).orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appx C n-gram-overlap rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.decontaminate(docs, _decontam_bench(docs), n=8).orderBy("doc_id")
 
 
 def q_segment_dedup(spark, sf_dir):
@@ -1582,18 +1586,23 @@ def q_training_data_pipeline(spark, sf_dir):
                                 jaccard_pm_threshold=500)
     drop = pairs.select(F.col("b").alias("doc_id")).distinct()
     survivors = kept.join(drop, "doc_id", "left_anti")
-    bench = docs.filter(F.col("doc_id") % 17 == 3).select(
-        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 20)).alias("text"))
-    cont = dedup.decontaminate(docs, bench, n=8).select(
+    cont = dedup.decontaminate(docs, _decontam_bench(docs), n=8).select(
         "doc_id", "contaminated")
-    rep = textops.repetition_features(docs).select("doc_id", "dup_token_pm")
     lang = textops.lang_id(docs).select("doc_id", "lang_pred")
+    # the repetition gate needs only dup_token_pm, which is derivable from
+    # quality_features' n_tokens/n_distinct columns — reusing them avoids
+    # dragging the composite through repetition_features' corpus-wide
+    # 2-gram explode+shuffle whose top-gram output the gate then discards
     qual = textops.quality_features(docs).select(
-        "doc_id", "quality_score", "n_tokens")
+        "doc_id", "quality_score", "n_tokens",
+        F.floor(
+            (F.col("n_tokens").cast("long") - F.col("n_distinct")) * 1000
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).cast("long").alias("dup_token_pm"))
     toks = textops.token_counts(docs).select(
         "doc_id", "ws_tokens", "bpe_tokens")
     return (
-        survivors.join(cont, "doc_id").join(rep, "doc_id")
+        survivors.join(cont, "doc_id")
         .join(lang, "doc_id").join(qual, "doc_id")
         .join(toks, "doc_id")
         .filter((F.col("contaminated") == 0)

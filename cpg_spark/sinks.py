@@ -21,7 +21,8 @@ def table_uri(workdir: str, run_id: str, stage: str, name: str) -> str:
 
 
 def scratch_table(df: DataFrame, name: str = "scratch",
-                  base: str | None = None) -> tuple[DataFrame, str]:
+                  base: str | None = None,
+                  overwrite: bool = False) -> tuple[DataFrame, str]:
     """Materialize ``df`` ONCE as an uncommitted scratch parquet table and
     return ``(scan, path)`` — the scale-correct alternative to
     ``.persist()`` for a WIDE intermediate with several downstream
@@ -42,7 +43,10 @@ def scratch_table(df: DataFrame, name: str = "scratch",
     ``base`` defaults to ``$CPG_SPARK_SCRATCH_DIR``, else
     ``$CPG_SPARK_LOCAL_DIR`` (the shuffle scratch, tmpfs in scaling
     runs), else the system temp dir.  The caller owns cleanup of the
-    returned path (or leaves it to temp-dir reaping)."""
+    returned path; ``overwrite=True`` uses a FIXED per-name path
+    (successive calls replace it instead of accumulating dirs — the
+    right mode when the scan must outlive the call, e.g. a returned lazy
+    plan, and tmpfs bases have no temp reaper)."""
     import tempfile
     import uuid
 
@@ -50,8 +54,12 @@ def scratch_table(df: DataFrame, name: str = "scratch",
             or os.environ.get("CPG_SPARK_LOCAL_DIR")
             or tempfile.gettempdir())
     os.makedirs(base, exist_ok=True)
-    path = os.path.join(base, f"{name}_{uuid.uuid4().hex[:12]}")
-    df.write.parquet(path)
+    if overwrite:
+        path = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(path)
+    else:
+        path = os.path.join(base, f"{name}_{uuid.uuid4().hex[:12]}")
+        df.write.parquet(path)
     return df.sparkSession.read.parquet(path), path
 
 

@@ -176,7 +176,9 @@ def pick_local_dir() -> str | None:
 
     base = "/dev/shm"
     try:
-        if _sh.disk_usage(base).free > 32 * 1024**3:
+        # 24 GiB free: one threshold shared with bench.py._pick_scratch
+        # so both harnesses measure the same storage configuration
+        if _sh.disk_usage(base).free > 24 * 1024**3:
             d = os.path.join(base, "cpg_spark_scaling")
             os.makedirs(d, exist_ok=True)
             return d
@@ -258,12 +260,25 @@ def main() -> None:
     }
     print(json.dumps(summary))
     out_path = os.path.join(REPO, "BENCH_SCALING.json")
-    # keep cross-run provenance: prior runs' numbers survive regeneration
+    # keep cross-run provenance: the previous run's headline numbers are
+    # archived into prior_runs (keyed by its run label) before the top
+    # level is overwritten, so history accumulates across regenerations
     try:
         with open(out_path) as fh:
-            summary["prior_runs"] = json.load(fh).get("prior_runs", {})
+            old = json.load(fh)
+        prior = old.get("prior_runs", {})
+        label = old.get("run") or f"run_{len(prior)}"
+        prior[label] = {
+            k: old[k] for k in ("docs", "parse_frontends", "compute",
+                                "pipeline_with_checkpoints",
+                                "machine_cpu_ceiling")
+            if k in old
+        }
+        summary["prior_runs"] = prior
     except (OSError, ValueError):
         pass
+    summary["run"] = (f"docs={args.docs} scratch="
+                      f"{'tmpfs' if local_dir else 'shared-disk'}")
     with open(out_path, "w") as fh:
         json.dump(summary, fh, indent=2)
 
