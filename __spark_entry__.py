@@ -567,7 +567,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "segment_dedup": """
             WITH t AS (
-              SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk
+              FROM documents
             ),
             segs AS (
               SELECT doc_id,
@@ -591,8 +592,8 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked WHERE rn = 1 GROUP BY doc_id
             )
             SELECT d.doc_id,
-                   CAST(ceil(len(string_split(d.text, ' ')) / 10.0)
-                        AS BIGINT) AS n_segs,
+                   CAST(ceil(len(string_split(COALESCE(d.text, ''), ' '))
+                             / 10.0) AS BIGINT) AS n_segs,
                    COALESCE(r.n_kept, 0) AS n_kept,
                    COALESCE(r.kept_text, '') AS kept_text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)

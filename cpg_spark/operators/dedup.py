@@ -75,32 +75,40 @@ def shingle_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return (
         pairs.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n_sh", "na"), "a")
         .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n_sh", "nb"), "b")
-        .select(
-            "a", "b", "inter",
-            # floor (not trunc-cast): DuckDB's double->int cast rounds, so
-            # floor is the only formulation both engines agree on
-            F.floor(
-                F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))
-            ).cast("long").alias("jaccard_pm"),
-        )
+        .select("a", "b", "inter", _jaccard_pm_col())
     )
+
+
+def _minhash_aggs(num_hashes: int) -> list:
+    """The shared minhash aggregation: minhash_j = min over shingles of
+    md5(j || '|' || shingle) — ONE definition so the standalone signature
+    operator, the LSH dedup path and the SQL oracle stay bit-identical."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def _jaccard_pm_col():
+    """floor(inter * 1000 / union) over (inter, na, nb) — floor, not
+    trunc-cast: DuckDB's double->int cast rounds, so floor is the only
+    formulation both engines agree on.  Shared by shingle_pairs and
+    minhash_dedup."""
+    return F.floor(
+        F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))
+    ).cast("long").alias("jaccard_pm")
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 8,
                        k: int = 3) -> DataFrame:
-    """(doc, mh0..mh{n-1}) — minhash_j = min over shingles of
-    md5(j || '|' || shingle).  String-min over hex digests is a valid
+    """(doc, mh0..mh{n-1}) — string-min over md5 hex digests is a valid
     min-wise permutation family for dedup purposes and is reproducible in
-    any engine with md5."""
+    any engine with md5 (see :func:`_minhash_aggs`)."""
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("s")
     ).distinct()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.groupBy("doc").agg(*aggs)
+    return sh.groupBy("doc").agg(*_minhash_aggs(num_hashes))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
@@ -111,6 +119,12 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
     Banding is ONE explode projection over the signature frame (not a
     union of per-band branches, which would re-execute the signature
     aggregation subtree once per band — the round-1 59 s bench query)."""
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} is not divisible by "
+            f"band_size={band_size}: the trailing "
+            f"{num_hashes % band_size} hash(es) would be silently "
+            "excluded from banding, reducing candidate recall")
     n_bands = num_hashes // band_size
     entries = []
     for b in range(n_bands):
@@ -157,11 +171,7 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .distinct()
         .persist()
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
-    sigs = sh.groupBy("doc").agg(*aggs).persist()
+    sigs = sh.groupBy("doc").agg(*_minhash_aggs(num_hashes)).persist()
     cands = lsh_candidate_pairs(sigs, num_hashes, band_size)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -176,12 +186,7 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         inter
         .join(sizes.select(F.col("doc").alias("a"), F.col("n_sh").alias("na")), "a")
         .join(sizes.select(F.col("doc").alias("b"), F.col("n_sh").alias("nb")), "b")
-        .select(
-            "a", "b", "inter",
-            F.floor(
-                F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))
-            ).cast("long").alias("jaccard_pm"),
-        )
+        .select("a", "b", "inter", _jaccard_pm_col())
     )
     return verified.filter(F.col("jaccard_pm") >= jaccard_pm_threshold)
 
@@ -278,8 +283,12 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
     Scale shape: ONE shuffle keyed on the segment content hash (uniform by
     construction) picks winners via min(struct) — map-side combinable, no
     window over a skewed key; the keep-filter is a self-join back on the
-    same hash key, and reassembly shuffles on doc id."""
-    toks = F.split(F.col(text_col), " ")
+    same hash key, and reassembly shuffles on doc id.
+
+    Null text is treated as '' (one empty segment), matching the oracle's
+    COALESCE — without it n_segs null-propagates while the coalesced
+    n_kept/kept_text columns don't, breaking downstream arithmetic."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
     segs = (
         df.select(F.col(id_col).alias("doc"), toks.alias("tk"),

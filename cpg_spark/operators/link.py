@@ -92,6 +92,18 @@ def _pick_winner(joined: DataFrame, order_cols: list) -> DataFrame:
     )
 
 
+def _same_module(scope_col, module_col):
+    """Segment-exact module containment: scope 'mod1.fn' is inside module
+    'mod1' but 'mod149.fn' is NOT — a raw ``startswith`` leaks string
+    prefixes ('mod1' ⊂ 'mod149', 'util' ⊂ 'utils') and can both admit
+    foreign candidates and mis-rank an imported declaration above the
+    true local one.  Literal comparison, not LIKE ('_'/'%' are wildcards
+    under LIKE); null module → false, never null."""
+    return (module_col.isNotNull()
+            & ((scope_col == module_col)
+               | scope_col.startswith(F.concat(module_col, F.lit(".")))))
+
+
 def _imports_dim(mentions: DataFrame) -> DataFrame:
     """(doc_id, imp_module) pairs from import mentions — the visibility
     gate for cross-document linking.  The reference resolves across files
@@ -119,11 +131,7 @@ def _visibility_gate(cand: DataFrame, imports: DataFrame) -> DataFrame:
         & (F.col("d_module") == F.col("imp_module")),
         "left_outer",
     ).drop("imp_doc_id")
-    # literal prefix test, NOT SQL LIKE: '_'/'%' in module names are
-    # wildcards under LIKE ('my_util' would prefix-match 'myxutil...'),
-    # and a null d_module must rank as not-same-module, not null-drop
-    same_module = (F.col("d_module").isNotNull()
-                   & F.col("scope_path").startswith(F.col("d_module")))
+    same_module = _same_module(F.col("scope_path"), F.col("d_module"))
     return (
         gated.filter(
             same_module
@@ -520,8 +528,7 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         .otherwise(F.lit(0)),
     ).drop("_anc_depth")
     same_module = (
-        F.when(F.col("d_module").isNotNull()
-               & F.col("scope_path").startswith(F.col("d_module")),
+        F.when(_same_module(F.col("scope_path"), F.col("d_module")),
                F.lit(0)).otherwise(1)
     )
     winners = _pick_winner(
@@ -586,6 +593,11 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     fp_terms = None
     term_inferred = None
     if nodes is not None and edges is not None:
+        # keep the pre-anti-join miss set: a conditionally-assigned
+        # pointer can have BOTH a resolved target and an unresolved
+        # terminal; the terminal leg must still be processed even though
+        # the resolved hit removes the mention from `missed`
+        fp_base = missed
         fp, fp_terms = _function_pointer_targets(missed, nodes, edges,
                                                  mentions=mentions)
         fp_calls = (
@@ -617,7 +629,7 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
             fp_terms = None
     if fp_terms is not None:
         tm = fp_terms.join(
-            missed.select("mention_id", "doc_id"), "mention_id")
+            fp_base.select("mention_id", "doc_id"), "mention_id")
         t_dim = fns.filter(F.col("d_kind").isin("function", "method")).select(
             F.col("d_name").alias("t_name"), "d_decl_id", "d_n_params")
         tj = tm.join(
@@ -625,10 +637,24 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
                 t_dim.join(tm.select("t_name").distinct(), "t_name",
                            "left_semi")),
             ["t_name"], "left_outer",
-        ).filter(F.col("d_decl_id").isNull()
-                 | (F.coalesce(F.col("d_n_params"), F.lit(0))
-                    == F.col("t_nargs")))
-        tw = Window.partitionBy("mention_id").orderBy(
+        )
+        # arity-mismatched declarations are NULLED, not row-dropped: a
+        # terminal whose name matches only wrong-arity decls must still
+        # fall through to inference — dropping its rows would erase the
+        # call entirely (no edge AND no inferred node)
+        _t_arity_ok = (F.coalesce(F.col("d_n_params"), F.lit(0))
+                       == F.col("t_nargs"))
+        tj = (tj.withColumn(
+                  "d_n_params",
+                  F.when(_t_arity_ok, F.col("d_n_params")))
+              .withColumn(
+                  "d_decl_id",
+                  F.when(_t_arity_ok, F.col("d_decl_id"))))
+        # one winner PER TERMINAL, not per mention: a pointer reaching
+        # several functions (cond ? &f : &g) keeps every invokes leg
+        # (multi-invokes semantics); best declared match first, else the
+        # inferred (name, arity) node
+        tw = Window.partitionBy("mention_id", "t_name", "t_nargs").orderBy(
             F.col("d_decl_id").isNull().cast("int"), "d_decl_id")
         tj = (tj.withColumn("_rk", F.row_number().over(tw))
               .filter(F.col("_rk") == 1).drop("_rk"))
@@ -749,7 +775,8 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
               closure: DataFrame | None = None):
     """Resolve ``ref`` / ``member_ref`` / ``import`` mentions against
     module-level declarations (vars, functions, records) and record fields —
-    the VariableUsageResolver cascade (J2).  Returns (edges, stats).
+    the VariableUsageResolver cascade (J2).  Returns
+    (edges, inferred_nodes, stats).
 
     ``dim`` is the shared symbol dimension (see :func:`symbol_dim`) —
     unfiltered so its broadcast exchange is reused with link_calls';
@@ -763,7 +790,6 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
     ).select("mention_id", "kind", "name", "base_type", "scope_path",
              "doc_id", "n_args")
     decls = symbol_dim(symbols) if dim is None else dim
-    star_src = refs
     # asterisk expansion (ImportResolver.java:62-120): a wildcard import
     # refers to EVERY module-level symbol of its source module — a
     # module-keyed join instead of the name join (records' members are
@@ -873,8 +899,7 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
         .otherwise(F.lit(0)),
     ).drop("_anc_depth")
     same_module = (
-        F.when(F.col("d_module").isNotNull()
-               & F.col("scope_path").startswith(F.col("d_module")),
+        F.when(_same_module(F.col("scope_path"), F.col("d_module")),
                F.lit(0)).otherwise(1)
     )
     # value declarations outrank callables for a VALUE usage — a name
