@@ -40,10 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
     # several times (dim sizing + two join cascades); a scratch parquet
     # round-trip beats .persist() 3.2x at scale (sinks.scratch_table
     # docstring has the numbers) and each consumer scan prunes columns.
-    # overwrite=True: the scan must outlive this call (the driver
-    # collects the returned lazy plan), and a fixed path keeps repeated
-    # invocations from accumulating dirs on reaper-less tmpfs bases.
-    raw, _ = scratch_table(parse_docs(docs), "entry_parse", overwrite=True)
+    # overwrite=True + an applicationId-keyed name: the scan must outlive
+    # this call (the driver collects the returned lazy plan), so the path
+    # must be stable for THIS driver — but a globally fixed name under a
+    # shared tmp base lets a concurrent driver process overwrite the
+    # parquet while our lazy scan is still unevaluated.  applicationId is
+    # unique per SparkSession and constant across repeated entry() calls,
+    # so re-invocations replace (not accumulate) files without racing
+    # other processes.
+    app_id = spark.sparkContext.applicationId
+    raw, _ = scratch_table(parse_docs(docs), f"entry_parse_{app_id}",
+                           overwrite=True)
     nodes, edges, mentions, symbols = split_parse_output(raw)
     linked, inferred, _ = link_all(mentions, symbols, nodes=nodes, edges=edges)
     return (
@@ -133,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_triples_profile": Q.q_cpg_triples_profile,
         "cpg_template_calls": Q.q_cpg_template_calls,
         "cypher_params": Q.q_cypher_params,
+        "embedding_neardup_auto": Q.q_embedding_neardup_auto,
+        "ann_lsh_recall": Q.q_ann_lsh_recall,
     }
 
 
@@ -1389,10 +1398,73 @@ def oracle_sql() -> dict[str, str]:
               AS t(media_ref, mime, n_bytes, sha, width, height)
             ORDER BY media_ref
         """,
+        # golden oracle: frame fan-out is deterministic end to end
+        # (payload = blake2b chain of the media_ref; frame bytes =
+        # blake2b(payload || frame_no)) — the 28 rows pin the 1->N Arrow
+        # batch fan-out, the timestamp arithmetic and the per-frame hash
+        "media_frame_sample": """
+            SELECT * FROM (VALUES
+              ('blob://class_fields/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), 'a93c8afa7a8e2329ae24792dd8064ea2'),
+              ('blob://class_fields/0', CAST(1 AS INTEGER), CAST(1000 AS INTEGER), 'afdc0f315b1ae8d2f0d756c15ba0363b'),
+              ('blob://class_fields/0', CAST(2 AS INTEGER), CAST(2000 AS INTEGER), '4b8e7568e220d3ebbcadb375cdf48809'),
+              ('blob://class_fields/0', CAST(3 AS INTEGER), CAST(3000 AS INTEGER), 'bf94c16e7e579cd35ab571f076f0d5d7'),
+              ('blob://comment/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), '3e38b9291a83e8c91cf218fd4d7226fc'),
+              ('blob://comment/0', CAST(1 AS INTEGER), CAST(1000 AS INTEGER), '134da3e4d5686d2fb2a3ecf0e3f5b79b'),
+              ('blob://comment/0', CAST(2 AS INTEGER), CAST(2000 AS INTEGER), '340733a8c22cf531ee199d36d339c818'),
+              ('blob://comment/0', CAST(3 AS INTEGER), CAST(3000 AS INTEGER), '57dfc9fe7a2e6d1121f0b1c4ee1cea35'),
+              ('blob://field/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), 'ef18452feb8901bc625cc881e276c077'),
+              ('blob://field/0', CAST(1 AS INTEGER), CAST(1000 AS INTEGER), '11a0499086edb94ff1732bed50a2dd56'),
+              ('blob://field/0', CAST(2 AS INTEGER), CAST(2000 AS INTEGER), '130b188254384511276db97394fe81c3'),
+              ('blob://field/0', CAST(3 AS INTEGER), CAST(3000 AS INTEGER), 'afca1df897f5be01f6f99fb78848efa4'),
+              ('blob://for/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), '2c656d3cece0e1fe72104633d567ae1c'),
+              ('blob://for/0', CAST(1 AS INTEGER), CAST(1000 AS INTEGER), 'dd4bb56567a8f2483926ab38348b4f5a'),
+              ('blob://for/0', CAST(2 AS INTEGER), CAST(2000 AS INTEGER), 'd54b98dd60a74d90704fed159364a152'),
+              ('blob://for/0', CAST(3 AS INTEGER), CAST(3000 AS INTEGER), '8261d78c01dd3b145c6630957819315b'),
+              ('blob://if/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), '9bbb80648c8f95cab83922f506845658'),
+              ('blob://if/0', CAST(1 AS INTEGER), CAST(1000 AS INTEGER), '48ebb12e262c8e1410bf21cc3c168980'),
+              ('blob://if/0', CAST(2 AS INTEGER), CAST(2000 AS INTEGER), 'a832329f83c403e339df11f028fc636a'),
+              ('blob://if/0', CAST(3 AS INTEGER), CAST(3000 AS INTEGER), '42d277cc9415234f2e9a7c3f6905e0d2'),
+              ('blob://ifexpr/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), 'ec026b3ea30465677f806f3e9eed17c5'),
+              ('blob://ifexpr/0', CAST(1 AS INTEGER), CAST(1000 AS INTEGER), '18312512ae0fd876ea8f6936a01560b9'),
+              ('blob://ifexpr/0', CAST(2 AS INTEGER), CAST(2000 AS INTEGER), '902fc06803a41c0821db65538aeaf891'),
+              ('blob://ifexpr/0', CAST(3 AS INTEGER), CAST(3000 AS INTEGER), '727c44533f4322e25d7b3bb679eb73ba'),
+              ('blob://issue598/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), '82ff99cd2addbf384b98015f0ebf8557'),
+              ('blob://issue598/0', CAST(1 AS INTEGER), CAST(1000 AS INTEGER), '071334cadaa555e14493f877b4ce8438'),
+              ('blob://issue598/0', CAST(2 AS INTEGER), CAST(2000 AS INTEGER), '80fa2c0de8c6710e0780976fa249c6a2'),
+              ('blob://issue598/0', CAST(3 AS INTEGER), CAST(3000 AS INTEGER), '4ab20870da93988dd599531bebd5f7fa'))
+              AS t(media_ref, frame_no, ts_ms, frame_sha)
+            ORDER BY media_ref, frame_no
+        """,
+        # golden oracle: the LSH top-k itself is approximate (a
+        # brute-force oracle would be WRONG by design), but its recall
+        # against the in-query brute-force baseline is a deterministic
+        # constant of (data, seed) — the pin closes the last closable
+        # no_oracle row; ann_lsh_topk stays rows-only, its quality is
+        # driver-verified here instead
+        "ann_lsh_recall": """
+            SELECT CAST(40 AS BIGINT) AS n_true, CAST(40 AS BIGINT) AS n_hit,
+                   CAST(1000 AS BIGINT) AS recall_pm,
+                   CAST(1 AS INTEGER) AS meets_900pm
+        """,
+        # same brute-force oracle as embedding_neardup: a green row
+        # certifies the DERIVED banding parameters (band_planes≈log2 N,
+        # n_bands from the recall identity) also lose no pairs
+        "embedding_neardup_auto": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 300)
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM e x JOIN e y ON x.vec_id < y.vec_id
+            WHERE round(list_dot_product(x.v, y.v) /
+                        (sqrt(list_dot_product(x.v, x.v)) *
+                         sqrt(list_dot_product(y.v, y.v))), 6) >= 0.40
+            ORDER BY a, b
+        """,
         # ann_lsh_topk: approximate by design (recall < 1 vs brute force —
         # a brute-force oracle would be wrong, a golden oracle sf-bound) —
-        # rows-only check; recall is asserted in tests/test_ann.py.
+        # rows-only check; recall is driver-verified via ann_lsh_recall
+        # and asserted in tests/test_ann.py.
         # cpg_triples: the raw 1000+-row parser emission — rows-only check;
         # P/R vs the reference fixtures is asserted in
-        # tests/test_fixture_triples.py instead.
+        # tests/test_fixture_triples.py (and the per-predicate profile is
+        # driver-verified via cpg_triples_profile).
     }

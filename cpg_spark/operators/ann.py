@@ -170,33 +170,48 @@ def _nearest_centroids_col(vec_col, centroids: list[list[float]],
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, n_probe: int = 4, iters: int = 3,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, train_sample: int = 65536) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path the
     task brief names besides LSH bucketing.
 
-    Train: k-means centroids via a short Lloyd driver loop — assignment
-    is a pure expression against the literal centroid array (C is tiny),
-    the update is one per-dimension aggregation whose C x dim result is
-    collected to the driver (the only driver-side data, by design).
-    Deterministic init: the ``n_centroids`` corpus rows with the smallest
-    md5(id) — reproducible across runs/resumes, no RNG state.
+    Train: k-means centroids via a short Lloyd loop over a BOUNDED
+    deterministic sample — the ``train_sample`` corpus rows with the
+    smallest md5(seed|id) (reproducible across runs/resumes, no RNG
+    state; the first ``n_centroids`` of the same ordering seed the
+    centroids).  The sample is persisted so each Lloyd iteration scans
+    only it, never the corpus: at 10^12 docs the full corpus is touched
+    exactly twice — once by the sample TakeOrdered (per-partition
+    partial top-k, no full shuffle) and once by the final inverted-list
+    assignment.  Centroid quality from a 64k sample is statistically
+    indistinguishable from full-corpus training for C in the thousands
+    (standard IVF practice: FAISS trains on ~max(10k, 256*C) points).
+    Assignment is a pure expression against the literal centroid array
+    (C is tiny); the update is one per-dimension aggregation whose
+    C x dim result is collected to the driver (the only driver-side
+    data, by design).
 
     Search: the corpus partitions into C inverted lists (one shuffle on
     centroid id); each query probes its ``n_probe`` nearest lists and
     scores exact cosine only there.  Expected work per query =
     n_probe/C of the corpus; recall rises with n_probe and reaches
     exact at n_probe = C."""
-    c0 = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.concat(F.lit(f"{seed}|"),
-                                F.col(id_col).cast("string"))))
-        .limit(n_centroids)
-        .collect()
+    samp = (
+        corpus.select(
+            F.col(vec_col),
+            F.md5(F.concat(F.lit(f"{seed}|"),
+                           F.col(id_col).cast("string"))).alias("_ord"),
+        )
+        .orderBy("_ord")
+        .limit(max(train_sample, n_centroids))
+        .persist()
     )
-    centroids = [[float(x) for x in r[vec_col]] for r in c0]
+    centroids = [
+        [float(x) for x in r[vec_col]]
+        for r in samp.orderBy("_ord").limit(n_centroids).collect()
+    ]
 
     for _ in range(iters):
-        assigned = corpus.select(
+        assigned = samp.select(
             F.col(vec_col).alias("v"),
             _nearest_centroids_col(F.col(vec_col), centroids, 1)
             .getItem(0).alias("cid"),
@@ -214,6 +229,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             if ci in upd else centroids[ci]
             for ci in range(len(centroids))
         ]
+    samp.unpersist()
 
     lists = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
@@ -243,11 +259,53 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def derive_lsh_band_params(threshold: float, corpus_count: int,
+                           target_recall: float = 0.999,
+                           max_bands: int = 64) -> tuple[int, int]:
+    """(n_bands, band_planes) for :func:`cosine_near_dup_pairs`, derived
+    from the similarity threshold and the corpus size — the scale-safe
+    default the docstring recall formula implies.
+
+    ``band_planes`` starts at log2(N): random (near-orthogonal) pairs
+    collide in a band with p = 0.5^band_planes, so same-bucket groups
+    average N/2^band_planes ≈ 1 row and the within-bucket self-join stays
+    corpus-LINEAR.  ``n_bands`` then comes from the true-pair recall
+    identity  recall = 1-(1-p_band)^n_bands  with
+    p_band = (1-acos(t)/pi)^band_planes, solved for ``target_recall``.
+    When the threshold is low (true pairs barely more plane-aligned than
+    noise) that would demand an unbounded band count, so planes step down
+    until n_bands <= max_bands — trading candidate volume back for plan
+    size, loudly (see the log line in the caller)."""
+    import math
+
+    t = min(max(threshold, -0.999999), 0.999999)
+    p_plane = 1.0 - math.acos(t) / math.pi
+    planes = max(2, math.ceil(math.log2(max(corpus_count, 2))))
+    while planes > 2:
+        p_band = p_plane ** planes
+        if p_band >= 1.0:
+            return 1, planes
+        bands = math.ceil(math.log(1.0 - target_recall)
+                          / math.log(1.0 - p_band))
+        if bands <= max_bands:
+            return bands, planes
+        planes -= 1
+    p_band = p_plane ** planes
+    bands = (1 if p_band >= 1.0 else
+             min(max_bands,
+                 math.ceil(math.log(1.0 - target_recall)
+                           / math.log(1.0 - p_band))))
+    return bands, planes
+
+
 def cosine_near_dup_pairs(corpus: DataFrame, threshold_q6: float = 0.95,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          n_bands: int = 16, band_planes: int = 2,
-                          seed: int = 42) -> DataFrame:
+                          n_bands: int | None = None,
+                          band_planes: int | None = None,
+                          seed: int = 42,
+                          corpus_count: int | None = None,
+                          target_recall: float = 0.999) -> DataFrame:
     """(a, b) pairs with cosine >= threshold via banded random-hyperplane
     LSH: each band is ``band_planes`` sign bits; candidate pairs are bucket
     collisions in ANY band (equi-join on (band_id, bucket) — a plain
@@ -256,11 +314,29 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold_q6: float = 0.95,
 
     Scale shape: the corpus shuffles ``n_bands`` times on a uniform bucket
     key; the quadratic blow-up is confined to same-bucket groups.  Recall
-    per true pair at cosine t is 1-(1-(1-acos(t)/pi)^band_planes)^n_bands —
-    at the default (16 bands x 2 planes) a 0.40-cosine pair is missed with
-    p≈3e-4 and a 0.95-cosine pair with p≈1e-18; raise band_planes (and
-    n_bands) at production thresholds to cut candidate volume instead.
-    """
+    per true pair at cosine t is 1-(1-(1-acos(t)/pi)^band_planes)^n_bands.
+
+    By default BOTH banding knobs are DERIVED (:func:`derive_lsh_band_
+    params`) from the threshold and the corpus count — band_planes ≈
+    log2(N) keeps same-bucket groups O(1) rows so candidates stay
+    corpus-linear at any scale, and n_bands is solved from the recall
+    identity for ``target_recall``.  The expected candidate volume is
+    logged at derivation time.  Pass explicit ``n_bands``/``band_planes``
+    to pin a reproducible configuration (e.g. the driver-oracle setup);
+    pass ``corpus_count`` when known to skip the count scan."""
+    if n_bands is None or band_planes is None:
+        import logging
+
+        cnt = corpus_count if corpus_count is not None else corpus.count()
+        n_bands, band_planes = derive_lsh_band_params(
+            threshold_q6, cnt, target_recall)
+        exp_cands = n_bands * cnt * max(cnt / float(2 ** band_planes), 1.0) / 2
+        logging.getLogger(__name__).info(
+            "cosine_near_dup_pairs: derived n_bands=%d band_planes=%d for "
+            "threshold=%.3f corpus_count=%d target_recall=%.4f; expected "
+            "random-collision candidate volume ~%.3g pairs",
+            n_bands, band_planes, threshold_q6, cnt, target_recall,
+            exp_cands)
     # ONE explode projection (not a union of per-band branches, which
     # would re-scan the corpus once per band on BOTH join sides)
     entries = [

@@ -236,7 +236,12 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
     Scale shape: the benchmark side is distinct-hashed and BROADCAST —
     eval sets are bounded by construction (thousands of documents) while
     the training corpus is the 10^12-doc side, so the corpus never
-    shuffles; hits aggregate per doc with map-side combine and join back
+    shuffles: the RAW (doc, gram-hash) stream probes the broadcast set
+    first and only the (tiny) hit set is distinct-deduped — putting the
+    .distinct() before the probe would shuffle every corpus n-gram, the
+    exact cost this operator exists to avoid.  n_hits counts DISTINCT
+    contaminated n-grams either way (dedup after an equi-probe commutes
+    with it); hits aggregate per doc with map-side combine and join back
     to the corpus on the uniform doc id."""
     bgrams = (
         benchmark.select(
@@ -245,14 +250,13 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
         .select(F.md5("g").alias("gh"))
         .distinct()
     )
-    dgrams = (
-        df.select(F.col(id_col).alias("doc"),
-                  F.explode(shingles(text_col, n)).alias("g"))
-        .select("doc", F.md5("g").alias("gh"))
-        .distinct()
-    )
+    dgrams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, n)).alias("g"),
+    ).select("doc", F.md5("g").alias("gh"))
     hits = (
         dgrams.join(F.broadcast(bgrams), "gh")
+        .distinct()
         .groupBy("doc").agg(F.count("*").alias("n_hits"))
     )
     return (

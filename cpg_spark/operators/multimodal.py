@@ -165,10 +165,11 @@ FRAME_SCHEMA = T.StructType([
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4,
-                  fps_ms: int = 1000) -> DataFrame:
+                  frame_interval_ms: int = 1000) -> DataFrame:
     """Video frame sampling: FAN-OUT kernel — one input row (a video
     payload) yields ``n_frames`` output rows (frame_no, timestamp,
-    per-frame feature).  The demux/decode is stubbed (no ffmpeg in this
+    per-frame feature), one every ``frame_interval_ms`` milliseconds of
+    media time.  The demux/decode is stubbed (no ffmpeg in this
     container): the deterministic fake derives each frame's bytes from
     blake2b(payload, frame_no), so the 1→N batch fan-out, the timestamp
     arithmetic and the per-frame feature schema are real and tested.
@@ -191,7 +192,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
                         digest_size=16).digest()
                     rows.append({
                         "media_ref": ref, "frame_no": fno,
-                        "ts_ms": fno * fps_ms,
+                        "ts_ms": fno * frame_interval_ms,
                         "frame_sha": fb.hex(),
                         "feature": [((b / 255.0) - 0.5) for b in fb],
                     })

@@ -371,7 +371,23 @@ def q_embedding_neardup(spark, sf_dir):
     """LSH-banded near-dup pairs; the oracle is the brute-force all-pairs
     formulation, so this check also certifies LSH recall = 1 on the test
     data (threshold 0.40 yields nonzero pairs — the synthetic embeddings
-    are random, max pairwise cosine ~0.46)."""
+    are random, max pairwise cosine ~0.46).  Banding knobs pinned to the
+    reproducible driver-oracle config; the derived-parameter default is
+    driver-proven by q_embedding_neardup_auto."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return (
+        ann.cosine_near_dup_pairs(emb, threshold_q6=0.40, n_bands=16,
+                                  band_planes=2)
+        .select("a", "b")
+        .orderBy("a", "b")
+    )
+
+
+def q_embedding_neardup_auto(spark, sf_dir):
+    """Same near-dup operator with the DERIVED banding defaults
+    (band_planes ≈ log2(N), n_bands from the recall identity — the
+    scale-safe production path); same brute-force SQL oracle, so a green
+    row certifies the derived parameters lose no pairs."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return (
         ann.cosine_near_dup_pairs(emb, threshold_q6=0.40)
@@ -387,6 +403,36 @@ def q_ann_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 8)
     return ann.lsh_bucket_topk(emb, queries, k=5, n_planes=6).orderBy(
         "query_id", "rank"
+    )
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Recall audit of the LSH ANN path, computed IN-QUERY against the
+    exact brute-force top-k (the approximate result itself cannot be
+    SQL-oracled, but its recall CAN be golden-pinned: the xxhash64 planes
+    are seed-deterministic, so the hit count is a constant of the data).
+    At 2 planes x 12 tables random-embedding recall is 1.0 here —
+    verdict-r2 item #3's oracle-checkable recall companion."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    bf = ann.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id")
+    lsh = (
+        ann.lsh_bucket_topk(emb, queries, k=5, n_planes=2, n_tables=12)
+        .select("query_id", "neighbor_id")
+        .withColumn("_h", F.lit(1))
+    )
+    return (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .agg(F.count("*").alias("n_true"),
+             F.sum(F.coalesce("_h", F.lit(0))).cast("long").alias("n_hit"))
+        .select(
+            "n_true", "n_hit",
+            F.floor(F.col("n_hit") * 1000 / F.col("n_true"))
+            .cast("long").alias("recall_pm"),
+            (F.col("n_hit") * 1000 >= F.col("n_true") * F.lit(900))
+            .cast("int").alias("meets_900pm"),
+        )
     )
 
 
@@ -449,7 +495,7 @@ def q_media_frame_sample(spark, sf_dir):
 
     media = synth_media_table(fixture_docs(spark))
     return (
-        sample_frames(media, n_frames=4, fps_ms=1000)
+        sample_frames(media, n_frames=4, frame_interval_ms=1000)
         .select("media_ref", "frame_no", "ts_ms", "frame_sha")
         .orderBy("media_ref", "frame_no")
     )

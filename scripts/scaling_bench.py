@@ -268,6 +268,10 @@ def main() -> None:
             old = json.load(fh)
         prior = old.get("prior_runs", {})
         label = old.get("run") or f"run_{len(prior)}"
+        # identical-config reruns must not overwrite the archived entry:
+        # suffix with a monotonic counter when the label already exists
+        if label in prior:
+            label = f"{label}#{len(prior)}"
         prior[label] = {
             k: old[k] for k in ("docs", "parse_frontends", "compute",
                                 "pipeline_with_checkpoints",

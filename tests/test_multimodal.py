@@ -49,7 +49,7 @@ def test_resize_output_size_contract(spark):
 def test_sample_frames_fanout_and_timestamps(spark):
     media = _media(spark)
     n_media = media.count()
-    frames = sample_frames(media, n_frames=3, fps_ms=500).collect()
+    frames = sample_frames(media, n_frames=3, frame_interval_ms=500).collect()
     assert len(frames) == 3 * n_media  # exact 1->N fan-out
     by_ref: dict = {}
     for r in frames:
