@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_params": Q.q_cypher_params,
         "embedding_neardup_auto": Q.q_embedding_neardup_auto,
         "ann_lsh_recall": Q.q_ann_lsh_recall,
+        "cpg_enums": Q.q_cpg_enums,
     }
 
 
@@ -1397,6 +1398,30 @@ def oracle_sql() -> dict[str, str]:
               ('blob://issue598/0', 'image/fake', CAST(256 AS INTEGER), '5623f139d922f5e386ad308c744590f39a3e247dd9ad0c8919e1d4253caf338c', CAST(88 AS INTEGER), CAST(107 AS INTEGER)))
               AS t(media_ref, mime, n_bytes, sha, width, height)
             ORDER BY media_ref
+        """,
+        # golden oracle: EnumDeclaration / EnumConstantDeclaration
+        # emission over the reference's own enum fixture
+        # (compiling/MemberCallExpression.java), the C++ enum forms and
+        # the Go const-iota analogue — entry order + EVAL_TYPE pinned
+        "cpg_enums": """
+            SELECT * FROM (VALUES
+              ('cpp/enums/0001', 'Color', 'RED', CAST(0 AS INTEGER), 'Color'),
+              ('cpp/enums/0001', 'Color', 'GREEN', CAST(1 AS INTEGER), 'Color'),
+              ('cpp/enums/0001', 'Color', 'BLUE', CAST(2 AS INTEGER), 'Color'),
+              ('cpp/enums/0001', 'Depth', 'SHALLOW', CAST(0 AS INTEGER), 'Depth'),
+              ('cpp/enums/0001', 'Depth', 'DEEP', CAST(1 AS INTEGER), 'Depth'),
+              ('cpp/enums/0001', 'Direction', 'NORTH', CAST(0 AS INTEGER), 'Direction'),
+              ('cpp/enums/0001', 'Direction', 'SOUTH', CAST(1 AS INTEGER), 'Direction'),
+              ('cpp/enums/0001', 'Flags', 'ON', CAST(0 AS INTEGER), 'Flags'),
+              ('cpp/enums/0001', 'Flags', 'OFF', CAST(1 AS INTEGER), 'Flags'),
+              ('go/state/0001', 'Phase', 'Idle', CAST(0 AS INTEGER), 'Phase'),
+              ('go/state/0001', 'Phase', 'Busy', CAST(1 AS INTEGER), 'Phase'),
+              ('go/state/0001', 'Phase', 'Done', CAST(2 AS INTEGER), 'Phase'),
+              ('java/MemberCallExpressionCT/0001', 'Color', 'RED', CAST(0 AS INTEGER), 'Color'),
+              ('java/MemberCallExpressionCT/0001', 'Color', 'GREEN', CAST(1 AS INTEGER), 'Color'),
+              ('java/MemberCallExpressionCT/0001', 'Color', 'BLUE', CAST(2 AS INTEGER), 'Color'))
+              AS t(doc_id, enum_name, entry_name, entry_index, entry_type)
+            ORDER BY doc_id, enum_name, entry_index
         """,
         # golden oracle: frame fan-out is deterministic end to end
         # (payload = blake2b chain of the media_ref; frame bytes =

@@ -475,3 +475,17 @@ CPP_FIXTURES.update({
     'inference_record': 'int main() {\n    T node;\n    node.value = 42;\n    node.next = &node;\n}\n',
     'inference_record_ptr': 'int main() {\n    T* node = new T();\n    node->value = 42;\n    node->next = node;\n\n    node->dump();\n}\n',
 })
+
+
+# Enum fixtures: the reference's own enum-bearing test program
+# (cpg-core/src/test/resources/compiling/MemberCallExpression.java — the
+# only enum in its resources; nested `enum Color` + `c.foo(Color.RED)`),
+# plus a C++ program covering the unscoped / scoped(`enum class`) /
+# trailing-declarator / elaborated-specifier forms that
+# EnumDeclaration.java:38-47 models.
+JAVA_FIXTURES.update({
+    'MemberCallExpressionCT': 'public class CT {\n\n\tpublic static final int CONSTANT = 3;\n\n\tenum Color\n\t{\n\t\tRED, GREEN, BLUE;\n\t}\n\n\tpublic static void main(String[] args){\n\t\tCT c = new CT();\n\n\t\t// Enum as argument\n\t\tc.foo(Color.RED);\n\n\t\t// Field as argument\n\t\tc.bar(CT.CONSTANT);\n\n\t\t// Constant as argument\n\t\tc.bar(3);\n\n\t\t// Expression as argument\n\t\tc.bar(2+1);\n\n\t\t// MethodCallExpression as argument\n\t\tc.bar(c.red());\n\t}\n\n\tprivate void bar(int constant) {\n\t}\n\n\tprivate void foo(Color red) {\n\t}\n\n\tprivate int red() {\n\t\treturn 0;\n\t}\n}\n',
+})
+CPP_FIXTURES.update({
+    'enums': 'enum Color { RED, GREEN = 5, BLUE };\n\nenum class Direction : int { NORTH, SOUTH };\n\nenum Flags { ON, OFF } toggle;\n\nenum Color painted = GREEN;\n\nint use() {\n  int x = RED;\n  enum Color c = BLUE;\n  Direction d = Direction::NORTH;\n  return x;\n}\n\nstruct Palette {\n  enum Depth { SHALLOW, DEEP };\n  int bits;\n};\n',
+})

@@ -442,12 +442,9 @@ class CFamilyFrontend(Emitter):
                 if nid:
                     self.ast_edge(ns_id, nid, "DECLARATIONS", di)
             elif t.kind == "ident" and t.text == "enum":
-                self.next()
-                if self.peek().kind == "ident":
-                    self.next()
-                if self.peek().kind == "{":
-                    self._skip_balanced("{", "}")
-                self.accept(";")
+                nid = self.parse_enum(self._p("enum"), ns_id, di)
+                if nid:
+                    self.ast_edge(ns_id, nid, "DECLARATIONS", di)
             else:
                 nid = self.parse_member_or_global(self._p("top"), record=None,
                                                   parent=ns_id, index=di)
@@ -722,6 +719,154 @@ class CFamilyFrontend(Emitter):
         self.accept(";")
         return rid
 
+    def parse_enum(self, path: str, parent: str, index: int) -> str | None:
+        """``enum [class|struct] Name [: T | implements I] { A, B = e, C(x) }
+        [decl];`` -> EnumDeclaration with ENTRIES-linked
+        EnumConstantDeclaration children (EnumDeclaration.java:38-47
+        ENTRIES/SUPER_TYPES; DeclarationHandler.java:388-410 sets every
+        entry's EVAL_TYPE to the enum's own type).
+
+        The enum registers as a record so qualified access (``Color.RED`` /
+        ``Color::RED``) and Java static imports resolve through the
+        ordinary member machinery; UNSCOPED C/C++ enum constants
+        additionally leak into the enclosing scope (C semantics), so bare
+        ``RED`` references link to the entry.  Java constant arguments
+        parse as ARGUMENTS; C initializers get INITIALIZER + DFG like
+        fields (FieldDeclaration.java:100)."""
+        kw_t = self.next()  # 'enum'
+        scoped = False
+        if (self.dialect == "cpp" and self.peek().kind == "ident"
+                and self.peek().text in ("class", "struct")
+                and self.peek(1).kind == "ident"):
+            self.next()
+            scoped = True
+        if self.peek().kind == "ident":
+            name_t = self.next()
+            name = name_t.text
+        else:
+            name_t, name = kw_t, ""  # anonymous C enum: constants leak
+        supers: list[str] = []
+        underlying = None
+        if self.dialect == "cpp" and self.accept(":"):
+            underlying = self.parse_type()
+        elif self.dialect == "java":
+            while (self.peek().kind == "ident"
+                   and self.peek().text == "implements"):
+                self.next()
+                while True:
+                    sup = self.parse_type()
+                    if sup:
+                        supers.append(sup)
+                    if not self.accept(","):
+                        break
+        if self.peek().kind != "{":
+            if self.peek().kind == "ident" and name:
+                # elaborated variable declaration: `enum Color c;`
+                self._enum_declarators(path, parent, index, name)
+                return None
+            # opaque-enum / forward declaration: `enum class E : int;`
+            self.accept(";")
+            return None
+        props = {"scoped": "true"} if scoped else {}
+        if underlying:
+            props["underlying"] = underlying
+        eid = self.node(path, "EnumDeclaration", name, self._tloc(name_t),
+                        props=props or None)
+        etype = name or "int"
+        for sup in supers:
+            self.edge(eid, "SUPER_TYPE", self.type_node(sup))
+        rec = {"decl_id": eid, "name": name, "fields": {}, "methods": {},
+               "ctors": [], "supers": supers, "is_enum": True,
+               "module": self._ns_stack[-1] if self._ns_stack else None}
+        if name:
+            self.records[name] = rec
+            self.declare(name, eid, "record", name)
+        self.expect("{")
+        ei = 0
+        while self.peek().kind not in ("}", "eof", ";"):
+            if self.peek().kind != "ident":
+                self.next()
+                continue
+            ct = self.next()
+            cid = self.node(f"{path}.e[{ei}]", "EnumConstantDeclaration",
+                            ct.text, self._tloc(ct))
+            self.eval_type(cid, etype)
+            # materialized ENTRIES edge + the AST subgraph edge, mirroring
+            # the FIELDS double emission (EnumDeclaration.java:40
+            # @Relationship("ENTRIES") @SubGraph("AST"))
+            self.edge(eid, "ENTRIES", cid, {"index": ei})
+            self.ast_edge(eid, cid, "ENTRIES", ei)
+            if self.peek().kind == "(":
+                # java constant arguments: RED(255, 0, 0)
+                self._parse_args(cid, f"{path}.e[{ei}]")
+            if self.peek().kind == "{":
+                # java constant class body — out of the subset grammar
+                self._skip_balanced("{", "}")
+            if self.accept("="):
+                init_id, _ = self.parse_expr(f"{path}.e[{ei}].init")
+                self.ast_edge(cid, init_id, "INITIALIZER", 0)
+                self.edge(init_id, "DFG", cid)
+            rec["fields"][ct.text] = cid
+            rec.setdefault("field_types", {})[ct.text] = etype
+            if self.dialect == "java":
+                # entries are implicitly public static final — importable
+                # via `import static Color.RED` like any static field
+                rec.setdefault("field_statics", set()).add(ct.text)
+            elif not scoped:
+                # unscoped C/C++ enum: constants are visible in the
+                # enclosing scope without qualification
+                self.declare(ct.text, cid, "var", etype)
+            ei += 1
+            if not self.accept(","):
+                break
+        if self.accept(";"):
+            # java: members after the constant list parse like a record
+            # body (enums are full classes in the JLS)
+            rec["scope"] = self.enter_scope("record", name, eid)
+            self._typedefs.append({})
+            mi = 0
+            while self.peek().kind not in ("}", "eof"):
+                if self.peek().kind == ";":
+                    self.next()
+                    continue
+                got = self.parse_member_or_global(f"{path}.m[{mi}]",
+                                                  record=rec, parent=eid,
+                                                  index=mi)
+                if got is None:
+                    self.next()
+                mi += 1
+            self._typedefs.pop()
+            self.leave_scope()
+        self.expect("}")
+        if self.dialect == "cpp":
+            # trailing declarators: `enum Color { RED } c, d;`
+            self._enum_declarators(path, parent, index, etype)
+        else:
+            self.accept(";")
+        return eid
+
+    def _enum_declarators(self, path: str, parent: str, index: int,
+                          etype: str) -> None:
+        """Comma-separated variable declarators of an enum type, shared by
+        the trailing-declarator (`enum C { .. } c;`) and elaborated
+        (`enum C c;`) forms."""
+        vi = 0
+        while self.peek().kind == "ident":
+            vt = self.next()
+            vid = self.node(f"{path}.v[{vi}]", "VariableDeclaration",
+                            vt.text, self._tloc(vt))
+            self.eval_type(vid, etype)
+            if self.accept("="):
+                init_id, _ = self.parse_expr(f"{path}.v[{vi}].init")
+                self.ast_edge(vid, init_id, "INITIALIZER", 0)
+                self.edge(init_id, "DFG", vid)
+            self.declare(vt.text, vid, "var", etype)
+            self.ast_edge(parent, vid, "DECLARATIONS", index)
+            vi += 1
+            if not self.accept(","):
+                break
+        self.accept(";")
+
     def _fnptr_decl_ahead(self) -> bool:
         """After a parsed base type: ``( * name )`` or the C++
         pointer-to-member form ``( Owner :: * name )``
@@ -841,6 +986,20 @@ class CFamilyFrontend(Emitter):
                 t.text in ("class", "struct")
                 or (t.text == "interface" and self.dialect == "java")):
             nid = self.parse_class(path + ".c")
+            if nid:
+                self.ast_edge(parent, nid, "DECLARATIONS", index)
+            return nid
+        if (t.kind == "ident" and t.text == "enum"
+                and (self.peek(1).kind == "{"
+                     or (self.peek(1).kind == "ident"
+                         and self.peek(1).text in ("class", "struct"))
+                     or (self.peek(1).kind == "ident"
+                         and (self.peek(2).kind in ("{", ":")
+                              or (self.peek(2).kind == "ident"
+                                  and self.peek(2).text == "implements"))))):
+            # nested/member enum declaration (NOT an elaborated type
+            # specifier like `enum Color c;`, which parse_type handles)
+            nid = self.parse_enum(path + ".en", parent, index)
             if nid:
                 self.ast_edge(parent, nid, "DECLARATIONS", index)
             return nid
@@ -1251,7 +1410,8 @@ class CFamilyFrontend(Emitter):
             if self.accept("="):
                 init_id, _ = self.parse_expr(f"{path}.init[{vi}]")
             elif (self.dialect == "cpp" and self.peek().kind == "("
-                  and tname in self.records):
+                  and tname in self.records
+                  and not self.records[tname].get("is_enum")):
                 # C++ direct-initialization ``A a2(5);`` — initializer is
                 # a ConstructExpression resolved through the ctor
                 # overload ladder (ConstructorsTest)
@@ -1264,6 +1424,7 @@ class CFamilyFrontend(Emitter):
                 self._resolve_ctor(cid, tname, args)
                 init_id = cid
             elif (self.dialect == "cpp" and tname in self.records
+                  and not self.records[tname].get("is_enum")
                   and self.peek().kind in (";", ",")):
                 # C++ stack default-construction ``A a1;`` — the reference
                 # attaches an implicit no-arg ConstructExpression
@@ -1529,6 +1690,91 @@ class CFamilyFrontend(Emitter):
                                 self._tloc(t))
                 return self._attach((nid, {"kind": "continue", "nid": nid,
                                            "label": lbl}), parent, index)
+            if self.dialect == "java" and kw == "assert":
+                # `assert cond [: msg];` -> AssertStatement with CONDITION
+                # and MESSAGE children (statements/AssertStatement.java)
+                self.next()
+                nid = self.node(path, "AssertStatement", "", self._tloc(t))
+                cond, _ = self.parse_expr(path + ".c")
+                self.ast_edge(nid, cond, "CONDITION", 0)
+                if self.accept(":"):
+                    msg, _ = self.parse_expr(path + ".msg")
+                    self.ast_edge(nid, msg, "MESSAGE", 0)
+                self.accept(";")
+                self.ast_edge(parent, nid, "STATEMENTS", index)
+                return nid, {"kind": "plain", "nid": nid}
+            if (self.dialect == "java" and kw == "synchronized"
+                    and self.peek(1).kind == "("):
+                # `synchronized (expr) { ... }` -> SynchronizedStatement
+                # with EXPRESSION + BLOCK_STATEMENT
+                # (statements/SynchronizedStatement.java)
+                self.next()
+                self.expect("(")
+                lock, _ = self.parse_expr(path + ".e")
+                self.expect(")")
+                nid = self.node(path, "SynchronizedStatement", "",
+                                self._tloc(t))
+                self.ast_edge(nid, lock, "EXPRESSION", 0)
+                self.ast_edge(parent, nid, "STATEMENTS", index)
+                self.parse_block(path + ".b", nid, "BLOCK_STATEMENT")
+                return nid, {"kind": "plain", "nid": nid}
+            if (self.dialect == "java" and kw in ("this", "super")
+                    and self.peek(1).kind == "("):
+                # ctor chaining `this(...)` / `super(...)` ->
+                # ExplicitConstructorInvocation (a CallExpression subclass
+                # carrying containingClass,
+                # expressions/ExplicitConstructorInvocation.java; fixture
+                # components/ExplicitConstructorInvocationStmt.java);
+                # resolves through the ctor overload ladder when the
+                # target record is in-document
+                self.next()
+                rec = self.current_record()
+                owner = rec.name if rec else ""
+                if kw == "super" and owner:
+                    recd = self.records.get(owner)
+                    sups = recd.get("supers") if recd else None
+                    owner = sups[0] if sups else ""
+                nid = self.node(
+                    path, "ExplicitConstructorInvocation", kw, self._tloc(t),
+                    props={"containingClass": owner} if owner else None)
+                args = self._parse_args(nid, path)
+                self.accept(";")
+                self.ast_edge(parent, nid, "STATEMENTS", index)
+                if owner:
+                    self._resolve_ctor(nid, owner, args)
+                return nid, {"kind": "plain", "nid": nid}
+            if self.dialect == "cpp" and kw == "delete":
+                # `delete p;` / `delete[] p;` -> DeleteExpression with
+                # OPERAND (expressions/DeleteExpression.java)
+                self.next()
+                is_arr = False
+                if self.peek().kind == "[":
+                    self.next()
+                    self.accept("]")
+                    is_arr = True
+                nid = self.node(path, "DeleteExpression", "", self._tloc(t),
+                                props={"array": "true"} if is_arr else None)
+                op, _ = self.parse_expr(path + ".op")
+                self.ast_edge(nid, op, "OPERAND", 0)
+                self.accept(";")
+                self.ast_edge(parent, nid, "STATEMENTS", index)
+                return nid, {"kind": "plain", "nid": nid}
+            if kw == "enum" and (
+                    self.peek(1).kind == "{"
+                    or (self.peek(1).kind == "ident"
+                        and self.peek(1).text in ("class", "struct")
+                        and self.peek(2).kind == "ident")
+                    or (self.peek(1).kind == "ident"
+                        and self.peek(2).kind in ("{", ":"))):
+                # block-local enum DEFINITION (an elaborated declaration
+                # like `enum Color c;` instead falls through to the typed
+                # local-declaration probe below)
+                nid = self.parse_enum(path + ".en", parent, index)
+                if nid is None:
+                    nid = self.node(path, "EmptyStatement", "",
+                                    self._tloc(t))
+                    self.ast_edge(parent, nid, "STATEMENTS", index)
+                return nid, {"kind": "plain", "nid": nid}
             if kw == "typedef" and self.dialect == "cpp":
                 # function-local typedef scopes to the enclosing block
                 # (TypedefTest testMemberTypeDef: main's `typedef char
@@ -1576,7 +1822,7 @@ class CFamilyFrontend(Emitter):
                 self.accept(";")
                 self.ast_edge(parent, nid, "STATEMENTS", index)
                 return nid, {"kind": "throw", "nid": nid}
-            if kw in ("delete", "goto", "try"):
+            if kw in ("goto", "try"):
                 # gap statements (reference logs NOT_IMPLEMENTED analogues)
                 while self.peek().kind not in (";", "{", "eof"):
                     self.next()

@@ -474,7 +474,10 @@ class GoFrontend(Emitter):
             self.skip_semis()
             si = 0
             while self.peek().kind != ")" and self.peek().kind != "eof":
-                specs.append(self._var_spec(f"{path}.s[{si}]", kw))
+                if kw == "const" and self._iota_enum_ahead():
+                    specs.append(self._parse_iota_enum(f"{path}.enum[{si}]"))
+                else:
+                    specs.append(self._var_spec(f"{path}.s[{si}]", kw))
                 si += 1
                 self.skip_semis()
             self.expect(")")
@@ -485,6 +488,96 @@ class GoFrontend(Emitter):
             for vid in vids:
                 self.ast_edge(ds, vid, "DECLARATIONS", j)
         return ds, {"kind": "plain", "nid": ds}
+
+    def _iota_enum_ahead(self) -> bool:
+        """const spec of the form ``A [, B]* [Type] = iota`` — Go's
+        enumerated-constant idiom, modelled as an EnumDeclaration (the
+        C-family analogue; Go has no enum type of its own)."""
+        j = 0
+        if self.peek(j).kind != "ident" or self.peek(j).text == "iota":
+            return False
+        j += 1
+        while self.peek(j).kind == ",":
+            if self.peek(j + 1).kind != "ident":
+                return False
+            j += 2
+        if self.peek(j).kind == "ident":
+            j += 1  # simple named type
+        if self.peek(j).kind != "=":
+            return False
+        return (self.peek(j + 1).kind == "ident"
+                and self.peek(j + 1).text == "iota")
+
+    def _parse_iota_enum(self, path: str) -> list[str]:
+        """``A Kind = iota; B; C`` inside a const group ->
+        EnumDeclaration named by the shared type with ENTRIES-linked
+        EnumConstantDeclaration children (EnumDeclaration.java:38-47),
+        each carrying its ordinal as an implicit Literal INITIALIZER
+        (+ DFG, the VariableDeclaration.java:118 convention).  Constants
+        declare as ordinary scope vars so later references resolve;
+        continuation specs may be bare names or re-spell ``= iota``.
+        Subset: expression iota forms (``1 << iota``) fall back to plain
+        const specs."""
+        first = self.peek()
+        ids: list[str] = []
+        k = 0        # entry index across the group
+        ordinal = 0  # iota value: one per SPEC (Go semantics)
+
+        def one_spec() -> None:
+            nonlocal k
+            names = [self.expect("ident")]
+            while self.accept(","):
+                names.append(self.expect("ident"))
+            if self.peek().kind == "ident":  # shared type re-spelled
+                self.next()
+            if self.accept("="):
+                self.next()  # 'iota'
+            for nt in names:
+                cid = self.node(f"{path}.e[{k}]", "EnumConstantDeclaration",
+                                nt.text, self._tloc(nt))
+                self.eval_type(cid, etype)
+                self.edge(eid, "ENTRIES", cid, {"index": k})
+                self.ast_edge(eid, cid, "ENTRIES", k)
+                lid = self.node(f"{path}.e[{k}].lit", "Literal",
+                                str(ordinal), self._tloc(nt),
+                                code=str(ordinal), is_implicit=True)
+                self.eval_type(lid, "int")
+                self.ast_edge(cid, lid, "INITIALIZER", 0)
+                self.edge(lid, "DFG", cid)
+                self.declare(nt.text, cid, "var", etype)
+                ids.append(cid)
+                k += 1
+
+        # peek past the first spec's names for the shared type name
+        j = 1
+        while self.peek(j).kind == ",":
+            j += 2
+        tname = self.peek(j).text if self.peek(j).kind == "ident" else None
+        eid = self.node(path, "EnumDeclaration", tname or "",
+                        self._tloc(first), props={"idiom": "iota"})
+        etype = tname or "int"
+        if tname:
+            self.declare(tname, eid, "record", tname)
+        one_spec()
+        self.skip_semis()
+        while self.peek().kind == "ident":
+            # continuation: bare names, or names `= iota` again; a spec
+            # with its own non-iota initializer ends the enum run
+            j = 1
+            while self.peek(j).kind == ",":
+                j += 2
+            if self.peek(j).kind == "ident" and self.peek(j).text != "iota":
+                j += 1  # type
+            if self.peek(j).kind == "=":
+                if not (self.peek(j + 1).kind == "ident"
+                        and self.peek(j + 1).text == "iota"):
+                    break
+            elif self.peek(j).kind not in (";", ")"):
+                break
+            ordinal += 1
+            one_spec()
+            self.skip_semis()
+        return [eid]
 
     def _var_spec(self, path: str, kw: str) -> list[str]:
         names = [self.expect("ident")]

@@ -1509,6 +1509,62 @@ def q_cpg_typedefs(spark, sf_dir):
     )
 
 
+def q_cpg_enums(spark, sf_dir):
+    """EnumDeclaration / EnumConstantDeclaration emission
+    (EnumDeclaration.java:38-47 ENTRIES + SUPER_TYPES;
+    DeclarationHandler.java:388-410 gives every entry EVAL_TYPE = the
+    enum's own type) over the reference's enum-bearing fixture
+    (compiling/MemberCallExpression.java), a C++ enum fixture (unscoped /
+    scoped / trailing declarator / member enum), and the Go const-iota
+    analogue: one row per ENTRIES edge with the entry's evaluated type."""
+    from cpg_spark.fixtures_cfamily import CPP_FIXTURES, JAVA_FIXTURES
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    go_src = ("package state\n\ntype Phase int\n\nconst (\n"
+              "    Idle Phase = iota\n    Busy\n    Done\n)\n\n"
+              "func next() Phase { return Busy }\n")
+    docs = spark.createDataFrame(
+        [{"doc_id": "java/MemberCallExpressionCT/0001",
+          "spans": [{"kind": "code/java",
+                     "text": JAVA_FIXTURES["MemberCallExpressionCT"],
+                     "media_ref": None, "offset": 0}]},
+         {"doc_id": "cpp/enums/0001",
+          "spans": [{"kind": "code/cpp", "text": CPP_FIXTURES["enums"],
+                     "media_ref": None, "offset": 0}]},
+         {"doc_id": "go/state/0001",
+          "spans": [{"kind": "code/go", "text": go_src,
+                     "media_ref": None, "offset": 0}]}],
+        schema=DOCS_SCHEMA)
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+    enums = nodes.filter(F.col("label") == "EnumDeclaration").select(
+        F.col("node_id").alias("subj"), F.col("name").alias("enum_name"))
+    consts = nodes.filter(F.col("label") == "EnumConstantDeclaration").select(
+        F.col("node_id").alias("obj"), F.col("doc_id"),
+        F.col("name").alias("entry_name"))
+    # Type nodes carry content-hash ids (doc-independent), so the same
+    # type spelled in several docs yields several identical rows — dedup
+    # the dim before joining (the pipeline's A4 dedup does this for
+    # materialized tables; raw parse output needs it here)
+    types = nodes.filter(F.col("label") == "Type").select(
+        F.col("node_id").alias("tid"), F.col("name").alias("entry_type")
+    ).dropDuplicates(["tid"])
+    etypes = (
+        edges.filter(F.col("pred") == "EVAL_TYPE")
+        .select(F.col("subj").alias("obj"), F.col("obj").alias("tid"))
+        .join(types, "tid")
+    )
+    return (
+        edges.filter(F.col("pred") == "ENTRIES")
+        .select("subj", "obj",
+                F.col("props")["index"].cast("int").alias("entry_index"))
+        .join(enums, "subj").join(consts, "obj").join(etypes, "obj")
+        .select("doc_id", "enum_name", "entry_name", "entry_index",
+                "entry_type")
+        .orderBy("doc_id", "enum_name", "entry_index")
+    )
+
+
 def q_identifier_pass(spark, sf_dir):
     """IdentifierPass (cpg-analysis/.../IdentifierPass.kt:33-56 — dense
     ``node.id = lastId++`` in deterministic walk order) as a distributed
