@@ -168,15 +168,34 @@ class Emitter:
         """Emit-once type node; canonical id from the normalized name
         (reference TypeResolver dedups equal Types into one node,
         ``core/passes/TypeResolver.java:140-160`` — content-hash ids give us
-        that for free for first-order types)."""
+        that for free for first-order types).
+
+        A parameterized spelling (``List<String>``, ``Map<K,List<V>>``)
+        additionally links GENERICS edges to each of its argument types
+        (``ObjectType.java:82`` ``@Relationship("GENERICS")``), recursively
+        — so "fields of type List<String>" is answerable structurally
+        (raw type + argument walk) instead of by string matching.  Ids are
+        content hashes of the normalized spelling, so the same generic
+        instantiation in any document converges on one node + one edge
+        set after dedup."""
         tid = type_id(type_name)
         if type_name not in self._emitted_types:
             self._emitted_types.add(type_name)
+            lt = type_name.find("<")
+            gt = type_name.rfind(">")
+            parameterized = lt != -1 and gt > lt
+            from cpg_spark.frontends.typeparser import erase_generics
+
+            # reference parity (TypeParser.java:838 removeGenerics): a
+            # parameterized ObjectType's NAME is the erased raw name; the
+            # id still hashes the full spelling, so each instantiation is
+            # its own node (the reference's per-object identity)
+            display = erase_generics(type_name) if parameterized else type_name
             self.out.nodes.append(
                 {
                     "node_id": tid,
                     "label": "Type",
-                    "name": type_name,
+                    "name": display,
                     "code": type_name,
                     "doc_id": self.doc_id,
                     "span_offset": self.span_offset,
@@ -184,9 +203,22 @@ class Emitter:
                     "is_inferred": False,
                     "is_implicit": True,
                     "argument_index": None,
-                    "props": {},
+                    "props": {"spelling": type_name} if parameterized else {},
                 }
             )
+            if parameterized:
+                from cpg_spark.frontends.typeparser import _split_generics
+
+                if display:
+                    # link the instantiation to the bare raw type node
+                    # (the node records/hierarchy reference by name)
+                    self.edge(tid, "RAW_TYPE", self.type_node(display))
+                for i, arg in enumerate(
+                        a.strip() for a in
+                        _split_generics(type_name[lt + 1:gt])):
+                    if arg:
+                        self.edge(tid, "GENERICS", self.type_node(arg),
+                                  {"index": i})
         return tid
 
     def eval_type(self, expr_id: str, type_name: str) -> None:

@@ -109,6 +109,30 @@ _NUM_TYPES = {"int", "long", "short", "char", "float", "double", "bool",
 _STR_TYPES = {"string", "String", "char*", "char[]"}
 
 
+class _RecordTable(dict):
+    """Record registry whose string keys are generic-ERASED on every
+    lookup (``Pair<int,int>`` finds the ``Pair`` record): declared record
+    names never carry generic args, but type spellings flowing back in
+    from parse_type may (TypeParser.java:838 removeGenerics)."""
+
+    @staticmethod
+    def _k(key):
+        if isinstance(key, str) and "<" in key:
+            from cpg_spark.frontends.typeparser import erase_generics
+
+            return erase_generics(key)
+        return key
+
+    def __getitem__(self, key):
+        return super().__getitem__(self._k(key))
+
+    def __contains__(self, key):
+        return super().__contains__(self._k(key))
+
+    def get(self, key, default=None):
+        return super().get(self._k(key), default)
+
+
 class Tok:
     __slots__ = ("kind", "text", "line", "col")
 
@@ -233,7 +257,12 @@ class CFamilyFrontend(Emitter):
         self.pending_refs: list = []
         self.pending_calls: list = []
         self.pending_members: list = []
-        self.records: dict[str, dict] = {}
+        # record registry keyed by ERASED type name: lookups may arrive
+        # with generic arguments attached (`Pair<int,int> p;` declares a
+        # var of that spelling but members resolve through the erased
+        # record — the reference resolves through the class-template
+        # realization the same way, ClassTemplateTest)
+        self.records: dict[str, dict] = _RecordTable()
         self.imports: dict[str, str] = {}
         self._functions_by_id: dict[str, dict] = {}
         # (record_name_or_'', fn_name) -> [fn_info, ...]: C++ overload sets
@@ -582,7 +611,12 @@ class CFamilyFrontend(Emitter):
             name += "." + self.next().text
         name = " ".join(prefix + [name]).strip()
         if self.peek().kind == "<":
-            # generics / template args: consume balanced
+            # generics / template args: consume balanced and KEEP the
+            # spelling — normalize_type canonicalizes the arguments
+            # recursively and type_node hangs GENERICS/RAW_TYPE edges off
+            # the parameterized spelling (ObjectType.java:82).  `>>`
+            # tokenizes as one shift op, so it closes TWO angles (the
+            # classic C++ parse quirk).
             depth = 0
             j = self.i
             while self.toks[j].kind != "eof":
@@ -592,11 +626,16 @@ class CFamilyFrontend(Emitter):
                     depth -= 1
                     if depth == 0:
                         break
+                elif self.toks[j].kind == ">>":
+                    depth -= 2
+                    if depth <= 0:
+                        break
                 elif self.toks[j].kind in (";", "{", ")"):
                     depth = -1
                     break
                 j += 1
             if depth == 0:
+                name += " ".join(t.text for t in self.toks[self.i:j + 1])
                 self.i = j + 1
         suffix = ""
         while self.peek().kind in ("*", "&"):
@@ -2914,9 +2953,14 @@ class CFamilyFrontend(Emitter):
     # ------------------------------------------------ deferred resolution
     def _mention(self, mid, kind, name, base_type=None, scopes=None,
                  n_args=None, arg_ids=None, n_kwargs=None, arg_types=None):
+        from cpg_spark.frontends.typeparser import erase_generics
+
         return {
             "mention_id": mid, "kind": kind, "name": name,
-            "base_type": base_type,
+            # cross-document resolution joins base types to record
+            # symbols by NAME — the erased name is the join key
+            # (`ArrayList<String> l; l.add(x)` binds ArrayList.add)
+            "base_type": erase_generics(base_type),
             "scope_path": ".".join(s.name for s in (scopes or []) if s.name)
             or self.module_name,
             "doc_id": self.doc_id,

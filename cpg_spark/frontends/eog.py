@@ -279,6 +279,140 @@ class EogBuilder:
         return [(nid, None)]
 
 
+# AST fields whose children are OPERANDS — they evaluate before their
+# parent in the reference's expression-level EOG
+# (EvaluationOrderGraphPass.java:917-951 handleBinaryOperator /
+# handleUnaryOperator / handleCallExpression argument order).  Field
+# priority fixes cross-field order on one node: base before arguments,
+# lhs before rhs, array expression before its subscript.
+_OPERAND_FIELD_ORDER = {
+    "BASE": 0,
+    "ARRAY_EXPRESSION": 0,
+    "LHS": 1,
+    "CONDITION": 1,
+    "INPUT": 1,
+    "OPERAND": 1,
+    "EXPRESSION": 1,
+    "RETURN_VALUE": 1,
+    "ITERABLE": 1,
+    "SUBSCRIPT_EXPRESSION": 2,
+    "RHS": 2,
+    "MESSAGE": 2,
+    "ARGUMENTS": 3,
+    "INITIALIZERS": 3,
+    "DIMENSIONS": 3,
+    "INITIALIZER": 4,
+}
+
+
+def expand_expression_eog(graph) -> None:
+    """EXPRESSION-LEVEL EOG (flag-gated; statement granularity stays the
+    default): rewrite a DocGraph's statement-level EOG so every operand
+    evaluates before its operator, per
+    ``EvaluationOrderGraphPass.java:917-951`` — lhs -> rhs -> operator,
+    base -> arguments(in index order) -> call, initializer -> declaration.
+
+    Mechanics: for each EOG-reachable node S owning an operand subtree,
+    chain the subtree post-order (left-to-right) into S and rewire every
+    incoming statement-level edge (P -> S) with P outside S's subtree to
+    (P -> entry(S)).  Branch props on rewired edges are preserved; loop
+    back-edges re-enter through the condition's first operand, so
+    conditions re-evaluate operand-first each iteration.  Short-circuit
+    ``&&``/``||`` operators keep their inline branch edges (emitted at
+    parse time, EOGTest testConditionShortCircuit) — their subtrees are
+    walked for inner wiring but never re-chained.  Subset: the callee
+    reference of a call and the branch arms of ``?:`` are not ordered
+    (documented gap; the condition operand of ``?:`` is)."""
+    labels = {n["node_id"]: n["label"] for n in graph.nodes}
+    sc_ops = {
+        n["node_id"] for n in graph.nodes
+        if n["label"] == "BinaryOperator"
+        and (n.get("props") or {}).get("operator") in ("&&", "||")
+    }
+    kids: dict[str, list] = {}
+    for e in graph.edges:
+        if e["pred"] != "AST":
+            continue
+        f = (e.get("props") or {}).get("field")
+        pr = _OPERAND_FIELD_ORDER.get(f)
+        if pr is None:
+            # DeclarationStatement unpacks to its declarations
+            # (handleDeclarationStatement): each decl's initializer chain
+            # runs before the statement node
+            if not (f == "DECLARATIONS"
+                    and labels.get(e["subj"]) == "DeclarationStatement"):
+                continue
+            pr = 1
+        idx = int((e.get("props") or {}).get("index") or 0)
+        kids.setdefault(e["subj"], []).append((pr, idx, e["obj"]))
+    for v in kids.values():
+        v.sort()
+
+    def entry(n: str, _depth: int = 0) -> str:
+        ks = kids.get(n)
+        if not ks or _depth > 64:
+            return n
+        return entry(ks[0][2], _depth + 1)
+
+    new_edges: list[dict] = []
+    counter = [10000]
+    doc_id = graph.nodes[0]["doc_id"] if graph.nodes else None
+
+    def _edge(a: str, b: str) -> None:
+        new_edges.append({
+            "subj": a, "pred": "EOG", "obj": b,
+            "props": {"index": str(counter[0]), "expr": "true"},
+            "doc_id": doc_id,
+        })
+        counter[0] += 1
+
+    wired: set[str] = set()
+
+    def wire(n: str) -> None:
+        if n in wired:
+            return
+        wired.add(n)
+        ks = [k for _, _, k in kids.get(n, [])]
+        if not ks:
+            return
+        if n in sc_ops:
+            # inline short-circuit edges already order lhs/rhs/op;
+            # only the operands' own subtrees need wiring
+            for k in ks:
+                wire(k)
+            return
+        prev = None
+        for k in ks:
+            wire(k)
+            if prev is not None:
+                _edge(prev, entry(k))
+            prev = k
+        _edge(prev, n)
+
+    def subtree(n: str, acc: set, _depth: int = 0) -> set:
+        if _depth > 64:
+            return acc
+        for _, _, k in kids.get(n, []):
+            if k not in acc:
+                acc.add(k)
+                subtree(k, acc, _depth + 1)
+        return acc
+
+    targets = {e["obj"] for e in graph.edges
+               if e["pred"] == "EOG" and e["obj"] in kids}
+    subtrees = {t: subtree(t, set()) for t in targets}
+    for e in graph.edges:
+        if e["pred"] != "EOG" or e["obj"] not in targets:
+            continue
+        if e["subj"] in subtrees[e["obj"]]:
+            continue  # internal (e.g. short-circuit) edge — exact already
+        wire(e["obj"])
+        e["obj"] = entry(e["obj"])
+    for t in targets:
+        wire(t)
+    graph.edges.extend(new_edges)
+
+
 def build_eog(emitter, root_id: str, body_infos: list[dict]) -> None:
     """EOG rooted at a function declaration (or namespace for module-level
     code): root -> first statement -> ... (per-function, zero shuffle).

@@ -43,6 +43,21 @@ _PRIMS = {"int", "char", "float", "double", "bool", "boolean", "void",
 _TOKEN = re.compile(r"::|[A-Za-z_][A-Za-z0-9_]*|\[[^\]]*\]|[*&()<>,]|\S")
 
 
+def erase_generics(name: str | None) -> str | None:
+    """Drop the top-level generic arguments from a normalized spelling:
+    ``List<String>`` -> ``List``, ``Map<K,V>[]`` -> ``Map[]`` — the
+    reference's ``TypeParser.removeGenerics`` (``TypeParser.java:838``):
+    a parameterized ObjectType keeps the ERASED name; the arguments live
+    on GENERICS edges."""
+    if name is None or "<" not in name:
+        return name
+    lt = name.find("<")
+    gt = name.rfind(">")
+    if gt <= lt:
+        return name
+    return (name[:lt] + name[gt + 1:]).strip()
+
+
 def _split_generics(inner: str) -> list[str]:
     """Split template args on TOP-LEVEL commas only."""
     parts, depth, cur = [], 0, []

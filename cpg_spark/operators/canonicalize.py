@@ -56,23 +56,38 @@ def type_components(nodes: DataFrame, edges: DataFrame,
 
 
 def remap_types(nodes: DataFrame, edges: DataFrame, comp: DataFrame):
-    """Apply a component map: EVAL_TYPE/SUPER_TYPE objs -> canonical,
-    non-canonical type nodes dropped.  Returns (nodes', edges')."""
+    """Apply a component map: EVAL_TYPE/SUPER_TYPE/GENERICS/RAW_TYPE objs
+    -> canonical (and for the type-to-type GENERICS/RAW_TYPE edges the
+    SUBJECT side too — both endpoints are type nodes, either may be an
+    alias), non-canonical type nodes dropped.  Returns (nodes', edges')."""
     remap = comp.select(F.col("node").alias("obj"),
                         F.col("component").alias("canon"))
+    remap_s = comp.select(F.col("node").alias("subj"),
+                          F.col("component").alias("canon_s"))
+    type_preds = ("EVAL_TYPE", "SUPER_TYPE", "GENERICS", "RAW_TYPE")
     remapped_edges = (
         edges.join(F.broadcast(remap), "obj", "left")
         .withColumn(
             "obj",
             F.when(
-                (F.col("pred").isin("EVAL_TYPE", "SUPER_TYPE"))
-                & F.col("canon").isNotNull(),
+                F.col("pred").isin(*type_preds) & F.col("canon").isNotNull(),
                 F.col("canon"),
             ).otherwise(F.col("obj")),
         )
         .drop("canon")
+        .join(F.broadcast(remap_s), "subj", "left")
+        .withColumn(
+            "subj",
+            F.when(
+                F.col("pred").isin("GENERICS", "RAW_TYPE")
+                & F.col("canon_s").isNotNull(),
+                F.col("canon_s"),
+            ).otherwise(F.col("subj")),
+        )
+        .drop("canon_s")
         # alias self-loops after remap are meaningless
-        .filter(~((F.col("pred") == "SUPER_TYPE") & (F.col("subj") == F.col("obj"))))
+        .filter(~(F.col("pred").isin("SUPER_TYPE", "GENERICS", "RAW_TYPE")
+                  & (F.col("subj") == F.col("obj"))))
     )
     # drop non-canonical type nodes (they were aliases)
     non_canon = comp.filter(F.col("node") != F.col("component")).select(

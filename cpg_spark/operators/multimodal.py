@@ -67,32 +67,61 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Decode + feature-extract. Real codecs are not available in this
-    container: gated behind an env flag with a deterministic fake whose
-    Spark-side plumbing (batch shape, schema) is identical."""
-    if os.environ.get("CPG_SPARK_FAKE_DECODE", "1") == "1":
+def _fake_decode_default() -> bool:
+    """The codec gate, resolved DRIVER-side at plan build and captured in
+    the UDF closure — worker processes do not see driver env mutations,
+    so reading the env inside the kernel would silently ignore the
+    setting on a cluster."""
+    return os.environ.get("CPG_SPARK_FAKE_DECODE", "1") == "1"
+
+
+def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, list[float]]:
+    """Decode + feature-extract. The deterministic fake is the default
+    (this container has no codecs); with ``CPG_SPARK_FAKE_DECODE=0`` the
+    REAL path activates and uses PIL when the executor environment
+    provides it (ship it via ``spark-submit --archives pyenv.tar.gz`` —
+    the standard conda-pack/venv-pack pattern), failing loudly when it
+    does not.  Feature = 16-bin grayscale histogram (bounded, schema-
+    compatible with the fake's 16 floats)."""
+    if fake:
         h = hashlib.blake2b(payload, digest_size=16).digest()
         width = 64 + h[0] % 64
         height = 64 + h[1] % 64
         feat = [((b / 255.0) - 0.5) for b in h]
         return width, height, feat
-    raise NotImplementedError(
-        "real image decode requires PIL/libvips — not present in this "
-        "container; set CPG_SPARK_FAKE_DECODE=1 or ship codecs via --archives"
-    )
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires PIL — ship it to executors via "
+            "spark-submit --archives (conda-pack/venv-pack), or set "
+            "CPG_SPARK_FAKE_DECODE=1 for the deterministic fake"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    gray = img.convert("L")
+    hist = gray.histogram()  # 256 bins
+    n = max(gray.width * gray.height, 1)
+    feat = [sum(hist[i * 16:(i + 1) * 16]) / n for i in range(16)]
+    return img.width, img.height, feat
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame,
+                     fake_decode: bool | None = None) -> DataFrame:
     """Arrow-batched decode/feature pipeline over the binary column — the
-    pattern for any multimodal kernel (resize, frame-sample, fingerprint)."""
+    pattern for any multimodal kernel (resize, frame-sample, fingerprint).
+    ``fake_decode`` defaults to the driver-side env gate."""
+    fake = _fake_decode_default() if fake_decode is None else fake_decode
+
     def run(batches):
         for pdf in batches:
             rows = []
             for ref, payload, mime in zip(pdf["media_ref"], pdf["payload"],
                                           pdf["mime"]):
                 payload = bytes(payload) if payload is not None else b""
-                w, h, feat = _decode_image(payload)
+                w, h, feat = _decode_image(payload, fake)
                 rows.append({
                     "media_ref": ref, "mime": mime, "n_bytes": len(payload),
                     "sha": hashlib.sha256(payload).hexdigest(),
@@ -116,7 +145,8 @@ RESIZED_SCHEMA = T.StructType([
 
 
 def resize_images(media: DataFrame, target_w: int = 32,
-                  target_h: int = 32) -> DataFrame:
+                  target_h: int = 32,
+                  fake_decode: bool | None = None) -> DataFrame:
     """Arrow-batched image resize over the binary column: one output row
     per image with the resized payload at (target_w, target_h).
 
@@ -127,26 +157,39 @@ def resize_images(media: DataFrame, target_w: int = 32,
     by tests.  Partitioning: pure per-row map — no shuffle beyond the
     repartition to full parallelism (resize is the canonical
     embarrassingly-parallel media kernel)."""
+    fake = _fake_decode_default() if fake_decode is None else fake_decode
+
     def run(batches):
         # gate checked once per partition (before any rows are consumed)
         # so real-decode mode fails loudly even on empty partitions
-        if os.environ.get("CPG_SPARK_FAKE_DECODE", "1") != "1":
-            raise NotImplementedError(
-                "real image resize requires PIL/libvips — set "
-                "CPG_SPARK_FAKE_DECODE=1 or ship codecs via --archives")
+        if not fake:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "real image resize requires PIL — ship it via "
+                    "spark-submit --archives, or set "
+                    "CPG_SPARK_FAKE_DECODE=1") from exc
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
                 need = target_w * target_h
-                out = bytearray()
-                seed = payload or b"\x00"
-                while len(out) < need:
-                    seed = hashlib.blake2b(seed, digest_size=32).digest()
-                    out.extend(seed)
+                if fake:
+                    out = bytearray()
+                    seed = payload or b"\x00"
+                    while len(out) < need:
+                        seed = hashlib.blake2b(seed, digest_size=32).digest()
+                        out.extend(seed)
+                    resized = bytes(out[:need])
+                else:
+                    img = Image.open(io.BytesIO(payload)).convert("L")
+                    resized = img.resize((target_w, target_h)).tobytes()
                 rows.append({"media_ref": ref, "width": target_w,
                              "height": target_h,
-                             "resized": bytes(out[:need])})
+                             "resized": resized[:need]})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
@@ -165,7 +208,8 @@ FRAME_SCHEMA = T.StructType([
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4,
-                  frame_interval_ms: int = 1000) -> DataFrame:
+                  frame_interval_ms: int = 1000,
+                  fake_decode: bool | None = None) -> DataFrame:
     """Video frame sampling: FAN-OUT kernel — one input row (a video
     payload) yields ``n_frames`` output rows (frame_no, timestamp,
     per-frame feature), one every ``frame_interval_ms`` milliseconds of
@@ -177,8 +221,10 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     Scale shape: mapInPandas emits the fan-out inside the Arrow batch —
     no explode/join; downstream per-frame ops group on (media_ref,
     frame_no), a uniform composite key."""
+    fake = _fake_decode_default() if fake_decode is None else fake_decode
+
     def run(batches):
-        if os.environ.get("CPG_SPARK_FAKE_DECODE", "1") != "1":
+        if not fake:
             raise NotImplementedError(
                 "real frame sampling requires ffmpeg — set "
                 "CPG_SPARK_FAKE_DECODE=1 or ship codecs via --archives")

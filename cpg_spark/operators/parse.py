@@ -278,7 +278,8 @@ class _SpanParseCache:
 _SYMBOL_KINDS = {"code/cpp", "code/java"}
 
 
-def _rows_for_doc(doc_id: str, spans, defines=None) -> list[dict]:
+def _rows_for_doc(doc_id: str, spans, defines=None,
+                  expr_eog: bool = False) -> list[dict]:
     # imported lazily so the workers pick up the shipped package
     from cpg_spark.frontends import FRONTENDS
 
@@ -308,12 +309,19 @@ def _rows_for_doc(doc_id: str, spans, defines=None) -> list[dict]:
             g = parser(doc_id, int(offset), text, symbols=dict(defines))
         else:
             g = parser(doc_id, int(offset), text)
+        if expr_eog:
+            # flag-gated expression-level EOG rewrite
+            # (EvaluationOrderGraphPass.java:917-951); statement-level
+            # stays the default
+            from cpg_spark.frontends.eog import expand_expression_eog
+
+            expand_expression_eog(g)
         rows.extend(_graph_rows(g, doc_id, int(offset)))
     return rows
 
 
 def parse_docs(docs: DataFrame, target_partitions: int | None = None,
-               dedup_spans: bool = False) -> DataFrame:
+               dedup_spans: bool = False, expr_eog: bool = False) -> DataFrame:
     """docs(doc_id, spans) -> unified parse rows (PARSE_OUT_SCHEMA).
 
     The docs checkpoint is small on disk, so a naive scan coalesces into
@@ -338,7 +346,11 @@ def parse_docs(docs: DataFrame, target_partitions: int | None = None,
             target_partitions = None
     # per-doc symbol maps make identical span text parse DIFFERENTLY, so
     # the content-hash dedup cache would be wrong — bypass it
-    if dedup_spans and not docs.isStreaming and "defines" not in docs.columns:
+    if (dedup_spans and not expr_eog and not docs.isStreaming
+            and "defines" not in docs.columns):
+        # (the expr-EOG rewrite composes with relocation, but the cache
+        # would need flag-keyed entries — fall through to the direct path
+        # when both are requested rather than risk mixed-granularity rows)
         return _parse_docs_dedup(docs, target_partitions)
     if target_partitions and not docs.isStreaming:
         docs = docs.repartition(target_partitions, "doc_id")
@@ -355,7 +367,8 @@ def parse_docs(docs: DataFrame, target_partitions: int | None = None,
                     else [None] * len(pdf))
             for doc_id, spans, defines in zip(pdf["doc_id"], pdf["spans"],
                                               defs):
-                out.extend(_rows_for_doc(doc_id, spans, defines))
+                out.extend(_rows_for_doc(doc_id, spans, defines,
+                                         expr_eog=expr_eog))
                 if len(out) >= 65536:
                     frame = pd.DataFrame(out, columns=_COLS, dtype=object)
                     yield frame.where(frame.notna(), None)

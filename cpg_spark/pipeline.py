@@ -130,6 +130,7 @@ class Pipeline:
         out_dfs, metrics, partition_by = stage.fn(self.spark, ctx)
         outputs = {}
         returned: dict[str, DataFrame] = {}
+        to_write: list[tuple[str, DataFrame]] = []
         for name, df in out_dfs.items():
             if isinstance(df, Passthrough):
                 # already durable: commit by reference, zero write I/O
@@ -137,8 +138,28 @@ class Pipeline:
                 returned[name] = df.df
                 continue
             uri = sinks.table_uri(self.workdir, self.run_id, stage.name, name)
-            sinks.write_table(df, uri, partition_by.get(name))
             outputs[name] = uri
+            to_write.append((name, df))
+        if len(to_write) > 1:
+            # concurrent output writes: a stage with several big outputs
+            # (materialize: nodes + edges) overlaps one table's commit
+            # I/O with the other's compute — same rationale as the
+            # concurrent link/dfg_refine stage group; Spark job
+            # submission is thread-safe and the jobs share the executor
+            # pool fairly
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(to_write)) as ex:
+                futs = [
+                    ex.submit(sinks.write_table, df, outputs[name],
+                              partition_by.get(name))
+                    for name, df in to_write
+                ]
+                for f in futs:
+                    f.result()
+        elif to_write:
+            name, df = to_write[0]
+            sinks.write_table(df, outputs[name], partition_by.get(name))
         # commit marker for the whole stage: a JSON file with an atomic
         # rename (an Iceberg catalog commit gives true atomicity on a
         # cluster); zero Spark jobs

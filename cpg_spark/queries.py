@@ -1565,6 +1565,118 @@ def q_cpg_enums(spark, sf_dir):
     )
 
 
+def q_cpg_eog_expr(spark, sf_dir):
+    """EXPRESSION-level EOG (flag-gated rewrite of the statement-level
+    default) over the reference's eog/EOG.java fixture: operands evaluate
+    before their operators (EvaluationOrderGraphPass.java:917-951 — lhs
+    -> rhs -> op, initializer -> declaration, unary input -> unary), so
+    e.g. the condition `a > 0` enters through the `a` reference and
+    exits at the BinaryOperator, exactly EOGTest.testIf's
+    SUBTREE-entry/exit assertions.  One row per EOG edge."""
+    from cpg_spark.fixtures_cfamily import JAVA_FIXTURES
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "java/EOG/0001",
+          "spans": [{"kind": "code/java", "text": JAVA_FIXTURES["EOG"],
+                     "media_ref": None, "offset": 0}]}], schema=DOCS_SCHEMA)
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs, expr_eog=True))
+    nd = nodes.select(
+        "node_id", F.col("label"), F.col("name"),
+        F.coalesce(F.col("loc.start_line"), F.lit(-1)).alias("line"))
+    return (
+        edges.filter(F.col("pred") == "EOG")
+        .select("subj", "obj",
+                F.coalesce(F.col("props")["branch"], F.lit("")).alias("branch"),
+                F.coalesce(F.col("props")["expr"], F.lit("")).alias("is_expr"))
+        .join(nd.select(F.col("node_id").alias("subj"),
+                        F.col("label").alias("src_label"),
+                        F.col("name").alias("src_name"),
+                        F.col("line").alias("src_line")), "subj")
+        .join(nd.select(F.col("node_id").alias("obj"),
+                        F.col("label").alias("dst_label"),
+                        F.col("name").alias("dst_name"),
+                        F.col("line").alias("dst_line")), "obj")
+        .select("src_label", "src_name", "src_line", "dst_label",
+                "dst_name", "dst_line", "branch", "is_expr")
+        .orderBy("src_line", "src_label", "src_name", "dst_line",
+                 "dst_label", "dst_name", "branch")
+    )
+
+
+def q_cpg_generics(spark, sf_dir):
+    """GENERICS type structure (ObjectType.java:82 @Relationship
+    GENERICS + the raw-type link): parameterized field types decompose
+    into raw type + indexed argument types, recursively — one row per
+    (field, GENERICS edge) with the raw erasure, so "fields of type
+    List<String>" is a structural join, not a string match."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    java_src = (
+        "import java.util.List;\nimport java.util.Map;\n\n"
+        "public class Box {\n"
+        "  List<String> names;\n"
+        "  Map<String, List<Integer>> index;\n"
+        "  List<String> copy() { return names; }\n"
+        "}\n")
+    cpp_src = (
+        "#include <vector>\n\nclass Store {\n  public:\n"
+        "    std::vector<int> xs;\n"
+        "    std::map<std::string, std::vector<int>> lookup;\n"
+        "};\n")
+    docs = spark.createDataFrame(
+        [{"doc_id": "java/Box/0001",
+          "spans": [{"kind": "code/java", "text": java_src,
+                     "media_ref": None, "offset": 0}]},
+         {"doc_id": "cpp/store/0001",
+          "spans": [{"kind": "code/cpp", "text": cpp_src,
+                     "media_ref": None, "offset": 0}]}],
+        schema=DOCS_SCHEMA)
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+    # a parameterized Type node's NAME is the erased raw name
+    # (TypeParser.java:838); the full spelling rides in props
+    types = nodes.filter(F.col("label") == "Type").select(
+        "node_id",
+        F.coalesce(F.col("props")["spelling"], F.col("name")).alias("name"),
+    ).dropDuplicates(["node_id"])
+    fields = nodes.filter(F.col("label") == "FieldDeclaration").select(
+        F.col("node_id").alias("subj"), F.col("doc_id"),
+        F.col("name").alias("field_name"))
+    ftype = (
+        edges.filter(F.col("pred") == "EVAL_TYPE").select("subj", "obj")
+        .join(fields, "subj")
+        .select("doc_id", "field_name", F.col("obj").alias("tid"))
+        .dropDuplicates(["doc_id", "field_name", "tid"])
+        .join(types.select(F.col("node_id").alias("tid"),
+                           F.col("name").alias("field_type")), "tid")
+    )
+    raw = (
+        edges.filter(F.col("pred") == "RAW_TYPE")
+        .select(F.col("subj").alias("tid"), F.col("obj").alias("rid"))
+        .dropDuplicates(["tid", "rid"])
+        .join(types.select(F.col("node_id").alias("rid"),
+                           F.col("name").alias("raw_type")), "rid")
+        .select("tid", "raw_type")
+    )
+    gen = (
+        edges.filter(F.col("pred") == "GENERICS")
+        .select(F.col("subj").alias("tid"), F.col("obj").alias("gid"),
+                F.col("props")["index"].cast("int").alias("arg_index"))
+        .dropDuplicates(["tid", "gid", "arg_index"])
+        .join(types.select(F.col("node_id").alias("gid"),
+                           F.col("name").alias("arg_type")), "gid")
+        .select("tid", "arg_index", "arg_type")
+    )
+    return (
+        ftype.join(raw, "tid").join(gen, "tid")
+        .select("doc_id", "field_name", "field_type", "raw_type",
+                "arg_index", "arg_type")
+        .orderBy("doc_id", "field_name", "arg_index")
+    )
+
+
 def q_identifier_pass(spark, sf_dir):
     """IdentifierPass (cpg-analysis/.../IdentifierPass.kt:33-56 — dense
     ``node.id = lastId++`` in deterministic walk order) as a distributed

@@ -86,8 +86,15 @@ def main() -> None:
          "SinglePartition global sort), token count JVM-side"),
         ("decontaminate",
          "benchmark decontamination — expect the eval-set n-gram side as a "
-         "BroadcastHashJoin build (the corpus side never shuffles for the "
-         "overlap probe), hits aggregated with partial_count"),
+         "BroadcastHashJoin build with the RAW corpus n-gram stream probing "
+         "it (NO corpus-side Exchange before the join — the distinct runs "
+         "on the tiny hit set AFTER the probe), hits aggregated with "
+         "partial_count"),
+        ("embedding_neardup_auto",
+         "derived-parameter banded cosine near-dup (band_planes ~ log2 N, "
+         "n_bands from the recall identity) — expect the same plain "
+         "equi-join shape as the pinned config: NO "
+         "BroadcastNestedLoopJoin/CartesianProduct, sign bits JVM-side"),
         ("segment_dedup",
          "sub-document segment dedup — expect winner selection as a "
          "HashAggregate(min(struct)) on the md5 segment hash (map-side "

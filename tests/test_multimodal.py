@@ -62,3 +62,42 @@ def test_sample_frames_fanout_and_timestamps(spark):
         # distinct frames of one video differ
         assert len({r["frame_sha"] for r in rows}) == 3
         assert all(len(r["feature"]) == 16 for r in rows)
+
+
+def test_real_codec_path(spark, monkeypatch):
+    """CPG_SPARK_FAKE_DECODE=0 activates the REAL PIL decode path: when
+    PIL is shipped to executors (--archives) a real PNG decodes with its
+    true dimensions; in codec-less environments (this container) the
+    kernel fails loudly with NotImplementedError instead of silently
+    faking.  The test covers whichever side the environment is on and
+    skips nothing silently."""
+    import pandas as pd
+    import pytest
+
+    from cpg_spark.operators.multimodal import MEDIA_SCHEMA
+
+    try:
+        import io
+
+        from PIL import Image
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    monkeypatch.setenv("CPG_SPARK_FAKE_DECODE", "0")
+    if have_pil:  # pragma: no cover - container has no PIL
+        buf = io.BytesIO()
+        Image.new("RGB", (20, 10)).save(buf, format="PNG")
+        media = spark.createDataFrame(
+            pd.DataFrame([{"media_ref": "blob://real/0",
+                           "payload": buf.getvalue(),
+                           "mime": "image/png"}]), schema=MEDIA_SCHEMA)
+        row, = extract_features(media).collect()
+        assert (row["width"], row["height"]) == (20, 10)
+        assert len(row["feature"]) == 16
+    else:
+        media = _media(spark)
+        with pytest.raises(Exception) as exc_info:
+            extract_features(media).collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError)
