@@ -81,6 +81,13 @@ BENCH_QUERIES = [
     "top_tokens",
     "decontaminate",
     "segment_dedup",
+    # round-3 additions: derived-parameter banded near-dup, in-query LSH
+    # recall audit, enum/generics/expression-EOG emission goldens
+    "embedding_neardup_auto",
+    "ann_lsh_recall",
+    "cpg_enums",
+    "cpg_generics",
+    "cpg_eog_expr",
 ]
 
 

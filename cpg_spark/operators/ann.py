@@ -67,20 +67,23 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _plane_weight(plane: int, idx_col, seed: int = 42):
+def _plane_weight(plane, idx_col, seed: int = 42):
     """Deterministic pseudo-random hyperplane weight for (plane, dim-index),
     computed entirely JVM-side — no RNG state, no driver-side dim probe, no
     dim×planes literal arrays bloating the plan.  xxhash64 over the integer
     triple (not md5 over strings: ~7x cheaper per element — this runs
-    dim × planes × tables times per corpus row)."""
+    dim × planes × tables times per corpus row).  ``plane`` may be a
+    Python int or a Column of the same integer type (the hash is
+    type-sensitive, so both spellings produce IntegerType inputs)."""
+    plane_col = F.lit(plane) if isinstance(plane, int) else plane
     return (
-        F.pmod(F.xxhash64(F.lit(seed), F.lit(plane), idx_col),
+        F.pmod(F.xxhash64(F.lit(seed), plane_col, idx_col),
                F.lit(2**32)).cast("double")
         / F.lit(float(2**32)) - F.lit(0.5)
     )
 
 
-def _plane_sign(vec_col, plane: int, seed: int = 42):
+def _plane_sign(vec_col, plane, seed: int = 42):
     """'1'/'0' sign bit of vec · hyperplane(plane) — the random-hyperplane
     LSH primitive (sign quantized at 1e-6 like every cross-engine float)."""
     s = F.aggregate(
@@ -89,6 +92,20 @@ def _plane_sign(vec_col, plane: int, seed: int = 42):
         F.lit(0.0), lambda acc, v: acc + v,
     )
     return F.when(F.round(s, 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def _all_plane_signs(vec_col, total_planes: int, seed: int = 42):
+    """array<string> of the '1'/'0' sign bits for planes
+    0..total_planes-1, as ONE nested higher-order expression — the
+    per-plane expression ladder made the plan O(planes) nodes, which at
+    derived parameter counts (log2(N) planes x recall-solved bands)
+    dominated wall time with analysis/codegen, not compute.  Bit-for-bit
+    identical to mapping :func:`_plane_sign` over the range (the plane
+    index enters the hash with the same integer type)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(total_planes - 1)),
+        lambda p: _plane_sign(vec_col, p, seed),
+    )
 
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -107,25 +124,29 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     md5-derived per element index, so the corpus shuffles once per table
     on bucket id with no driver-side dimension probe."""
 
-    def entries(vc):
-        out = []
-        for t in range(n_tables):
-            bucket = F.concat(*[
-                _plane_sign(vc, t * n_planes + p, seed)
-                for p in range(n_planes)
-            ])
-            out.append(F.struct(F.lit(t).alias("table_id"),
-                                bucket.alias("bucket")))
-        return F.explode(F.array(*out))
+    # signs materialize as a column in their own projection so the
+    # per-table bucket lambdas reference (not re-evaluate) them — see
+    # cosine_near_dup_pairs for the measured rationale
+    table_entries = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.struct(
+            t.alias("table_id"),
+            F.array_join(F.slice(F.col("_signs"), t * n_planes + 1,
+                                 n_planes), "").alias("bucket")),
+    ))
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"),
-                      entries(F.col(vec_col)).alias("z")
-                      ).select("neighbor_id", "cv", "z.table_id", "z.bucket")
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"),
-                       entries(F.col(vec_col)).alias("z")
-                       ).select("query_id", "qv", "z.table_id", "z.bucket")
+    def with_buckets(df, idname, vecname):
+        return (
+            df.select(
+                F.col(id_col).alias(idname), F.col(vec_col).alias(vecname),
+                _all_plane_signs(F.col(vec_col), n_tables * n_planes,
+                                 seed).alias("_signs"))
+            .select(idname, vecname, table_entries.alias("z"))
+            .select(idname, vecname, "z.table_id", "z.bucket")
+        )
+
+    c = with_buckets(corpus, "neighbor_id", "cv")
+    q = with_buckets(queries, "query_id", "qv")
     cands = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -338,20 +359,29 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold_q6: float = 0.95,
             n_bands, band_planes, threshold_q6, cnt, target_recall,
             exp_cands)
     # ONE explode projection (not a union of per-band branches, which
-    # would re-scan the corpus once per band on BOTH join sides)
-    entries = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat(*[
-                _plane_sign(F.col(vec_col), b * band_planes + p, seed)
-                for p in range(band_planes)
-            ]).alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
+    # would re-scan the corpus once per band on BOTH join sides).  The
+    # sign bits materialize as an array column in their OWN projection
+    # and the band extraction references that column: inlining the sign
+    # expression into the per-band lambdas would re-evaluate all
+    # planes once PER BAND (measured 5x at 40 bands — CollapseProject
+    # keeps expensive expressions from being duplicated across the
+    # projection boundary, so this two-step shape computes each plane
+    # exactly once per row)
+    withsigns = corpus.select(
+        F.col(id_col).alias("doc"),
+        _all_plane_signs(F.col(vec_col), n_bands * band_planes,
+                         seed).alias("_signs"),
+    )
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.array_join(
+                F.slice(F.col("_signs"), b * band_planes + 1, band_planes),
+                "").alias("bucket")),
+    )
     bands = (
-        corpus.select(F.col(id_col).alias("doc"),
-                      F.explode(F.array(*entries)).alias("z"))
+        withsigns.select("doc", F.explode(entries).alias("z"))
         .select("doc", "z.band_id", "z.bucket")
     )
     cands = (
