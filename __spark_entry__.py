@@ -111,7 +111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_data_pipeline": Q.q_training_data_pipeline,
         # ---- one representative per Catalyst surface (in-window) ---------
         "agg_pricing_summary": Q.q_agg_pricing_summary,
-        "innermost_scope_winner": Q.q_innermost_scope_winner,
         "salted_skew_join": Q.q_salted_skew_join,
         "supertype_closure": Q.q_supertype_closure,
         "connected_components": Q.q_connected_components,
@@ -123,10 +122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": Q.q_ann_ivf_topk,
         "ann_lsh_recall": Q.q_ann_lsh_recall,
         "media_frame_sample": Q.q_media_frame_sample,
+        "pii_scrub": Q.q_pii_scrub,  # new (r3)
         # =========== driver window boundary (first 50 above) ==============
         # rows below are r02-driver-green and unchanged; still checked
         # locally every round
         "label_filter_projection": Q.q_label_filter_projection,
+        "innermost_scope_winner": Q.q_innermost_scope_winner,
         "by_name_lookup": Q.q_by_name_lookup,
         "window_nth_statement": Q.q_window_nth_statement,
         "window_span_order": Q.q_window_span_order,
@@ -1487,6 +1488,46 @@ def oracle_sql() -> dict[str, str]:
               AS t(doc_id, field_name, field_type, raw_type, arg_index,
                    arg_type)
             ORDER BY doc_id, field_name, arg_index
+        """,
+        # PII scrub: the corpus is PII-free, so deterministic synthetic
+        # PII is spliced in by the SAME expression on both sides; counts
+        # + md5 of the redacted text pin the whole regex chain (patterns
+        # chosen to evaluate identically under Java regex and RE2)
+        "pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+                     '@mail.example.com or +14155550' ||
+                     CAST(doc_id AS VARCHAR) || ' from 10.0.0.' ||
+                     CAST(LENGTH(CAST(doc_id AS VARCHAR)) AS VARCHAR) ||
+                     ' end' AS text
+              FROM documents
+            ), scrub AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                  AS INTEGER) AS n_emails,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+              FROM aug
+            ), scrub2 AS (
+              SELECT doc_id, n_emails,
+                CAST(len(regexp_extract_all(t1,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                  AS INTEGER) AS n_ips,
+                regexp_replace(t1,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                  '<IP>', 'g') AS t2
+              FROM scrub
+            )
+            SELECT doc_id, n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t2,
+                     '\\+\\d[\\d-]{7,14}\\d')) AS INTEGER) AS n_phones,
+                   md5(regexp_replace(t2, '\\+\\d[\\d-]{7,14}\\d',
+                                      '<PHONE>', 'g')) AS clean_md5
+            FROM scrub2
+            ORDER BY doc_id
         """,
         # golden oracle: frame fan-out is deterministic end to end
         # (payload = blake2b chain of the media_ref; frame bytes =

@@ -1501,6 +1501,16 @@ class CFamilyFrontend(Emitter):
                 if init_id:
                     self.ast_edge(vid, init_id, "INITIALIZER", 0)
                     self.edge(init_id, "DFG", vid)  # VariableDeclaration.java:118
+                elif self.dialect == "java" and self.in_function():
+                    # Java locals without an initializer carry an implicit
+                    # UninitializedValue initializer
+                    # (java/ExpressionHandler.java:258-261); AST edge only
+                    # — the reference attaches no value, so no DFG
+                    uv = self.node(f"{path}.v[{vi}].uninit",
+                                   "UninitializedValue", "",
+                                   self._tloc(nt), is_implicit=True,
+                                   code="")
+                    self.ast_edge(vid, uv, "INITIALIZER", 0)
                 self.declare(nt.text, vid, "var", vtype)
                 ids.append(vid)
             vi += 1
@@ -1920,8 +1930,8 @@ class CFamilyFrontend(Emitter):
             self.i = save
         else:
             self.i = save
-        # expression statement
-        nid, _ = self.parse_expr(path)
+        # expression statement (possibly a comma sequence -> ExpressionList)
+        nid, _ = self._parse_expr_list(path)
         self.accept(";")
         self.ast_edge(parent, nid, "STATEMENTS", index)
         return nid, {"kind": "plain", "nid": nid}
@@ -2136,13 +2146,35 @@ class CFamilyFrontend(Emitter):
             self.ast_edge(nid, cond_id, "CONDITION", 0)
         self.accept(";")
         if self.peek().kind != ")":
-            pid, _ = self.parse_expr(path + ".post")
+            pid, _ = self._parse_expr_list(path + ".post")
             self.ast_edge(nid, pid, "ITERATION_STATEMENT", 0)
             post_info = {"kind": "plain", "nid": pid}
         self.expect(")")
         body = self._branch(path + ".body", nid, "STATEMENT")
         return nid, {"kind": "for", "nid": nid, "init": init_info,
                      "cond": cond_id, "post": post_info, "body": body}
+
+    def _parse_expr_list(self, path: str):
+        """Comma (sequence) expression -> ExpressionList with ordered
+        EXPRESSIONS children (statements/expressions/ExpressionList.java;
+        CDT handleExpressionList, cpp/ExpressionHandler.kt:604-610):
+        ``i++, j++`` in a for clause or an expression statement.  The
+        list's value is the LAST expression's (DFG last -> list).  A
+        single expression passes through unchanged."""
+        eid, meta = self.parse_expr(path)
+        if self.peek().kind != ",":
+            return eid, meta
+        t0 = self.peek()
+        el = self.node(path + ".el", "ExpressionList", "", self._tloc(t0))
+        self.ast_edge(el, eid, "EXPRESSIONS", 0)
+        idx = 1
+        last = eid
+        while self.accept(","):
+            last, _ = self.parse_expr(f"{path}.x[{idx}]")
+            self.ast_edge(el, last, "EXPRESSIONS", idx)
+            idx += 1
+        self.edge(last, "DFG", el)
+        return el, {"kind": "exprlist", "name": "", "type": None}
 
     def parse_switch(self, path: str):
         t = self.next()
@@ -2813,8 +2845,44 @@ class CFamilyFrontend(Emitter):
                                 "DeclaredReferenceExpression", sel.text,
                                 self._tloc(sel))
             elif self.peek().kind == "[":
-                self.next()
-                lid, _ = self.parse_expr(f"{path}.l[{li}]")
+                if (self.peek(1).kind in ("int", "ident")
+                        and self.peek(2).kind == "."
+                        and self.peek(3).kind == "."
+                        and self.peek(4).kind == "."
+                        and self.peek(5).kind in ("int", "ident")
+                        and self.peek(6).kind == "]"):
+                    # GNU array-range designator ``[2 ... 5] = x`` ->
+                    # ArrayRangeExpression with FLOOR/CEILING children
+                    # (expressions/ArrayRangeExpression.java;
+                    # cpp/ExpressionHandler.kt:756-763)
+                    self.next()
+                    ft = self.next()
+                    self.next()
+                    self.next()
+                    self.next()
+                    ct = self.next()
+                    lid = self.node(f"{path}.l[{li}]",
+                                    "ArrayRangeExpression", "",
+                                    self._tloc(ft))
+
+                    def _range_leaf(tok, tag):
+                        if tok.kind == "int":
+                            lf = self.node(f"{path}.l[{li}].{tag}",
+                                           "Literal", tok.text,
+                                           self._tloc(tok), code=tok.text)
+                            self.eval_type(lf, "int")
+                        else:
+                            lf = self.node(f"{path}.l[{li}].{tag}",
+                                           "DeclaredReferenceExpression",
+                                           tok.text, self._tloc(tok))
+                        return lf
+
+                    self.ast_edge(lid, _range_leaf(ft, "floor"), "FLOOR", 0)
+                    self.ast_edge(lid, _range_leaf(ct, "ceiling"),
+                                  "CEILING", 0)
+                else:
+                    self.next()
+                    lid, _ = self.parse_expr(f"{path}.l[{li}]")
                 self.accept("]")
             else:
                 break

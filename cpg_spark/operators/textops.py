@@ -208,3 +208,44 @@ def shingles(col: str | Column, k: int = 3) -> Column:
             ),
         ),
     ).otherwise(F.array())
+
+
+# PII patterns expressible identically in Java regex (Spark) and RE2
+# (DuckDB) so the scrub oracle is bit-identical: no backrefs, no
+# lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d-]{7,14}\d"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass (emails,
+    IPv4 addresses, international-format phone numbers) as pure Catalyst
+    ``regexp_replace`` chains with per-category match counts:
+    (doc_id, n_emails, n_ips, n_phones, clean_text).
+
+    Replacement tokens are the C4/Dolma-style typed placeholders
+    (``<EMAIL>`` etc.) so downstream tokenization sees a stable symbol
+    instead of a hole.  Order matters: emails are redacted FIRST (an
+    email's domain would otherwise feed the IP/phone patterns a partial
+    match surface), then IPs, then phones.
+
+    Scale shape: a zero-shuffle scan-side projection — regex evaluation
+    is whole-stage-codegen JVM work, the canonical map-only curation
+    kernel.  Patterns avoid backreferences/lookaround so the identical
+    expression runs on RE2 engines (the DuckDB oracle)."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+    after_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(after_email, F.lit(PII_IPV4_RE), 0))
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(after_ip, F.lit(PII_PHONE_RE), 0))
+    clean = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("int").alias("n_emails"),
+        n_ips.cast("int").alias("n_ips"),
+        n_phones.cast("int").alias("n_phones"),
+        clean.alias("clean_text"),
+    )

@@ -357,6 +357,34 @@ def q_token_counts(spark, sf_dir):
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone numbers -> typed
+    placeholders) with per-category counts.  The synthetic corpus is
+    PII-free, so the query first splices DETERMINISTIC synthetic PII
+    into each document (same expression in the SQL oracle) — the check
+    then pins non-vacuous counts and the md5 of the redacted text."""
+    from cpg_spark.operators.textops import pii_scrub
+
+    doc = _t(spark, sf_dir, "documents")
+    aug = doc.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +14155550"),
+            F.col("doc_id").cast("string"), F.lit(" from 10.0.0."),
+            F.length(F.col("doc_id").cast("string")).cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    return (
+        pii_scrub(aug)
+        .select("doc_id", "n_emails", "n_ips", "n_phones",
+                F.md5("clean_text").alias("clean_md5"))
+        .orderBy("doc_id")
+    )
+
+
 def q_ann_bruteforce_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)

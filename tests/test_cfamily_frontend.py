@@ -219,16 +219,17 @@ def test_constructors_cpp_overload_resolution():
 
 
 def test_constructors_java_no_implicit_stack_construction():
-    """ConstructorsTest.testJava: ``Constructors a4;`` stays
-    uninitialized — Java has no stack construction, so no implicit
-    ConstructExpression is attached (unlike C++)."""
+    """ConstructorsTest.testJava:84-85: ``Constructors a4;`` gets an
+    UninitializedValue initializer — Java has no stack construction, so
+    no implicit ConstructExpression is attached (unlike C++, where the
+    same spelling constructs: ConstructorsTest.java:121-124)."""
     g = _graph("java", "Constructors")
     nodes, edges = _index(g)
     a4 = _named(nodes, "VariableDeclaration", "a4")[0]
-    inits = [e for e in edges.get("AST", [])
+    inits = [nodes[e["obj"]] for e in edges.get("AST", [])
              if e["subj"] == a4["node_id"]
              and e["props"].get("field") == "INITIALIZER"]
-    assert inits == []
+    assert [i["label"] for i in inits] == ["UninitializedValue"]
     # the three new-forms resolve by arity
     ctor_np = {}
     for n in nodes.values():

@@ -108,3 +108,58 @@ def test_delete_expression():
         if nodes[e["subj"]]["label"] == "DeleteExpression"
         and e["props"].get("field") == "OPERAND")
     assert operands == ["arr", "p"]
+
+
+def test_expression_list():
+    """Comma sequences in for clauses -> ExpressionList with ordered
+    EXPRESSIONS children (expressions/ExpressionList.java;
+    cpp/ExpressionHandler.kt:604-610); the last expression's value flows
+    DFG into the list."""
+    src = """int main() {
+  int i, j;
+  for (i = 0, j = 10; i < j; i++, j--) { }
+  return 0;
+}"""
+    nodes, edges = _index(parse_cpp_document("cpp/el/1", 0, src, None))
+    els = [n for n in nodes.values() if n["label"] == "ExpressionList"]
+    assert len(els) == 2  # init and post clause
+    kids = {}
+    for e in edges["AST"]:
+        if e["props"].get("field") == "EXPRESSIONS":
+            kids.setdefault(e["subj"], []).append(
+                (int(e["props"]["index"]), nodes[e["obj"]]["name"]))
+    shapes = sorted(tuple(n for _, n in sorted(v)) for v in kids.values())
+    assert shapes == [("++", "--"), ("=", "=")]
+    # last expression DFG-flows into each list
+    el_ids = {n["node_id"] for n in els}
+    assert sum(1 for e in edges["DFG"] if e["obj"] in el_ids) == 2
+
+
+def test_array_range_expression():
+    """GNU range designator [5 ... 7] -> ArrayRangeExpression with
+    FLOOR/CEILING (expressions/ArrayRangeExpression.java)."""
+    src = "int foo2[10] = { [3] = 1, [5 ... 7] = 2 };"
+    nodes, edges = _index(parse_cpp_document("cpp/ar/1", 0, src, None))
+    are, = [n for n in nodes.values()
+            if n["label"] == "ArrayRangeExpression"]
+    bounds = {e["props"]["field"]: nodes[e["obj"]]["name"]
+              for e in edges["AST"] if e["subj"] == are["node_id"]}
+    assert bounds == {"FLOOR": "5", "CEILING": "7"}
+
+
+def test_uninitialized_value():
+    """Java locals without an initializer carry an implicit
+    UninitializedValue initializer (java/ExpressionHandler.java:258-261);
+    initialized locals and C++ locals do not."""
+    nodes, edges = _index(parse_java_document(
+        "java/U/1", 0,
+        "public class A { void f() { int x; int y = 1; } }", None))
+    uvs = [n for n in nodes.values() if n["label"] == "UninitializedValue"]
+    assert len(uvs) == 1 and uvs[0]["is_implicit"]
+    owner, = [nodes[e["subj"]] for e in edges["AST"]
+              if e["obj"] == uvs[0]["node_id"]]
+    assert owner["name"] == "x"
+    cn, _ = _index(parse_cpp_document("cpp/U/1", 0,
+                                      "int main() { int x; return x; }",
+                                      None))
+    assert not [n for n in cn.values() if n["label"] == "UninitializedValue"]

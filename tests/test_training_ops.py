@@ -83,3 +83,33 @@ def test_segment_dedup_within_doc_repeats_collapse(spark):
     row = dedup.segment_dedup(docs, seg_tokens=10).collect()[0]
     assert row["n_segs"] == 2 and row["n_kept"] == 1
     assert row["kept_text"] == seg
+
+
+def test_pii_scrub(spark):
+    """Email/IPv4/phone redaction with typed placeholders and counts;
+    email-first ordering keeps the domain from part-matching the IP
+    pattern; PII-free text passes through untouched."""
+    import pandas as pd
+
+    from cpg_spark.operators.textops import pii_scrub
+
+    df = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": "a",
+         "text": "mail bob.smith+x@corp.example.org now"},
+        {"doc_id": "b", "text": "host 192.168.1.254 and 10.0.0.1 up"},
+        {"doc_id": "c", "text": "call +1-415-555-0199 today"},
+        {"doc_id": "d", "text": "clean document no pii at all"},
+        {"doc_id": "e",
+         "text": "x@y.io at 8.8.8.8 tel +4915112345678"},
+    ]))
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out["a"]["n_emails"] == 1
+    assert out["a"]["clean_text"] == "mail <EMAIL> now"
+    assert out["b"]["n_ips"] == 2
+    assert out["b"]["clean_text"] == "host <IP> and <IP> up"
+    assert out["c"]["n_phones"] == 1
+    assert out["c"]["clean_text"] == "call <PHONE> today"
+    assert out["d"]["clean_text"] == "clean document no pii at all"
+    assert (out["d"]["n_emails"], out["d"]["n_ips"],
+            out["d"]["n_phones"]) == (0, 0, 0)
+    assert out["e"]["clean_text"] == "<EMAIL> at <IP> tel <PHONE>"
