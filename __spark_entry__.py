@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": Q.q_ann_lsh_topk,  # rows-only (approximate by
         # design; quality driver-verified via ann_lsh_recall in-window)
         "media_feature_extract": Q.q_media_features,
+        "media_audio_chunks": Q.q_media_audio_chunks,  # new (r3, audio
+        # modality fan-out; golden oracle, rotates in-window next round)
     }
 
 
@@ -1528,6 +1530,29 @@ def oracle_sql() -> dict[str, str]:
                                       '<PHONE>', 'g')) AS clean_md5
             FROM scrub2
             ORDER BY doc_id
+        """,
+        # golden oracle: audio window fan-out is deterministic end to end
+        # (payload = blake2b chain of the media_ref; chunk bytes =
+        # blake2b(payload || 'a' || chunk_no)) — pins the 1->N batch
+        # fan-out and the [start_ms, end_ms) interval arithmetic
+        "media_audio_chunks": """
+            SELECT * FROM (VALUES
+              ('blob://class_fields/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), CAST(500 AS INTEGER), '83d9ffa5e2ef91a0caf8245ba2841e2e'),
+              ('blob://class_fields/0', CAST(1 AS INTEGER), CAST(500 AS INTEGER), CAST(1000 AS INTEGER), '14fc79b8948b94729856cfe7e90111c6'),
+              ('blob://comment/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), CAST(500 AS INTEGER), '3f6bb47bda4c2ff8e720f8aab98f4d5d'),
+              ('blob://comment/0', CAST(1 AS INTEGER), CAST(500 AS INTEGER), CAST(1000 AS INTEGER), 'e2c832311d381b080fc694e99cf822b4'),
+              ('blob://field/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), CAST(500 AS INTEGER), 'a57c17aebb4c4d09460fcfaf92359a60'),
+              ('blob://field/0', CAST(1 AS INTEGER), CAST(500 AS INTEGER), CAST(1000 AS INTEGER), '78dbb4cba606c63bf1eb595942d7c418'),
+              ('blob://for/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), CAST(500 AS INTEGER), '8c513a3dbe05753a72e5d2886223a919'),
+              ('blob://for/0', CAST(1 AS INTEGER), CAST(500 AS INTEGER), CAST(1000 AS INTEGER), 'c4e17b760e6ff63dead0cfdcacfaebff'),
+              ('blob://if/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), CAST(500 AS INTEGER), 'c06144202b547c2a5e24d7ab3cf81781'),
+              ('blob://if/0', CAST(1 AS INTEGER), CAST(500 AS INTEGER), CAST(1000 AS INTEGER), '39b642026b90718c4888e49a47b9fe06'),
+              ('blob://ifexpr/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), CAST(500 AS INTEGER), '81a70fa2bb9c06b103c92abb238359b6'),
+              ('blob://ifexpr/0', CAST(1 AS INTEGER), CAST(500 AS INTEGER), CAST(1000 AS INTEGER), '2176b9d6dff9a66080696c2bc48ec583'),
+              ('blob://issue598/0', CAST(0 AS INTEGER), CAST(0 AS INTEGER), CAST(500 AS INTEGER), '1d7858d1c5b0aba5d53d7e8cde7ab5c8'),
+              ('blob://issue598/0', CAST(1 AS INTEGER), CAST(500 AS INTEGER), CAST(1000 AS INTEGER), 'f0e1f841a6d068553486ab6e8faba2c9'))
+              AS t(media_ref, chunk_no, start_ms, end_ms, chunk_sha)
+            ORDER BY media_ref, chunk_no
         """,
         # golden oracle: frame fan-out is deterministic end to end
         # (payload = blake2b chain of the media_ref; frame bytes =

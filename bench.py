@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "cpg_enums",
     "cpg_generics",
     "cpg_eog_expr",
+    "pii_scrub",
+    "media_audio_chunks",
 ]
 
 

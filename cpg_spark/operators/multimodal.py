@@ -248,3 +248,59 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     return media.repartition(
         max(media.rdd.getNumPartitions(), 8)
     ).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+CHUNK_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("chunk_no", T.IntegerType(), False),
+    T.StructField("start_ms", T.IntegerType(), True),
+    T.StructField("end_ms", T.IntegerType(), True),
+    T.StructField("chunk_sha", T.StringType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+
+def chunk_audio(media: DataFrame, chunk_ms: int = 1000,
+                n_chunks: int = 4,
+                fake_decode: bool | None = None) -> DataFrame:
+    """Audio chunking: the third modality's fan-out kernel (images
+    decode 1->1, video samples frames 1->N, audio windows into fixed
+    chunks 1->N with per-chunk timestamps + features — the Whisper-style
+    segmentation shape).  The codec (ffmpeg/soundfile demux + resample)
+    is stubbed like the image/video kernels: the deterministic fake
+    derives each chunk's bytes from blake2b(payload || chunk_no), so the
+    Arrow-batch fan-out, the [start_ms, end_ms) interval arithmetic and
+    the per-chunk 16-float feature schema are real and golden-pinnable.
+
+    Scale shape: mapInPandas emits the fan-out inside the batch — no
+    explode/join; downstream per-chunk ops key on (media_ref, chunk_no),
+    a uniform composite key."""
+    fake = _fake_decode_default() if fake_decode is None else fake_decode
+
+    def run(batches):
+        if not fake:
+            raise NotImplementedError(
+                "real audio chunking requires ffmpeg/soundfile — ship "
+                "codecs via spark-submit --archives, or set "
+                "CPG_SPARK_FAKE_DECODE=1 for the deterministic fake")
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                for cno in range(n_chunks):
+                    cb = hashlib.blake2b(
+                        payload + b"a" + cno.to_bytes(4, "big"),
+                        digest_size=16).digest()
+                    rows.append({
+                        "media_ref": ref, "chunk_no": cno,
+                        "start_ms": cno * chunk_ms,
+                        "end_ms": (cno + 1) * chunk_ms,
+                        "chunk_sha": cb.hex(),
+                        "feature": [((b / 255.0) - 0.5) for b in cb],
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
+
+    return media.repartition(
+        max(media.rdd.getNumPartitions(), 8)
+    ).mapInPandas(run, schema=CHUNK_SCHEMA)

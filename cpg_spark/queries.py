@@ -529,6 +529,22 @@ def q_media_frame_sample(spark, sf_dir):
     )
 
 
+def q_media_audio_chunks(spark, sf_dir):
+    """Audio chunking plumbing: blob-store join -> Arrow-batched 1->N
+    window fan-out with [start_ms, end_ms) intervals (demux kernel
+    stubbed, deterministic; batch shape/intervals/per-chunk hash real
+    and golden-pinned)."""
+    from cpg_spark.operators.multimodal import chunk_audio, synth_media_table
+    from cpg_spark.synth import fixture_docs
+
+    media = synth_media_table(fixture_docs(spark))
+    return (
+        chunk_audio(media, chunk_ms=500, n_chunks=2)
+        .select("media_ref", "chunk_no", "start_ms", "end_ms", "chunk_sha")
+        .orderBy("media_ref", "chunk_no")
+    )
+
+
 def q_cypher_params(spark, sf_dir):
     """openCypher-subset executor (reference Graph.kt:58-360) over the
     parsed fixture graph: function -> PARAMETERS -> param."""

@@ -101,3 +101,26 @@ def test_real_codec_path(spark, monkeypatch):
             extract_features(media).collect()
         assert "NotImplementedError" in str(exc_info.value) or isinstance(
             exc_info.value, NotImplementedError)
+
+
+def test_chunk_audio_fanout_intervals(spark):
+    media = _media(spark)
+    n_media = media.count()
+    from cpg_spark.operators.multimodal import chunk_audio
+
+    chunks = chunk_audio(media, chunk_ms=250, n_chunks=4).collect()
+    assert len(chunks) == 4 * n_media
+    by_ref: dict = {}
+    for r in chunks:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for rows in by_ref.values():
+        ivals = sorted((r["start_ms"], r["end_ms"]) for r in rows)
+        assert ivals == [(0, 250), (250, 500), (500, 750), (750, 1000)]
+        # chunks of one clip differ, features bounded
+        assert len({r["chunk_sha"] for r in rows}) == 4
+        assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic across runs
+    again = {(r["media_ref"], r["chunk_no"]): r["chunk_sha"]
+             for r in chunk_audio(media, 250, 4).collect()}
+    assert {(r["media_ref"], r["chunk_no"]): r["chunk_sha"]
+            for r in chunks} == again
