@@ -36,6 +36,20 @@ from pyspark.sql import functions as F
 BROADCAST_MAX_ROWS = 100_000
 
 
+def bounded_dim_count(dim, threshold: int = None) -> int:
+    """min(true count, threshold+1) via an early-exit ``limit().count()``
+    — the broadcast-vs-salt decision needs only WHICH SIDE of the
+    threshold the dim falls on, and a full ``count()`` of a corpus-scale
+    symbol dimension is a serial full scan gating every linking join
+    (at 10^12 docs the dim is corpus-sized; the limit stops the scan
+    after threshold+1 rows via Spark's incremental CollectLimit job
+    submission).  A returned value of threshold+1 therefore means
+    "more than threshold", not an exact count."""
+    if threshold is None:
+        threshold = BROADCAST_MAX_ROWS
+    return dim.limit(threshold + 1).count()
+
+
 def salted_equi_join(
     facts: DataFrame,
     dims: DataFrame,
@@ -159,7 +173,7 @@ def linking_join(
     strategy = force
     if strategy is None:
         if dim_rows is None:
-            dim_rows = dims.count()
+            dim_rows = bounded_dim_count(dims)
         strategy = "broadcast" if dim_rows <= BROADCAST_MAX_ROWS else "salted"
     if strategy == "broadcast":
         cond = [F.col(fk) == F.col(dk) for fk, dk in key_pairs]

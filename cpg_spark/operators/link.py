@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cpg_spark.operators.joins import BROADCAST_MAX_ROWS, linking_join
+from cpg_spark.operators.joins import (BROADCAST_MAX_ROWS,
+                                       bounded_dim_count, linking_join)
 
 # implicit-conversion groups (CallResolver.java:847-907 subset), mirrored
 # from the frontend-local ladder (cfamily_frontend._NUM_TYPES) so local
@@ -313,7 +314,7 @@ def joined_mentions(mentions: DataFrame, symbols: DataFrame,
         "n_args", "n_kwargs", "arg_ids", "arg_types")
     if dim is None:
         dim = symbol_dim(symbols)
-    dim_rows = dim.count() if strategy is None else None
+    dim_rows = bounded_dim_count(dim) if strategy is None else None
     if strategy == "salted" or (strategy is None and dim_rows is not None
                                 and dim_rows > BROADCAST_MAX_ROWS):
         # measure which names are actually hot BEFORE salting: only those
@@ -428,7 +429,7 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     else:
         # standalone path: the UNFILTERED shared dim joins here; the
         # candidate filter below already restricts d_kind
-        dim_rows = fns.count() if strategy is None else None
+        dim_rows = bounded_dim_count(fns) if strategy is None else None
         joined, used = _name_join(calls, fns, dim_rows, buckets, strategy)
         joined = _visibility_gate(joined, _imports_dim(mentions))
 
@@ -814,7 +815,7 @@ def link_refs(mentions: DataFrame, symbols: DataFrame,
         used, dim_rows = strategy or "prejoined", None
     else:
         refs = refs.join(star.select("mention_id"), "mention_id", "left_anti")
-        dim_rows = decls.count() if strategy is None else None
+        dim_rows = bounded_dim_count(decls) if strategy is None else None
         joined, used = _name_join(refs, decls, dim_rows, buckets, strategy)
         joined = _visibility_gate(joined, _imports_dim(mentions))
 
@@ -1089,7 +1090,7 @@ def link_combined(mentions: DataFrame, symbols: DataFrame, nodes: DataFrame,
         # ONE sizing job over the shared dimension (both joins use it)
         from cpg_spark.operators.joins import BROADCAST_MAX_ROWS
 
-        n_dim = dim.count()
+        n_dim = bounded_dim_count(dim)
         strategy = "broadcast" if n_dim <= BROADCAST_MAX_ROWS else "salted"
     joined, used, _ = joined_mentions(mentions, symbols, strategy, buckets,
                                       dim=dim)
