@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_extract": Q.q_media_features,
         "media_audio_chunks": Q.q_media_audio_chunks,  # new (r3, audio
         # modality fan-out; golden oracle, rotates in-window next round)
+        "embedding_neardup_clusters": Q.q_embedding_neardup_clusters,
+        # ^ new (r3): LSH pairs -> CC -> min-id cluster, oracled by a
+        # recursive-CTE reachability closure over brute-force pairs
     }
 
 
@@ -1601,6 +1604,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(40 AS BIGINT) AS n_true, CAST(40 AS BIGINT) AS n_hit,
                    CAST(1000 AS BIGINT) AS recall_pm,
                    CAST(1 AS INTEGER) AS meets_900pm
+        """,
+        # full relational recompute: brute-force pairs + recursive-CTE
+        # reachability closure -> min-reachable-id component per vector —
+        # certifies pair recall AND the CC semantics in one check
+        "embedding_neardup_clusters": """
+            WITH RECURSIVE
+            e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 300),
+            e AS (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM e0 x JOIN e0 y ON x.vec_id < y.vec_id
+              WHERE round(list_dot_product(x.v, y.v) /
+                          (sqrt(list_dot_product(x.v, x.v)) *
+                           sqrt(list_dot_product(y.v, y.v))), 6) >= 0.40
+            ),
+            ue AS (SELECT a AS s, b AS t FROM e
+                   UNION SELECT b, a FROM e),
+            reach(s, t) AS (
+              SELECT s, t FROM ue
+              UNION
+              SELECT r.s, u.t FROM reach r JOIN ue u ON r.t = u.s
+            ),
+            comp AS (
+              SELECT s AS vec, LEAST(s, MIN(t)) AS cluster
+              FROM reach GROUP BY s
+            )
+            SELECT v.vec_id AS vec,
+                   CAST(COALESCE(c.cluster, v.vec_id) AS BIGINT) AS cluster
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id < 300) v
+            LEFT JOIN comp c ON c.vec = v.vec_id
+            ORDER BY vec
         """,
         # same brute-force oracle as embedding_neardup: a green row
         # certifies the DERIVED banding parameters (band_planes≈log2 N,

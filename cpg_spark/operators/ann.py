@@ -280,6 +280,37 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def cosine_near_dup_clusters(corpus: DataFrame, threshold_q6: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_bands: int | None = None,
+                             band_planes: int | None = None,
+                             seed: int = 42,
+                             corpus_count: int | None = None) -> DataFrame:
+    """(vec, cluster) for EVERY vector — the embedding-side analogue of
+    :func:`cpg_spark.operators.dedup.neardup_clusters`: pairwise cosine
+    near-dup detection alone cannot dedup a corpus (near-duplication is
+    not transitive at the pair level), so the verified pairs feed
+    large-star/small-star connected components and ``cluster`` = the min
+    vector id of the component; vectors with no near-dup map to
+    themselves.  Survivors = ``filter(vec == cluster)`` —
+    deterministic, scan-order-free.
+
+    Scale shape: pairs are corpus-linear (banded LSH, derived-parameter
+    default), CC runs on the PAIR graph only, and the final left join
+    keys on the uniform vector id."""
+    from cpg_spark.operators.cc import connected_components
+
+    pairs = cosine_near_dup_pairs(corpus, threshold_q6, id_col, vec_col,
+                                  n_bands, band_planes, seed, corpus_count)
+    comp = connected_components(pairs, src="a", dst="b")
+    vecs = corpus.select(F.col(id_col).alias("vec")).distinct()
+    return (
+        vecs.join(comp.withColumnRenamed("node", "vec"), "vec", "left")
+        .select("vec", F.coalesce("component", "vec").alias("cluster"))
+    )
+
+
 def derive_lsh_band_params(threshold: float, corpus_count: int,
                            target_recall: float = 0.999,
                            max_bands: int = 64) -> tuple[int, int]:

@@ -434,6 +434,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_embedding_neardup_clusters(spark, sf_dir):
+    """Corpus-level embedding near-dup CLUSTERING (banded-LSH pairs ->
+    large-star/small-star CC -> min-id cluster per component; every
+    vector gets a row).  The oracle recomputes the whole thing
+    relationally: brute-force pairs + a recursive-CTE reachability
+    closure — so the check certifies pair recall AND the component
+    semantics."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return (
+        ann.cosine_near_dup_clusters(emb, threshold_q6=0.40, n_bands=16,
+                                     band_planes=2)
+        .orderBy("vec")
+    )
+
+
 def q_ann_lsh_recall(spark, sf_dir):
     """Recall audit of the LSH ANN path, computed IN-QUERY against the
     exact brute-force top-k (the approximate result itself cannot be

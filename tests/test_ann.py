@@ -86,3 +86,24 @@ def test_ivf_topk_recall_and_exhaustive_exactness(emb):
     assert _recall(allp, exact) == 1.0  # exhaustive probing == exact
     assert _recall(few, exact) <= 1.0
     assert _recall(few, exact) >= 0.3  # 2/8 lists probed
+
+
+def test_cosine_neardup_clusters(emb):
+    """Every vector gets a cluster; members of a verified pair share one;
+    the cluster id is the component's min vector id; isolated vectors
+    map to themselves (scan-order-free survivor rule)."""
+    sub = emb.filter(F.col("vec_id") < 200)
+    pairs = {(r["a"], r["b"]) for r in ann.cosine_near_dup_pairs(
+        sub, threshold_q6=0.40, n_bands=16, band_planes=2).collect()}
+    clusters = {r["vec"]: r["cluster"] for r in
+                ann.cosine_near_dup_clusters(
+                    sub, threshold_q6=0.40, n_bands=16,
+                    band_planes=2).collect()}
+    assert len(clusters) == 200
+    paired = {v for p in pairs for v in p}
+    for a, b in pairs:
+        assert clusters[a] == clusters[b]
+        assert clusters[a] <= min(a, b)
+    for v, c in clusters.items():
+        if v not in paired:
+            assert c == v
