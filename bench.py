@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "cpg_eog_expr",
     "pii_scrub",
     "media_audio_chunks",
+    "embedding_neardup_clusters",
 ]
 
 
