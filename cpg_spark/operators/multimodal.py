@@ -3,11 +3,15 @@
 Media spans in the docs table carry ``media_ref`` pointers (blob store
 URIs); a real pipeline joins them to a binary table
 ``media(media_ref string, payload binary, mime string)`` and runs decode /
-feature-extraction in Arrow batches.  The image/audio codecs are not in
-this container, so the decode kernel is STUBBED behind
-``CPG_SPARK_FAKE_DECODE`` (deterministic fake) /
-``NotImplementedError`` (real decode) — but everything Spark-side is real
-and tested: schema, batching shape, partitioning, UDF signatures.
+feature-extraction in Arrow batches.  The image/audio/video codecs are
+not in this container, so every kernel defaults to a deterministic fake
+(``CPG_SPARK_FAKE_DECODE=1``); with the gate off, ALL FOUR kernels take
+a real codec path — PIL for decode/resize, PyAV for frame sampling,
+soundfile for audio chunking — attempted per partition and failing
+loudly (``NotImplementedError``) only when the executor environment
+lacks the library (ship codecs via ``spark-submit --archives``).
+Everything Spark-side is real and tested either way: schema, batching
+shape, partitioning, UDF signatures.
 
 Mirrors how the reference treats non-code artifacts: passes them through
 untouched while preserving span order (our input invariant)."""
@@ -65,6 +69,14 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
         media_refs(docs).select("media_ref").distinct()
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
     )
+
+
+def _media_parallelism(media: DataFrame) -> int:
+    """Repartition width for the media kernels: the cluster's default
+    parallelism (config-derived, no job).  Previously this read
+    ``media.rdd.getNumPartitions()``, which forces a plan→RDD conversion
+    per operator call just to pick a width."""
+    return max(media.sparkSession.sparkContext.defaultParallelism, 8)
 
 
 def _fake_decode_default() -> bool:
@@ -131,7 +143,7 @@ def extract_features(media: DataFrame,
                 rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
             )
 
-    return media.repartition(max(media.rdd.getNumPartitions(), 8)).mapInPandas(
+    return media.repartition(_media_parallelism(media)).mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
 
@@ -194,7 +206,7 @@ def resize_images(media: DataFrame, target_w: int = 32,
                 rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return media.repartition(
-        max(media.rdd.getNumPartitions(), 8)
+        _media_parallelism(media)
     ).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
@@ -224,29 +236,69 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     fake = _fake_decode_default() if fake_decode is None else fake_decode
 
     def run(batches):
+        # real mode mirrors the decode/resize PIL pattern: attempt the
+        # codec import once per partition, fail loudly only when absent
+        # (ship PyAV to executors via spark-submit --archives)
         if not fake:
-            raise NotImplementedError(
-                "real frame sampling requires ffmpeg — set "
-                "CPG_SPARK_FAKE_DECODE=1 or ship codecs via --archives")
+            try:
+                import io
+
+                import av
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "real frame sampling requires PyAV (ffmpeg bindings) "
+                    "— ship it via spark-submit --archives, or set "
+                    "CPG_SPARK_FAKE_DECODE=1 for the deterministic fake"
+                ) from exc
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
-                for fno in range(n_frames):
-                    fb = hashlib.blake2b(
-                        payload + fno.to_bytes(4, "big"),
-                        digest_size=16).digest()
-                    rows.append({
-                        "media_ref": ref, "frame_no": fno,
-                        "ts_ms": fno * frame_interval_ms,
-                        "frame_sha": fb.hex(),
-                        "feature": [((b / 255.0) - 0.5) for b in fb],
-                    })
+                if fake:
+                    for fno in range(n_frames):
+                        fb = hashlib.blake2b(
+                            payload + fno.to_bytes(4, "big"),
+                            digest_size=16).digest()
+                        rows.append({
+                            "media_ref": ref, "frame_no": fno,
+                            "ts_ms": fno * frame_interval_ms,
+                            "frame_sha": fb.hex(),
+                            "feature": [((b / 255.0) - 0.5) for b in fb],
+                        })
+                    continue
+                with av.open(io.BytesIO(payload)) as container:
+                    stream = container.streams.video[0]
+                    tb_ms = float(stream.time_base) * 1000.0
+                    next_ts, fno = 0, 0
+                    for frame in container.decode(stream):
+                        if fno >= n_frames:
+                            break
+                        ts_ms = int((frame.pts or 0) * tb_ms)
+                        if ts_ms < next_ts:
+                            continue
+                        gray = frame.to_ndarray(format="gray")
+                        fbytes = gray.tobytes()
+                        n = max(gray.size, 1)
+                        # 16-bin intensity histogram, same shape as fake
+                        feat = [
+                            float((gray >= i * 16).sum()
+                                  - (gray >= (i + 1) * 16).sum()) / n
+                            for i in range(16)
+                        ]
+                        rows.append({
+                            "media_ref": ref, "frame_no": fno,
+                            "ts_ms": ts_ms,
+                            "frame_sha":
+                                hashlib.sha256(fbytes).hexdigest(),
+                            "feature": feat,
+                        })
+                        fno += 1
+                        next_ts += frame_interval_ms
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.repartition(
-        max(media.rdd.getNumPartitions(), 8)
+        _media_parallelism(media)
     ).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
@@ -278,29 +330,65 @@ def chunk_audio(media: DataFrame, chunk_ms: int = 1000,
     fake = _fake_decode_default() if fake_decode is None else fake_decode
 
     def run(batches):
+        # real mode mirrors the decode/resize PIL pattern: attempt the
+        # codec import once per partition, fail loudly only when absent
         if not fake:
-            raise NotImplementedError(
-                "real audio chunking requires ffmpeg/soundfile — ship "
-                "codecs via spark-submit --archives, or set "
-                "CPG_SPARK_FAKE_DECODE=1 for the deterministic fake")
+            try:
+                import io
+
+                import soundfile as sf
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "real audio chunking requires soundfile (libsndfile) "
+                    "— ship it via spark-submit --archives, or set "
+                    "CPG_SPARK_FAKE_DECODE=1 for the deterministic fake"
+                ) from exc
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
+                if fake:
+                    for cno in range(n_chunks):
+                        cb = hashlib.blake2b(
+                            payload + b"a" + cno.to_bytes(4, "big"),
+                            digest_size=16).digest()
+                        rows.append({
+                            "media_ref": ref, "chunk_no": cno,
+                            "start_ms": cno * chunk_ms,
+                            "end_ms": (cno + 1) * chunk_ms,
+                            "chunk_sha": cb.hex(),
+                            "feature": [((b / 255.0) - 0.5) for b in cb],
+                        })
+                    continue
+                data, rate = sf.read(io.BytesIO(payload), always_2d=True)
+                mono = data.mean(axis=1)
+                samples_per_chunk = max(int(rate * chunk_ms / 1000), 1)
+                total = len(mono)
                 for cno in range(n_chunks):
-                    cb = hashlib.blake2b(
-                        payload + b"a" + cno.to_bytes(4, "big"),
-                        digest_size=16).digest()
+                    lo = cno * samples_per_chunk
+                    if lo >= total:
+                        break
+                    hi = min(lo + samples_per_chunk, total)
+                    chunk = mono[lo:hi]
+                    cbytes = chunk.tobytes()
+                    # 16-float feature: RMS energy over 16 sub-windows
+                    step = max(len(chunk) // 16, 1)
+                    feat = [
+                        float((chunk[i * step:(i + 1) * step] ** 2).mean()
+                              ** 0.5) if len(chunk[i * step:(i + 1) * step])
+                        else 0.0
+                        for i in range(16)
+                    ]
                     rows.append({
                         "media_ref": ref, "chunk_no": cno,
-                        "start_ms": cno * chunk_ms,
-                        "end_ms": (cno + 1) * chunk_ms,
-                        "chunk_sha": cb.hex(),
-                        "feature": [((b / 255.0) - 0.5) for b in cb],
+                        "start_ms": int(lo * 1000 / rate),
+                        "end_ms": int(hi * 1000 / rate),
+                        "chunk_sha": hashlib.sha256(cbytes).hexdigest(),
+                        "feature": feat,
                     })
             yield pd.DataFrame(
                 rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
 
     return media.repartition(
-        max(media.rdd.getNumPartitions(), 8)
+        _media_parallelism(media)
     ).mapInPandas(run, schema=CHUNK_SCHEMA)

@@ -103,6 +103,74 @@ def test_real_codec_path(spark, monkeypatch):
             exc_info.value, NotImplementedError)
 
 
+def test_real_frame_sampling_path(spark, monkeypatch):
+    """CPG_SPARK_FAKE_DECODE=0 on sample_frames: with PyAV shipped, a
+    real container demuxes and per-frame features come from decoded
+    pixels; without codecs (this container) the kernel fails loudly —
+    same contract as decode/resize, no unconditional dead end."""
+    import pytest
+
+    try:
+        import av  # noqa: F401
+        have_av = True
+    except ImportError:
+        have_av = False
+
+    monkeypatch.setenv("CPG_SPARK_FAKE_DECODE", "0")
+    media = _media(spark)
+    if have_av:  # pragma: no cover - container has no PyAV
+        pytest.skip("fake payloads are not real containers; the real-AV "
+                    "leg needs a fixture video, exercised in deployment")
+    with pytest.raises(Exception) as exc_info:
+        sample_frames(media, n_frames=2).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError)
+    assert "PyAV" in str(exc_info.value)
+
+
+def test_real_audio_chunking_path(spark, monkeypatch):
+    """CPG_SPARK_FAKE_DECODE=0 on chunk_audio: with soundfile present a
+    real WAV chunks by true sample intervals; otherwise fail loudly."""
+    import pytest
+
+    from cpg_spark.operators.multimodal import chunk_audio
+
+    try:
+        import soundfile as sf
+        have_sf = True
+    except ImportError:
+        have_sf = False
+
+    monkeypatch.setenv("CPG_SPARK_FAKE_DECODE", "0")
+    if have_sf:  # pragma: no cover - container has no soundfile
+        import io
+
+        import numpy as np
+        import pandas as pd
+
+        from cpg_spark.operators.multimodal import MEDIA_SCHEMA
+
+        buf = io.BytesIO()
+        rate = 8000
+        sf.write(buf, np.zeros(rate * 2), rate, format="WAV")
+        media = spark.createDataFrame(
+            pd.DataFrame([{"media_ref": "blob://real/a0",
+                           "payload": buf.getvalue(),
+                           "mime": "audio/wav"}]), schema=MEDIA_SCHEMA)
+        rows = chunk_audio(media, chunk_ms=1000, n_chunks=4).collect()
+        # 2 s of audio at 1 s chunks: exactly 2 chunks, true intervals
+        assert [(r["start_ms"], r["end_ms"]) for r in
+                sorted(rows, key=lambda r: r["chunk_no"])] == [
+                    (0, 1000), (1000, 2000)]
+    else:
+        media = _media(spark)
+        with pytest.raises(Exception) as exc_info:
+            chunk_audio(media).collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError)
+        assert "soundfile" in str(exc_info.value)
+
+
 def test_chunk_audio_fanout_intervals(spark):
     media = _media(spark)
     n_media = media.count()
