@@ -188,10 +188,54 @@ def _nearest_centroids_col(vec_col, centroids: list[list[float]],
                    1, n)
 
 
+def _centroid_table(spark, centroids: list[list[float]]) -> DataFrame:
+    """Centroids as a (cid, _cvec) DataFrame for the broadcast-join
+    assignment path (large C)."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        schema="cid int, _cvec array<double>",
+    )
+
+
+def _nearest_via_join(df: DataFrame, key_cols: list[str], vec_col: str,
+                      centroids: list[list[float]], n: int) -> DataFrame:
+    """``n`` nearest centroids per row via a broadcast centroid-table
+    join — the C-large assignment path (literal centroid arrays embed
+    C x dim doubles into the plan; at C in the thousands analysis and
+    codegen dominate, the same plan-bloat failure mode measured and
+    fixed for per-band LSH signs in r3).  Returns one row per
+    (input row, probe): key_cols + cid.
+
+    Scale shape: the C-fold row expansion happens inside the join task
+    and collapses map-side — ``min_by``-style partial aggregation for
+    n=1 (no C-fold shuffle), per-key top-n window for small n (query
+    side only, small by contract)."""
+    cents = _centroid_table(df.sparkSession, centroids)
+    scored = df.join(F.broadcast(cents)).select(
+        *key_cols, "cid",
+        cosine_sim_col(F.col(vec_col), F.col("_cvec")).alias("_sim"))
+    if n == 1:
+        # max of (sim, -cid): highest sim, lowest cid on ties — same
+        # tie-break as the literal-array argmin (array_sort on
+        # (-sim, cid)); map-side partial agg keeps the shuffle corpus-
+        # linear
+        return scored.groupBy(*key_cols).agg(
+            F.max_by("cid", F.struct(F.col("_sim"), -F.col("cid")))
+            .alias("cid"))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .select(*key_cols, "cid")
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, n_probe: int = 4, iters: int = 3,
-             seed: int = 42, train_sample: int = 65536) -> DataFrame:
+             seed: int = 42, train_sample: int = 65536,
+             centroid_join_threshold: int = 256) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path the
     task brief names besides LSH bucketing.
 
@@ -206,16 +250,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     assignment.  Centroid quality from a 64k sample is statistically
     indistinguishable from full-corpus training for C in the thousands
     (standard IVF practice: FAISS trains on ~max(10k, 256*C) points).
-    Assignment is a pure expression against the literal centroid array
-    (C is tiny); the update is one per-dimension aggregation whose
-    C x dim result is collected to the driver (the only driver-side
-    data, by design).
+    Assignment has two physical modes on one semantic contract:
+    C <= ``centroid_join_threshold`` embeds the centroids as a literal
+    array expression (no join — the right call at small C); above the
+    threshold it switches to a broadcast centroid-table join with
+    map-side ``max_by`` argmin (``_nearest_via_join``), because a
+    C x dim literal at C in the thousands puts tens of MB into the plan
+    and analysis/codegen dominate.  The update is one per-dimension
+    aggregation whose C x dim result is collected to the driver (the
+    only driver-side data, by design).
 
     Search: the corpus partitions into C inverted lists (one shuffle on
     centroid id); each query probes its ``n_probe`` nearest lists and
     scores exact cosine only there.  Expected work per query =
     n_probe/C of the corpus; recall rises with n_probe and reaches
     exact at n_probe = C."""
+    use_join = n_centroids > centroid_join_threshold
     samp = (
         corpus.select(
             F.col(vec_col),
@@ -232,11 +282,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ]
 
     for _ in range(iters):
-        assigned = samp.select(
-            F.col(vec_col).alias("v"),
-            _nearest_centroids_col(F.col(vec_col), centroids, 1)
-            .getItem(0).alias("cid"),
-        )
+        if use_join:
+            assigned = _nearest_via_join(
+                samp.select(F.col(vec_col).alias("v"), "_ord"),
+                ["_ord", "v"], "v", centroids, 1)
+        else:
+            assigned = samp.select(
+                F.col(vec_col).alias("v"),
+                _nearest_centroids_col(F.col(vec_col), centroids, 1)
+                .getItem(0).alias("cid"),
+            )
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
@@ -252,16 +307,26 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         ]
     samp.unpersist()
 
-    lists = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        _nearest_centroids_col(F.col(vec_col), centroids, 1)
-        .getItem(0).alias("cid"),
-    )
-    probes = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(_nearest_centroids_col(F.col(vec_col), centroids,
-                                         n_probe)).alias("cid"),
-    )
+    if use_join:
+        lists = _nearest_via_join(
+            corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv")),
+            ["neighbor_id", "cv"], "cv", centroids, 1)
+        probes = _nearest_via_join(
+            queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qv")),
+            ["query_id", "qv"], "qv", centroids, n_probe)
+    else:
+        lists = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            _nearest_centroids_col(F.col(vec_col), centroids, 1)
+            .getItem(0).alias("cid"),
+        )
+        probes = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.explode(_nearest_centroids_col(F.col(vec_col), centroids,
+                                             n_probe)).alias("cid"),
+        )
     sim = (
         lists.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -88,6 +88,36 @@ def test_ivf_topk_recall_and_exhaustive_exactness(emb):
     assert _recall(few, exact) >= 0.3  # 2/8 lists probed
 
 
+def test_ivf_centroid_join_mode_matches_literal_mode(emb):
+    """Above ``centroid_join_threshold`` IVF assignment switches from a
+    literal C x dim centroid-array expression to a broadcast
+    centroid-table join (plan bloat at production C: thousands of
+    centroids x 1k+ dims embed tens of MB of literals).  Both modes are
+    one semantic contract: identical rows at the same parameters, and
+    the large-C plan must contain NO literal centroid array."""
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    def rows(df):
+        return {(r["query_id"], r["neighbor_id"], r["rank"])
+                for r in df.collect()}
+
+    lit_mode = ann.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3,
+                            centroid_join_threshold=256)
+    join_mode = ann.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3,
+                             centroid_join_threshold=0)
+    assert rows(lit_mode) == rows(join_mode)
+
+    lit_plan = lit_mode._jdf.queryExecution().analyzed().toString()
+    join_plan = join_mode._jdf.queryExecution().analyzed().toString()
+    assert "array(array(" in lit_plan  # small-C keeps the literal form
+    assert "array(array(" not in join_plan  # large-C mode: no literals
+    # exhaustive probing stays exact through the join path too
+    exact = _topk_sets(ann.brute_force_topk(emb, queries, k=5))
+    allp = _topk_sets(ann.ivf_topk(emb, queries, k=5, n_centroids=8,
+                                   n_probe=8, centroid_join_threshold=0))
+    assert _recall(allp, exact) == 1.0
+
+
 def test_cosine_neardup_clusters(emb):
     """Every vector gets a cluster; members of a verified pair share one;
     the cluster id is the component's min vector id; isolated vectors
