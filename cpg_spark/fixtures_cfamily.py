@@ -489,3 +489,25 @@ JAVA_FIXTURES.update({
 CPP_FIXTURES.update({
     'enums': 'enum Color { RED, GREEN = 5, BLUE };\n\nenum class Direction : int { NORTH, SOUTH };\n\nenum Flags { ON, OFF } toggle;\n\nenum Color painted = GREEN;\n\nint use() {\n  int x = RED;\n  enum Color c = BLUE;\n  Direction d = Direction::NORTH;\n  return x;\n}\n\nstruct Palette {\n  enum Depth { SHALLOW, DEEP };\n  int bits;\n};\n',
 })
+
+
+# Annotation fixture: the reference's own Annotation.java test resource
+# (cpg-core/src/test/resources/Annotation.java, asserted by
+# JavaLanguageFrontendTest.kt testAnnotations:473-521).
+JAVA_FIXTURES.update({
+    'Annotation': '@AnnotationForClass(value = 2)\npublic class Annotation {\n\n  @AnnotatedField\n  private int field = 1;\n\n  @AnnotatedField("myString")\n  private int anotherField = 2;\n}\n',
+})
+
+
+# Lambda fixtures (round 4): the reference's CDT/JavaParser frontends
+# have no lambda handler (LambdaExpression exists only in its TS
+# frontend, LambdaExpression.kt:40-56 defines the node model) — these
+# are original programs exercising every syntactic form both dialects
+# support, so the problem-rate gate sees zero degrades on lambda-heavy
+# real-world code.
+JAVA_FIXTURES.update({
+    'Lambdas': 'import java.util.function.Function;\n\npublic class Lambdas {\n\n  public int compose(int seed) {\n    Function<Integer, Integer> inc = x -> x + 1;\n    Function<Integer, Integer> dbl = (y) -> y * 2;\n    Function<Integer, Integer> blk = (int z) -> { return z - 3; };\n    Runnable r = () -> helper(seed);\n    r.run();\n    return inc.apply(dbl.apply(blk.apply(seed)));\n  }\n\n  private void helper(int v) {\n  }\n}\n',
+})
+CPP_FIXTURES.update({
+    'lambdas': 'int helper(int v) { return v; }\n\nint main() {\n  int n = 3;\n  auto byval = [n](int x) -> int { return x + n; };\n  auto byref = [&n](int y) -> int { n = n + y; return n; };\n  auto noret = [](int z) { return helper(z); };\n  auto nop = [] { return 0; };\n  int a = byval(1);\n  int b = byref(2);\n  return a + b;\n}\n',
+})

@@ -156,8 +156,13 @@ def tokenize(src: str) -> list[Tok]:
         kind = m.lastgroup
         text = m.group()
         nls = text.count("\n")
-        if kind in ("ws", "comment", "annotation"):
+        if kind in ("ws", "comment"):
             pass
+        elif kind == "annotation":
+            # kept as first-class tokens since round 4: the parser turns
+            # them into Annotation nodes (Node.kt:138) instead of
+            # dropping them at the lexer
+            toks.append(Tok("annotation", text, line, col))
         elif kind == "preproc":
             toks.append(Tok("preproc", text, line, col))
         else:
@@ -298,6 +303,64 @@ class CFamilyFrontend(Emitter):
         # only after all declarations are known -> deferred to
         # _resolve_locally: (lhs_id, lhs_meta, rhs_target_id)
         self._fnptr_assigns: list[tuple] = []
+        # Annotation nodes already emitted but awaiting their owner: they
+        # attach to the NEXT declaration node created (annotations
+        # lexically precede the declaration they annotate)
+        self._pending_anns: list[str] = []
+
+    _ANNOTATABLE = frozenset({
+        "RecordDeclaration", "FunctionDeclaration", "MethodDeclaration",
+        "ConstructorDeclaration", "FieldDeclaration", "VariableDeclaration",
+        "ParamVariableDeclaration", "EnumDeclaration",
+        "EnumConstantDeclaration",
+    })
+
+    def node(self, path, label, name="", loc=None, **kw):
+        nid = super().node(path, label, name, loc, **kw)
+        if self._pending_anns and label in self._ANNOTATABLE:
+            anns, self._pending_anns = self._pending_anns, []
+            for i, aid in enumerate(anns):
+                self.ast_edge(nid, aid, "ANNOTATIONS", i)
+        return nid
+
+    def _collect_annotations(self) -> None:
+        """``@Name`` / ``@Name(v)`` / ``@Name(a = 1, b = "s")`` ->
+        Annotation nodes (+ AnnotationMember children, each holding its
+        VALUE expression) queued for the NEXT declaration node parsed.
+
+        Reference semantics (JavaLanguageFrontend.kt
+        handleAnnotations:449-494, Annotation.java/AnnotationMember.java,
+        Node.kt:138 ``annotations`` is an AST-subgraph list): normal
+        annotations emit one member per ``name = value`` pair; the
+        single-member form ``@A("x")`` binds the implicit member name
+        ``value`` (ANNOTATION_MEMBER_VALUE); markers have no members."""
+        while self.peek().kind == "annotation":
+            t = self.next()
+            aid = self.node(self._p("ann"), "Annotation", t.text[1:],
+                            self._tloc(t))
+            mi = 0
+            if self.peek().kind == "(":
+                self.next()
+                while self.peek().kind not in (")", "eof"):
+                    if (self.peek().kind == "ident"
+                            and self.peek(1).kind == "="
+                            and self.peek(2).kind != "="):
+                        mt = self.next()
+                        self.next()
+                        mid = self.node(self._p("annm"), "AnnotationMember",
+                                        mt.text, self._tloc(mt))
+                    else:
+                        mid = self.node(self._p("annm"), "AnnotationMember",
+                                        "value", self._tloc(self.peek()),
+                                        is_implicit=True)
+                    vid, _ = self.parse_expr(self._p("annv"))
+                    self.ast_edge(mid, vid, "VALUE", 0)
+                    self.ast_edge(aid, mid, "MEMBERS", mi)
+                    mi += 1
+                    if not self.accept(","):
+                        break
+                self.accept(")")
+            self._pending_anns.append(aid)
 
     # ------------------------------------------------------------- tokens
     def peek(self, k: int = 0) -> Tok:
@@ -335,8 +398,15 @@ class CFamilyFrontend(Emitter):
         recorded on the declaration (FieldDeclaration.getModifiers)."""
         mods = _JAVA_MODIFIERS if self.dialect == "java" else _CPP_SPECIFIERS
         seen = []
-        while self.peek().kind == "ident" and self.peek().text in mods:
-            seen.append(self.next().text)
+        while True:
+            if self.peek().kind == "annotation":
+                # `@A public @B void f()` — annotations interleave with
+                # modifiers (JLS 8.4.3); queue them for the declaration
+                self._collect_annotations()
+            elif self.peek().kind == "ident" and self.peek().text in mods:
+                seen.append(self.next().text)
+            else:
+                break
         self._cur_mods = seen
         return seen
 
@@ -365,6 +435,9 @@ class CFamilyFrontend(Emitter):
         di = 0
         while self.peek().kind != "eof":
             t = self.peek()
+            if t.kind == "annotation":
+                self._collect_annotations()
+                continue  # re-dispatch on the annotated declaration
             if t.kind == "preproc":
                 self._handle_preproc(self.next(), ns_id, di)
             elif t.kind == ";":
@@ -713,6 +786,9 @@ class CFamilyFrontend(Emitter):
             t = self.peek()
             if t.kind == ";":
                 self.next()
+                continue
+            if t.kind == "annotation":
+                self._collect_annotations()
                 continue
             if t.kind == "ident" and t.text in ("public", "private",
                                                 "protected") \
@@ -1217,7 +1293,7 @@ class CFamilyFrontend(Emitter):
         self.expect("(")
         pidx = 0
         while self.peek().kind not in (")", "eof"):
-            self._skip_modifiers()
+            self._skip_modifiers()  # also queues param annotations
             if (self.peek().kind == "." and self.peek(1).kind == "."
                     and self.peek(2).kind == "."):
                 self.next(); self.next(); self.next()
@@ -1697,6 +1773,10 @@ class CFamilyFrontend(Emitter):
     # ---------------------------------------------------------- statements
     def parse_stmt(self, path: str, parent: str, index: int):
         t = self.peek()
+        if t.kind == "annotation":
+            # annotated local declaration (`@SuppressWarnings(...) int x;`)
+            self._collect_annotations()
+            t = self.peek()
         if t.kind == ";":
             self.next()
             nid = self.node(path, "EmptyStatement", "", self._tloc(t))
@@ -2658,8 +2738,154 @@ class CFamilyFrontend(Emitter):
                 tp = "unsigned long long"
         return val, tp
 
+    def _lambda_ahead(self) -> bool:
+        """Java lambda lookahead at operand position: ``ident ->`` or
+        ``( ... ) ->`` (scan to the matching paren).  ``->`` is
+        unambiguous in Java source — it appears only in lambdas (and
+        switch arrows, which never reach operand position)."""
+        t = self.peek()
+        if (t.kind == "ident" and t.text not in _KEYWORDS
+                and self.peek(1).kind == "->"):
+            return True
+        if t.kind != "(":
+            return False
+        j, depth = self.i, 0
+        while self.toks[j].kind != "eof":
+            k = self.toks[j].kind
+            if k == "(":
+                depth += 1
+            elif k == ")":
+                depth -= 1
+                if depth == 0:
+                    return (j + 1 < len(self.toks)
+                            and self.toks[j + 1].kind == "->")
+            j += 1
+        return False
+
+    def parse_lambda(self, path: str):
+        """C++ ``[caps](params) [specs] [-> R] { body }`` / Java
+        ``x -> e`` | ``(a, b) -> { ... }`` -> a LambdaExpression node
+        wrapping an anonymous FunctionDeclaration.
+
+        Node model per the reference (LambdaExpression.kt:40-56): the
+        function is the AST child (field FUNCTION) and DFG-flows into
+        the lambda expression (``addPrevDFG(value)`` in the setter);
+        EVAL_TYPE, when derivable, is the FunctionPointerType built from
+        the parameter types + return type (kt:79-88 typeChanged).  The
+        reference's CDT/JavaParser frontends have no lambda handler (the
+        node exists only in its TS frontend), so real-world Java/C++
+        degrades to Problem nodes there; we emit the reference's own
+        node model for both dialects instead (round-4 problem-rate
+        work).  C++ captures are consumed syntactically; body references
+        to enclosing locals resolve through the ordinary scope stack —
+        which is exactly capture-by-reference visibility."""
+        t = self.peek()
+        lam = self.node(path, "LambdaExpression", "", self._tloc(t))
+        fid = self.node(path + ".fn", "FunctionDeclaration", "",
+                        self._tloc(t), is_implicit=True)
+        self.ast_edge(lam, fid, "FUNCTION", 0)
+        self.edge(fid, "DFG", lam)  # LambdaExpression.kt:53 addPrevDFG
+        ret_type = None
+        if self.dialect == "cpp" and self.peek().kind == "[":
+            self._skip_balanced("[", "]")  # capture introducer
+        self.enter_scope("function", "", fid)
+        param_ids, param_names, param_types = [], [], []
+        pidx = 0
+        if self.peek().kind == "(":
+            self.next()
+            while self.peek().kind not in (")", "eof"):
+                self._skip_modifiers()
+                save = self.i
+                ptype = (self.parse_type()
+                         if self._looks_like_type() else None)
+                if ptype is not None and self.peek().kind != "ident":
+                    # `(x, y)` — x parsed as a type but no declarator
+                    # follows: Java untyped param, backtrack
+                    self.i = save
+                    ptype = None
+                pt = (self.next() if self.peek().kind == "ident" else None)
+                pid = self.node(f"{path}.p[{pidx}]",
+                                "ParamVariableDeclaration",
+                                pt.text if pt else "",
+                                self._tloc(pt) if pt else None,
+                                argument_index=pidx)
+                if ptype:
+                    self.eval_type(pid, ptype)
+                self.edge(fid, "PARAMETERS", pid, {"index": pidx})
+                self.ast_edge(fid, pid, "PARAMETERS", pidx)
+                if pt is not None:
+                    self.declare(pt.text, pid, "param", ptype)
+                param_ids.append(pid)
+                param_names.append(pt.text if pt else "")
+                param_types.append(ptype)
+                pidx += 1
+                if not self.accept(","):
+                    break
+            self.accept(")")
+        elif self.peek().kind == "ident":
+            # Java single-param shorthand `x -> ...`
+            pt = self.next()
+            pid = self.node(f"{path}.p[0]", "ParamVariableDeclaration",
+                            pt.text, self._tloc(pt), argument_index=0)
+            self.edge(fid, "PARAMETERS", pid, {"index": 0})
+            self.ast_edge(fid, pid, "PARAMETERS", 0)
+            self.declare(pt.text, pid, "param", None)
+            param_ids.append(pid)
+            param_names.append(pt.text)
+            param_types.append(None)
+        if self.dialect == "cpp":
+            while (self.peek().kind == "ident"
+                   and self.peek().text in ("mutable", "noexcept",
+                                            "constexpr")):
+                self.next()
+            if self.peek().kind == "->":
+                self.next()
+                ret_type = self.parse_type()
+        else:
+            self.accept("->")
+        if self.peek().kind == "{":
+            infos = self.parse_block(path + ".body", fid, "BODY")
+            build_eog(self, fid, infos)
+        else:
+            # Java expression body: implicit return (JLS 15.27.2), same
+            # edge kernel as an explicit return statement
+            rid = self.node(path + ".ret", "ReturnStatement", "", None,
+                            is_implicit=True, code="")
+            self.ast_edge(fid, rid, "BODY", 0)
+            vid, vmeta = self.parse_expr(path + ".v")
+            self.ast_edge(rid, vid, "RETURN_VALUE", 0)
+            self.edge(vid, "DFG", rid)  # ReturnStatement.java:53
+            self.edge(vid, "DFG", fid)  # FunctionDeclaration.java:220-238
+            if vmeta.get("type"):
+                ret_type = vmeta["type"]
+            build_eog(self, fid, [{"kind": "return", "nid": rid}])
+        self.leave_scope()
+        tp = None
+        if ret_type is not None and all(param_types):
+            # FunctionPointerType spelling (kt:79-88): closest concrete
+            # type to an anonymous function; same spelling the fnptr
+            # machinery uses so `auto f = [](int x)->int{...}; f(1);`
+            # resolves through the ordinary fnptr DFG walk
+            tp = normalize_type(
+                f"{ret_type}(*)({', '.join(param_types)})")
+            self.eval_type(lam, tp)
+        self._functions_by_id[fid] = {
+            "decl_id": fid, "kind": "function", "name": "",
+            "n_params": len(param_ids), "param_ids": param_ids,
+            "param_names": param_names, "param_types": param_types,
+            "n_defaults": 0, "is_variadic": False, "is_definition": True,
+            "record": None, "ret_type": ret_type, "is_static": False,
+            "module": self._ns_stack[-1] if self._ns_stack else None,
+        }
+        return lam, {"kind": "lambda", "name": "", "type": tp,
+                     "fn_id": fid}
+
     def parse_operand(self, path: str):
         t = self.peek()
+        if self.dialect == "java" and self._lambda_ahead():
+            return self.parse_lambda(path)
+        if self.dialect == "cpp" and t.kind == "[":
+            return self.parse_lambda(path)
         if t.kind == "int":
             self.next()
             val, tp = self._int_literal(t.text)

@@ -2200,3 +2200,120 @@ def q_stratified_sample(spark, sf_dir):
         .select("doc_id", "lang", "sample_bucket")
         .orderBy("doc_id")
     )
+
+
+def q_cpg_annotations(spark, sf_dir):
+    """Annotation / AnnotationMember emission over the reference's own
+    Annotation.java test resource (cpg-core/src/test/resources/
+    Annotation.java; JavaLanguageFrontendTest.kt testAnnotations:473-521
+    asserts exactly these facts): the class annotation carries member
+    ``value`` = 2, the marker field annotation has no members, and the
+    single-member form binds the implicit member name ``value``
+    (ANNOTATION_MEMBER_VALUE) = "myString".  One row per annotation
+    (left-joined to its members so markers keep a row)."""
+    from cpg_spark.fixtures_cfamily import JAVA_FIXTURES
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "java/Annotation/0001",
+          "spans": [{"kind": "code/java",
+                     "text": JAVA_FIXTURES["Annotation"],
+                     "media_ref": None, "offset": 0}]}],
+        schema=DOCS_SCHEMA)
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+    owners = nodes.select(F.col("node_id").alias("subj"),
+                          F.col("label").alias("owner_label"),
+                          F.col("name").alias("owner_name"))
+    anns = nodes.filter(F.col("label") == "Annotation").select(
+        F.col("node_id").alias("ann_id"), F.col("name").alias("annotation"))
+    mems = nodes.filter(F.col("label") == "AnnotationMember").select(
+        F.col("node_id").alias("mem_id"), F.col("name").alias("member"))
+    lits = nodes.select(F.col("node_id").alias("val_id"),
+                        F.col("name").alias("value"))
+    ann_edges = (
+        edges.filter(F.col("props")["field"] == "ANNOTATIONS")
+        .select("subj", F.col("obj").alias("ann_id"))
+        .join(owners, "subj").join(anns, "ann_id")
+    )
+    mem_edges = (
+        edges.filter(F.col("props")["field"] == "MEMBERS")
+        .select(F.col("subj").alias("ann_id"), F.col("obj").alias("mem_id"))
+        .join(mems, "mem_id")
+    )
+    val_edges = (
+        edges.filter(F.col("props")["field"] == "VALUE")
+        .select(F.col("subj").alias("mem_id"), F.col("obj").alias("val_id"))
+        .join(lits, "val_id")
+    )
+    return (
+        ann_edges
+        .join(mem_edges, "ann_id", "left")
+        .join(val_edges, "mem_id", "left")
+        .select("owner_label", "owner_name", "annotation",
+                F.coalesce(F.col("member"), F.lit("")).alias("member"),
+                F.coalesce(F.col("value"), F.lit("")).alias("value"))
+        .orderBy("owner_label", "owner_name", "annotation", "member")
+    )
+
+
+def q_cpg_lambdas(spark, sf_dir):
+    """LambdaExpression emission for BOTH dialects (reference node model
+    LambdaExpression.kt:40-56: anonymous FunctionDeclaration as the AST
+    FUNCTION child, function DFG-flows into the lambda, EVAL_TYPE is the
+    FunctionPointerType from param+return types when derivable
+    [kt:79-88]; the reference's CDT/JavaParser frontends have no lambda
+    handler — these are original fixtures covering every syntactic
+    form).  One row per lambda: param count, derived fnptr type
+    spelling ('' when the return type is not syntactically derivable),
+    and the fn->lambda DFG edge count (always 1)."""
+    from cpg_spark.fixtures_cfamily import CPP_FIXTURES, JAVA_FIXTURES
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "java/Lambdas/0001",
+          "spans": [{"kind": "code/java", "text": JAVA_FIXTURES["Lambdas"],
+                     "media_ref": None, "offset": 0}]},
+         {"doc_id": "cpp/lambdas/0001",
+          "spans": [{"kind": "code/cpp", "text": CPP_FIXTURES["lambdas"],
+                     "media_ref": None, "offset": 0}]}],
+        schema=DOCS_SCHEMA)
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+    lams = nodes.filter(F.col("label") == "LambdaExpression").select(
+        F.col("node_id").alias("lam_id"), "doc_id",
+        F.col("loc")["start_line"].alias("line"))
+    fns = (
+        edges.filter(F.col("props")["field"] == "FUNCTION")
+        .select(F.col("subj").alias("lam_id"), F.col("obj").alias("fn_id"))
+    )
+    nparams = (
+        edges.filter(F.col("pred") == "PARAMETERS")
+        .groupBy(F.col("subj").alias("fn_id"))
+        .agg(F.count("*").alias("n_params"))
+    )
+    types = nodes.filter(F.col("label") == "Type").select(
+        F.col("node_id").alias("tid"), F.col("code").alias("lam_type")
+    ).dropDuplicates(["tid"])
+    ltype = (
+        edges.filter(F.col("pred") == "EVAL_TYPE")
+        .select(F.col("subj").alias("lam_id"), F.col("obj").alias("tid"))
+        .join(types, "tid")
+    )
+    fdfg = (
+        edges.filter(F.col("pred") == "DFG")
+        .select(F.col("subj").alias("fn_id"), F.col("obj").alias("lam_id"))
+        .groupBy("fn_id", "lam_id").agg(F.count("*").alias("fn_dfg"))
+    )
+    return (
+        lams.join(fns, "lam_id")
+        .join(nparams, "fn_id", "left")
+        .join(ltype.select("lam_id", "lam_type"), "lam_id", "left")
+        .join(fdfg, ["fn_id", "lam_id"])
+        .select("doc_id", "line",
+                F.coalesce(F.col("n_params"), F.lit(0)).cast("int")
+                .alias("n_params"),
+                F.coalesce(F.col("lam_type"), F.lit("")).alias("lam_type"),
+                F.col("fn_dfg").cast("int").alias("fn_dfg"))
+        .orderBy("doc_id", "line")
+    )
