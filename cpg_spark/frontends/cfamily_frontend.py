@@ -182,6 +182,146 @@ class CFamilyParseError(Exception):
     pass
 
 
+_COND_RE = re.compile(r"#\s*(if|ifdef|ifndef|elif|else|endif)\b\s*(.*)",
+                      re.S)
+_DEFINE_RE = re.compile(r"#\s*define\s+(\w+)")
+_UNDEF_RE = re.compile(r"#\s*undef\s+(\w+)")
+
+
+def _eval_pp(expr: str, defines: dict) -> bool:
+    """Constant-evaluate a preprocessor condition against the defined
+    symbols: ``defined(X)`` / ``defined X`` / ``!`` / ``&&`` / ``||`` /
+    integer comparisons; an identifier evaluates to its defined value
+    when numeric, to 1 when defined non-numeric, to 0 when undefined
+    (C11 6.10.1p4: undefined identifiers in #if are 0)."""
+    ts = re.findall(r"defined|\|\||&&|==|!=|<=|>=|[!<>()]|\w+", expr)
+    pos = [0]
+
+    def peek():
+        return ts[pos[0]] if pos[0] < len(ts) else None
+
+    def nxt():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def prim():
+        t = nxt()
+        if t == "(":
+            v = or_()
+            if peek() == ")":
+                nxt()
+            return v
+        if t == "!":
+            return 0 if prim() else 1
+        if t == "defined":
+            if peek() == "(":
+                nxt()
+                name = nxt()
+                if peek() == ")":
+                    nxt()
+            else:
+                name = nxt()
+            return 1 if name in defines else 0
+        if t is None:
+            return 0
+        if t.isdigit():
+            return int(t)
+        v = defines.get(t)
+        if v is None:
+            return 0
+        v = v.strip()
+        return int(v) if v.lstrip("-").isdigit() else 1
+
+    def cmp_():
+        a = prim()
+        while peek() in ("==", "!=", "<", "<=", ">", ">="):
+            op = nxt()
+            b = prim()
+            a = int({"==": a == b, "!=": a != b, "<": a < b,
+                     "<=": a <= b, ">": a > b, ">=": a >= b}[op])
+        return a
+
+    def and_():
+        a = cmp_()
+        while peek() == "&&":
+            nxt()
+            a = int(bool(cmp_()) and bool(a))
+        return a
+
+    def or_():
+        a = and_()
+        while peek() == "||":
+            nxt()
+            a = int(bool(and_()) or bool(a))
+        return a
+
+    return bool(or_())
+
+
+def _filter_conditionals(toks: list[Tok], symbols: dict | None) -> list[Tok]:
+    """``#if/#ifdef/#ifndef/#elif/#else/#endif`` evaluation over the
+    configuration's defined symbols (the compdb ``-D`` map — the same
+    map ``CXXLanguageFrontend`` hands CDT's scanner as IScannerInfo
+    defined symbols) plus in-source ``#define``/``#undef``: tokens in
+    inactive branches are DROPPED before parsing, so code guarded by the
+    build configuration parses instead of degrading to Problem nodes.
+    Branch evaluation is the C11 6.10.1 constant-expression subset
+    (defined-ness, integer values of defines, comparisons, !/&&/||)."""
+    defines = {k.split("(")[0].strip(): (v if v is not None else "")
+               for k, v in (symbols or {}).items()}
+    out: list[Tok] = []
+    # each frame: {'parent': bool, 'cur': bool, 'taken': bool}; 'cur'
+    # folds the parent's activity so active() is just the top frame
+    stack: list[dict] = []
+
+    def active() -> bool:
+        return not stack or stack[-1]["cur"]
+
+    for t in toks:
+        if t.kind == "preproc":
+            m = _COND_RE.match(t.text)
+            if m:
+                kw, rest = m.group(1), (m.group(2) or "").strip()
+                if kw in ("if", "ifdef", "ifndef"):
+                    parent = active()
+                    if kw == "ifdef":
+                        cond = bool(rest.split()) and \
+                            rest.split()[0] in defines
+                    elif kw == "ifndef":
+                        cond = not (bool(rest.split())
+                                    and rest.split()[0] in defines)
+                    else:
+                        cond = _eval_pp(rest, defines)
+                    stack.append({"parent": parent,
+                                  "cur": parent and cond, "taken": cond})
+                elif kw == "elif" and stack:
+                    e = stack[-1]
+                    cond = _eval_pp(rest, defines)
+                    e["cur"] = e["parent"] and not e["taken"] and cond
+                    e["taken"] = e["taken"] or cond
+                elif kw == "else" and stack:
+                    e = stack[-1]
+                    e["cur"] = e["parent"] and not e["taken"]
+                    e["taken"] = True
+                elif kw == "endif" and stack:
+                    stack.pop()
+                continue  # conditional directives never reach the parser
+            if not active():
+                continue
+            dm = _DEFINE_RE.match(t.text)
+            if dm:
+                defines.setdefault(dm.group(1), "")
+            um = _UNDEF_RE.match(t.text)
+            if um:
+                defines.pop(um.group(1), None)
+            out.append(t)
+            continue
+        if active():
+            out.append(t)
+    return out
+
+
 def _expand_symbols(toks: list[Tok], symbols: dict | None) -> list[Tok]:
     """Preprocessor symbol substitution (CXXSymbolConfigurationTest;
     ``TranslationConfiguration.symbols`` feeds CDT's scanner the same
@@ -257,7 +397,8 @@ class CFamilyFrontend(Emitter):
                  module_name: str, dialect: str, symbols: dict | None = None):
         super().__init__(doc_id, span_offset, source, module_name)
         self.dialect = dialect  # 'java' | 'cpp'
-        self.toks = _expand_symbols(tokenize(source), symbols)
+        self.toks = _expand_symbols(
+            _filter_conditionals(tokenize(source), symbols), symbols)
         self.i = 0
         self.pending_refs: list = []
         self.pending_calls: list = []

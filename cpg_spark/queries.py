@@ -2317,3 +2317,61 @@ def q_cpg_lambdas(spark, sf_dir):
                 F.col("fn_dfg").cast("int").alias("fn_dfg"))
         .orderBy("doc_id", "line")
     )
+
+
+def q_cpg_preproc(spark, sf_dir):
+    """Preprocessor conditionals driven by compilation-database defines
+    (round 4, VERDICT item 10): two TUs compile the SAME two-branch
+    ``#if``-guarded source with different ``-D`` symbol maps, so each
+    parses a different branch — the reference reaches this via CDT's
+    scanner info (CXXLanguageFrontend hands TranslationConfiguration
+    symbols + compdb defines to IScannerInfo); we evaluate the C11
+    6.10.1 constant-expression subset over the same map before
+    tokens reach the parser.  One row per surviving function."""
+    import json
+    import os
+    import tempfile
+
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.sources.compdb import (compdb_docs, docs_with_defines,
+                                          read_compilation_database)
+
+    src = ("#ifdef USE_FAST\n"
+           "int fast_path(int x) { return x * 2; }\n"
+           "#else\n"
+           "int slow_path(int x) { return x + x; }\n"
+           "#endif\n"
+           "#if VERSION >= 2 && defined(FEATURE)\n"
+           "int v2_feature() { return 1; }\n"
+           "#elif VERSION == 1\n"
+           "int v1_only() { return 0; }\n"
+           "#else\n"
+           "int fallback() { return -1; }\n"
+           "#endif\n"
+           "int always() { return 7; }\n")
+    compdb = [
+        {"directory": "/src",
+         "arguments": ["clang++", "-DUSE_FAST", "-DVERSION=2",
+                       "-DFEATURE", "-c", "fast.cpp"],
+         "file": "fast.cpp"},
+        {"directory": "/src",
+         "arguments": ["clang++", "-DVERSION=1", "-c", "legacy.cpp"],
+         "file": "legacy.cpp"},
+    ]
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "compile_commands.json")
+    with open(p, "w") as fh:
+        json.dump(compdb, fh)
+    cdb = read_compilation_database(spark, p)
+    sources = spark.createDataFrame(
+        [("/src/fast.cpp", src), ("/src/legacy.cpp", src)],
+        "path string, content string")
+    docs, options = compdb_docs(cdb, sources)
+    nodes, _, _, _ = split_parse_output(
+        parse_docs(docs_with_defines(docs, options)))
+    return (
+        nodes.filter((F.col("label") == "FunctionDeclaration")
+                     & (F.col("name") != ""))
+        .select("doc_id", F.col("name").alias("fn"))
+        .orderBy("doc_id", "fn")
+    )
