@@ -40,6 +40,12 @@ from cpg_spark.frontends.typeparser import normalize_type
 _PRIMITIVES = {
     "int", "long", "short", "byte", "char", "float", "double", "boolean",
     "bool", "void", "auto", "string", "String", "size_t", "unsigned",
+    # <cstdint> fixed-width family: lowercase spellings that the
+    # uppercase-heuristic misses but real C/C++ uses constantly
+    "int8_t", "int16_t", "int32_t", "int64_t",
+    "uint8_t", "uint16_t", "uint32_t", "uint64_t",
+    "intptr_t", "uintptr_t", "ssize_t", "ptrdiff_t", "wchar_t",
+    "socklen_t", "off_t", "pid_t", "time_t",
 }
 
 _JAVA_MODIFIERS = {
@@ -784,6 +790,10 @@ class CFamilyFrontend(Emitter):
     # ---------------------------------------------------------------- types
     def _looks_like_type(self, k: int = 0) -> bool:
         t = self.peek(k)
+        if (self.dialect == "cpp" and t.kind == "ident"
+                and t.text in ("struct", "union")
+                and self.peek(k + 1).kind == "ident"):
+            return True  # elaborated specifier in a use position
         return t.kind == "ident" and (
             t.text in _PRIMITIVES
             or (t.text not in _KEYWORDS and t.text[0].isupper())
@@ -806,6 +816,15 @@ class CFamilyFrontend(Emitter):
         while self.peek().kind == "ident" and self.peek().text in (
                 "const", "unsigned", "signed", "volatile"):
             prefix.append(self.next().text)
+        if (self.dialect == "cpp" and self.peek().kind == "ident"
+                and self.peek().text in ("struct", "union")
+                and self.peek(1).kind == "ident"
+                and self.peek(2).kind != "{"):
+            # elaborated type specifier in a USE position —
+            # `(struct sockaddr *)&sa` (openssl client.cpp); the spelled
+            # type is the bare record name (CDT elaborates to the same
+            # ObjectType)
+            self.next()
         if self.peek().kind != "ident" or self.peek().text in _KEYWORDS:
             if prefix and prefix[-1] in ("unsigned", "signed"):
                 # bare 'unsigned' / 'unsigned long' style: implied int
@@ -1445,12 +1464,42 @@ class CFamilyFrontend(Emitter):
                 if not self.accept(","):
                     break
                 continue
-            pt = None
-            if self.peek().kind == "ident":
-                pt = self.next()
-                while self.peek().kind == "[":  # C array suffix: argv[]
-                    self._skip_balanced("[", "]")
-                    ptype = (ptype or "") + "[]"
+            if (self.peek().kind == "." and self.peek(1).kind == "."
+                    and self.peek(2).kind == "."):
+                # Java varargs `String... args` (JLS 8.4.1): the declared
+                # parameter is an array of the element type and the
+                # method is variadic for the call-resolution ladder
+                self.next(); self.next(); self.next()
+                is_variadic = True
+                ptype = normalize_type(ptype + "[]")
+            if self.peek().kind == "(" and self.peek(1).kind == "*":
+                # function-pointer parameter `ret (*name)(params)`
+                # (FunctionPointerType.java:41; retdec client.c protos)
+                self.next()
+                self.next()
+                pt = (self.next() if self.peek().kind == "ident" else None)
+                self.accept(")")
+                fpp = []
+                if self.accept("("):
+                    while self.peek().kind not in (")", "eof"):
+                        fp = self.parse_type()
+                        if fp is None:
+                            self.next()
+                            continue
+                        fpp.append(fp)
+                        if self.peek().kind == "ident":
+                            self.next()
+                        if not self.accept(","):
+                            break
+                    self.accept(")")
+                ptype = normalize_type(f"{ptype}(*)({', '.join(fpp)})")
+            else:
+                pt = None
+                if self.peek().kind == "ident":
+                    pt = self.next()
+                    while self.peek().kind == "[":  # C array suffix argv[]
+                        self._skip_balanced("[", "]")
+                        ptype = (ptype or "") + "[]"
             # unnamed parameters (prototypes like `void f(int, char)`)
             # still count toward the signature
             pid = self.node(f"{path}.p[{pidx}]",
@@ -1928,6 +1977,36 @@ class CFamilyFrontend(Emitter):
             return infos[0]["nid"], infos[0]
         if t.kind == "ident":
             kw = t.text
+            if (self.dialect == "cpp" and kw in ("class", "struct")
+                    and self.peek(1).kind == "ident"
+                    and self.peek(2).kind == "{"):
+                # local record declaration `class A { ... } [myA];`
+                # (declstmt.cpp) — the record parses like any other; an
+                # optional trailing declarator declares a local of that
+                # type, wrapped in a DeclarationStatement
+                rid = self.parse_class(path + ".rec")
+                ds = self.node(path, "DeclarationStatement", "", None,
+                               code="")
+                if rid:
+                    self.ast_edge(ds, rid, "DECLARATIONS", 0)
+                rec_name = next((r["name"] for r in self.out.nodes
+                                 if r["node_id"] == rid), "")
+                di2 = 1
+                while self.peek().kind == "ident":
+                    vt = self.next()
+                    vid = self.node(f"{path}.v[{di2}]",
+                                    "VariableDeclaration", vt.text,
+                                    self._tloc(vt))
+                    if rec_name:
+                        self.eval_type(vid, rec_name)
+                    self.declare(vt.text, vid, "var", rec_name or None)
+                    self.ast_edge(ds, vid, "DECLARATIONS", di2)
+                    di2 += 1
+                    if not self.accept(","):
+                        break
+                self.accept(";")
+                self.ast_edge(parent, ds, "STATEMENTS", index)
+                return ds, {"kind": "plain", "nid": ds}
             if kw == "if":
                 return self._attach(self.parse_if(path), parent, index)
             if kw == "while":
@@ -2110,10 +2189,12 @@ class CFamilyFrontend(Emitter):
         # typed local declaration?
         save = self.i
         self._skip_modifiers()
+        elaborated = False
         if (self.dialect == "cpp" and self.peek().kind == "ident"
                 and self.peek().text in ("struct", "class", "union", "enum")
                 and self.peek(1).kind == "ident"
                 and self.peek(2).kind == "ident"):
+            elaborated = True
             # elaborated type specifier in a local declaration:
             # `struct Point p1 = {...};` (designatedInitializer.c)
             self.next()
@@ -2124,7 +2205,7 @@ class CFamilyFrontend(Emitter):
                and self.peek(qk).text in ("const", "unsigned", "signed",
                                           "volatile")):
             qk += 1
-        if self._looks_like_type(qk) or (
+        if elaborated or self._looks_like_type(qk) or (
                 qk and self.peek(qk - 1).text in ("unsigned", "signed")) or (
                 self.peek(qk).kind == "ident"
                 and self.peek(qk).text not in _KEYWORDS
@@ -2191,6 +2272,32 @@ class CFamilyFrontend(Emitter):
             j += 1
         return False
 
+    def _parse_condition(self, path: str):
+        """Condition-position declarations (C++): ``if (int k = e)`` /
+        ``while (T v = f())`` / for-condition ``bool b = true`` declare
+        the variable into the surrounding statement scope; the condition
+        value is the declared variable (CDT models the condition as an
+        IASTDeclaration alternative — cfg/{ifextra,forloop}.cpp hit
+        this).  Falls through to a plain expression otherwise."""
+        if self.dialect == "cpp" and self._looks_like_type():
+            save = self.i
+            tname = self.parse_type()
+            if (tname and self.peek().kind == "ident"
+                    and self.peek(1).kind == "="):
+                vt = self.next()
+                self.next()
+                vid = self.node(path + ".cdecl", "VariableDeclaration",
+                                vt.text, self._tloc(vt))
+                self.eval_type(vid, tname)
+                self.declare(vt.text, vid, "var", tname)
+                iid, _ = self.parse_expr(path + ".cinit")
+                self.ast_edge(vid, iid, "INITIALIZER", 0)
+                self.edge(iid, "DFG", vid)  # VariableDeclaration.java:118
+                return vid, {"kind": "conddecl", "name": vt.text,
+                             "type": tname}
+            self.i = save
+        return self.parse_expr(path)
+
     def parse_if(self, path: str):
         t = self.next()
         nid = self.node(path, "IfStatement", "", self._tloc(t))
@@ -2203,7 +2310,7 @@ class CFamilyFrontend(Emitter):
             self.enter_scope("block", "", nid)
             self.parse_stmt(path + ".init", nid, 0)
             self.accept(";")
-        cid, _ = self.parse_expr(path + ".c")
+        cid, _ = self._parse_condition(path + ".c")
         self.expect(")")
         self.ast_edge(nid, cid, "CONDITION", 0)
         then_infos = self._branch(path + ".then", nid, "THEN_STATEMENT")
@@ -2299,7 +2406,7 @@ class CFamilyFrontend(Emitter):
         t = self.next()
         nid = self.node(path, "WhileStatement", "", self._tloc(t))
         self.expect("(")
-        cid, _ = self.parse_expr(path + ".c")
+        cid, _ = self._parse_condition(path + ".c")
         self.expect(")")
         self.ast_edge(nid, cid, "CONDITION", 0)
         body = self._branch(path + ".body", nid, "STATEMENT")
@@ -2363,7 +2470,7 @@ class CFamilyFrontend(Emitter):
         else:
             self.next()
         if self.peek().kind != ";":
-            cond_id, _ = self.parse_expr(path + ".c")
+            cond_id, _ = self._parse_condition(path + ".c")
             self.ast_edge(nid, cond_id, "CONDITION", 0)
         self.accept(";")
         if self.peek().kind != ")":
@@ -2623,7 +2730,10 @@ class CFamilyFrontend(Emitter):
             self._mark_write(iid)
             return nid, {"kind": "unary", "name": op, "type": None}
         if t.kind == "ident" and t.text == "new":
-            return self.parse_new(path)
+            # postfix continues after the allocation —
+            # `new SecureRandom().nextBytes(array)` chains a member call
+            # on the construct expression (Issue285 chained-call shape)
+            return self.parse_postfix(path, base=self.parse_new(path))
         return self.parse_postfix(path)
 
     def parse_new(self, path: str):
@@ -2709,8 +2819,9 @@ class CFamilyFrontend(Emitter):
             self.edge(nid, "CONSTRUCTOR", ctor)
             self._dfg_args_to_params(args, ctor)
 
-    def parse_postfix(self, path: str):
-        base = self.parse_operand(path)
+    def parse_postfix(self, path: str, base=None):
+        if base is None:
+            base = self.parse_operand(path)
         n = 0
         while True:
             t = self.peek()
@@ -3144,8 +3255,14 @@ class CFamilyFrontend(Emitter):
             self.next()
             if self._looks_like_type():
                 tname = self.parse_type()
-                if tname and self.peek().kind == ")" and self.peek(1).kind in (
-                        "ident", "int", "float", "string", "char", "("):
+                # `(T*)&x` / `(struct S*)&x`: a pointer-type cast may be
+                # followed by unary & or * — unambiguous because the
+                # spelling ends in '*' (a bare `(a) & b` stays binary)
+                follow = ("ident", "int", "float", "string", "char", "(")
+                if tname and tname.endswith("*"):
+                    follow = follow + ("&", "*")
+                if tname and self.peek().kind == ")" \
+                        and self.peek(1).kind in follow:
                     self.next()
                     eid, _ = self.parse_unary(path + ".cast")
                     nid = self.node(path, "CastExpression", tname,
@@ -3156,7 +3273,10 @@ class CFamilyFrontend(Emitter):
                     return nid, {"kind": "cast", "name": tname, "type": tname}
             self.i = save
             self.next()
-            inner = self.parse_expr(path + ".par")
+            # comma (sequence) expressions are legal in parens —
+            # `foo = (1,2,3,4,42)` (ExpressionList.java:65-80; the
+            # value is the LAST element's)
+            inner = self._parse_expr_list(path + ".par")
             self.accept(")")
             return inner
         if t.kind == "{":

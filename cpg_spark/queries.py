@@ -2375,3 +2375,40 @@ def q_cpg_preproc(spark, sf_dir):
         .select("doc_id", F.col("name").alias("fn"))
         .orderBy("doc_id", "fn")
     )
+
+
+def q_cpg_problem_rate(spark, sf_dir):
+    """Real-corpus robustness gate (round 4, VERDICT item 1): parse the
+    reference repository's OWN test-resource programs (~230 real
+    Java/C/C++/Go/Python files — the exact programs its JUnit suites
+    feed CDT/JavaParser/go-ast) and report, per language: file count,
+    node count, degraded-node count and the degrade rate per-mille.
+
+    'Degraded' = ProblemDeclaration/ProblemExpression (whole-construct
+    parse failure, StatisticsCollectionPass.kt:42-60 counts the same)
+    plus bare gap Expression nodes (single-token skip inside an
+    expression) — the honest union of everything the frontends could
+    not model.  The golden pin makes grammar regressions (rate going UP)
+    and silent corpus shrinkage (file count changing) driver-visible."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.sources.realcorpus import real_file_docs
+
+    docs = real_file_docs(spark)
+    lang = F.regexp_extract("doc_id", r"\.(\w+)$", 1)
+    lang = (F.when(lang.isin("cpp", "cc", "cxx", "c", "h", "hpp"), "cpp")
+            .when(lang == "py", "python").otherwise(lang))
+    nodes, _, _, _ = split_parse_output(parse_docs(docs))
+    per_node = nodes.select(
+        lang.alias("lang"), "doc_id",
+        ((F.col("label").startswith("Problem"))
+         | ((F.col("label") == "Expression") & (F.col("name") == "")))
+        .cast("int").alias("degraded"))
+    return (
+        per_node.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_files"),
+             F.count("*").alias("n_nodes"),
+             F.sum("degraded").alias("n_degraded"),
+             F.floor(F.sum("degraded") * 1000.0 / F.count("*"))
+             .alias("degrade_pm"))
+        .orderBy("lang")
+    )
