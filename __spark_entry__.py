@@ -1284,14 +1284,14 @@ def oracle_sql() -> dict[str, str]:
         # the fixtures
         "cpg_eog_jumps": """
             SELECT * FROM (VALUES
-              ('java/CfgBreakContinue/0001', 'BreakStatement', 10, '', 'MemberCallExpression', 13),
-              ('java/CfgBreakContinue/0001', 'BreakStatement', 15, '', 'MemberCallExpression', 22),
-              ('java/CfgBreakContinue/0001', 'ContinueStatement', 9, '', 'BinaryOperator', 8),
-              ('java/CfgBreakContinue/0001', 'ContinueStatement', 18, '', 'BinaryOperator', 21),
-              ('java/CfgSwitch/0001', 'BreakStatement', 12, '', 'MemberCallExpression', 21),
-              ('java/CfgSwitch/0001', 'BreakStatement', 17, '', 'MemberCallExpression', 21),
-              ('java/CfgSwitch/0001', 'BreakStatement', 32, 'label', 'MemberCallExpression', 38),
-              ('java/CfgSwitch/0001', 'BreakStatement', 49, 'label', 'MemberCallExpression', 56))
+              ('java/CfgBreakContinue/0001', 'BreakStatement', 10, '', 'DeclaredReferenceExpression', 13),
+              ('java/CfgBreakContinue/0001', 'BreakStatement', 15, '', 'DeclaredReferenceExpression', 22),
+              ('java/CfgBreakContinue/0001', 'ContinueStatement', 9, '', 'DeclaredReferenceExpression', 8),
+              ('java/CfgBreakContinue/0001', 'ContinueStatement', 18, '', 'DeclaredReferenceExpression', 21),
+              ('java/CfgSwitch/0001', 'BreakStatement', 12, '', 'DeclaredReferenceExpression', 21),
+              ('java/CfgSwitch/0001', 'BreakStatement', 17, '', 'DeclaredReferenceExpression', 21),
+              ('java/CfgSwitch/0001', 'BreakStatement', 32, 'label', 'DeclaredReferenceExpression', 38),
+              ('java/CfgSwitch/0001', 'BreakStatement', 49, 'label', 'DeclaredReferenceExpression', 56))
               AS t(doc_id, jump_kind, jump_line, jump_label, target_kind,
                    target_line)
             ORDER BY doc_id, jump_kind, jump_line
@@ -1301,22 +1301,22 @@ def oracle_sql() -> dict[str, str]:
         # (any frontend/EOG/DFG/link change moves a count)
         "cpg_triples_profile": """
             SELECT * FROM (VALUES
-              ('ARGUMENTS', 19),
-              ('AST', 454),
-              ('CALLS', 25),
-              ('CONSTRUCTOR', 1),
-              ('CONSTRUCTORS', 1),
-              ('DFG', 173),
-              ('EOG', 198),
-              ('EVAL_TYPE', 165),
-              ('FIELDS', 11),
-              ('INSTANTIATES', 6),
-              ('METHODS', 11),
-              ('PARAMETERS', 8),
-              ('RECEIVER', 11),
-              ('REFERS_TO', 46),
-              ('SUPER_TYPE', 1))
-              AS t(pred, n_triples)
+              ('ARGUMENTS', CAST(19 AS BIGINT), CAST(2148279002078063 AS BIGINT)),
+              ('AST', CAST(454 AS BIGINT), CAST(64671688401432458 AS BIGINT)),
+              ('CALLS', CAST(25 AS BIGINT), CAST(3503383263104318 AS BIGINT)),
+              ('CONSTRUCTOR', CAST(1 AS BIGINT), CAST(163707516477378 AS BIGINT)),
+              ('CONSTRUCTORS', CAST(1 AS BIGINT), CAST(210168901594849 AS BIGINT)),
+              ('DFG', CAST(173 AS BIGINT), CAST(25368536392724576 AS BIGINT)),
+              ('EOG', CAST(382 AS BIGINT), CAST(52542126733505611 AS BIGINT)),
+              ('EVAL_TYPE', CAST(165 AS BIGINT), CAST(23307680215346817 AS BIGINT)),
+              ('FIELDS', CAST(11 AS BIGINT), CAST(1390082790571411 AS BIGINT)),
+              ('INSTANTIATES', CAST(6 AS BIGINT), CAST(651592853905355 AS BIGINT)),
+              ('METHODS', CAST(11 AS BIGINT), CAST(1198288854625888 AS BIGINT)),
+              ('PARAMETERS', CAST(8 AS BIGINT), CAST(1080010504956329 AS BIGINT)),
+              ('RECEIVER', CAST(11 AS BIGINT), CAST(1017884710587365 AS BIGINT)),
+              ('REFERS_TO', CAST(46 AS BIGINT), CAST(6507087151171557 AS BIGINT)),
+              ('SUPER_TYPE', CAST(1 AS BIGINT), CAST(235700629538344 AS BIGINT)))
+              AS t(pred, n_triples, vhash)
             ORDER BY pred
         """,
         # golden oracle: followNextEOG distributed BFS over the
@@ -1325,29 +1325,53 @@ def oracle_sql() -> dict[str, str]:
         # loops/branches/break/continue back-edges (Extensions.kt:139-165)
         "cpg_eog_reach": """
             SELECT * FROM (VALUES
-              ('BinaryOperator', 8, 4),
-              ('BinaryOperator', 9, 6),
-              ('BinaryOperator', 10, 7),
-              ('BinaryOperator', 15, 8),
-              ('BinaryOperator', 16, 9),
-              ('BinaryOperator', 17, 11),
-              ('BinaryOperator', 21, 11),
-              ('BreakStatement', 10, 8),
-              ('BreakStatement', 15, 9),
-              ('CompoundStatement', NULL, 1),
-              ('CompoundStatement', NULL, 5),
-              ('CompoundStatement', NULL, 7),
-              ('CompoundStatement', NULL, 10),
-              ('ContinueStatement', 9, 7),
-              ('ContinueStatement', 18, 12),
-              ('DeclarationStatement', NULL, 2),
-              ('DoStatement', 14, 6),
-              ('MemberCallExpression', 7, 3),
-              ('MemberCallExpression', 13, 5),
-              ('MemberCallExpression', 22, 10),
+              ('BinaryOperator', 8, 10),
+              ('BinaryOperator', 9, 14),
+              ('BinaryOperator', 10, 17),
+              ('BinaryOperator', 15, 18),
+              ('BinaryOperator', 16, 21),
+              ('BinaryOperator', 17, 25),
+              ('BinaryOperator', 21, 26),
+              ('BreakStatement', 10, 18),
+              ('BreakStatement', 15, 19),
+              ('CompoundStatement', CAST(NULL AS INT), 1),
+              ('CompoundStatement', CAST(NULL AS INT), 11),
+              ('CompoundStatement', CAST(NULL AS INT), 15),
+              ('CompoundStatement', CAST(NULL AS INT), 22),
+              ('ContinueStatement', 9, 15),
+              ('ContinueStatement', 18, 26),
+              ('DeclarationStatement', CAST(NULL AS INT), 4),
+              ('DeclaredReferenceExpression', 7, 5),
+              ('DeclaredReferenceExpression', 8, 8),
+              ('DeclaredReferenceExpression', 9, 12),
+              ('DeclaredReferenceExpression', 10, 15),
+              ('DeclaredReferenceExpression', 11, 18),
+              ('DeclaredReferenceExpression', 13, 11),
+              ('DeclaredReferenceExpression', 15, 16),
+              ('DeclaredReferenceExpression', 16, 19),
+              ('DeclaredReferenceExpression', 17, 23),
+              ('DeclaredReferenceExpression', 20, 22),
+              ('DeclaredReferenceExpression', 21, 24),
+              ('DeclaredReferenceExpression', 22, 20),
+              ('DoStatement', 14, 14),
+              ('Literal', 6, 2),
+              ('Literal', 8, 9),
+              ('Literal', 9, 13),
+              ('Literal', 10, 16),
+              ('Literal', 15, 17),
+              ('Literal', 16, 20),
+              ('Literal', 17, 24),
+              ('Literal', 21, 25),
+              ('MemberCallExpression', 7, 7),
+              ('MemberCallExpression', 13, 13),
+              ('MemberCallExpression', 22, 22),
+              ('MemberExpression', 7, 6),
+              ('MemberExpression', 13, 12),
+              ('MemberExpression', 22, 21),
               ('MethodDeclaration', 5, 0),
-              ('UnaryOperator', 11, 8),
-              ('UnaryOperator', 20, 10))
+              ('UnaryOperator', 11, 19),
+              ('UnaryOperator', 20, 23),
+              ('VariableDeclaration', 6, 3))
               AS t(label, start_line, min_depth)
             ORDER BY label, start_line, min_depth
         """,

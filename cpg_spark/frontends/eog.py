@@ -306,9 +306,11 @@ _OPERAND_FIELD_ORDER = {
 
 
 def expand_expression_eog(graph) -> None:
-    """EXPRESSION-LEVEL EOG (flag-gated; statement granularity stays the
-    default): rewrite a DocGraph's statement-level EOG so every operand
-    evaluates before its operator, per
+    """EXPRESSION-LEVEL EOG — the DEFAULT since round 4 (statement
+    granularity remains behind ``parse_docs(expr_eog=False)``), matching
+    the reference whose EvaluationOrderGraphPass always operates at
+    expression level: rewrite a DocGraph's statement-level EOG so every
+    operand evaluates before its operator, per
     ``EvaluationOrderGraphPass.java:917-951`` — lhs -> rhs -> operator,
     base -> arguments(in index order) -> call, initializer -> declaration.
 
@@ -334,6 +336,17 @@ def expand_expression_eog(graph) -> None:
         if e["pred"] != "AST":
             continue
         f = (e.get("props") or {}).get("field")
+        if f == "CONDITION" and labels.get(e["subj"]) in (
+                "DoStatement", "WhileStatement", "IfStatement",
+                "ForStatement", "SwitchStatement"):
+            # loop/branch statements wire their condition into the
+            # statement EOG separately (EogBuilder heads) — treating it
+            # as an operand here would chain cond -> statement-node and
+            # rewire the statement's entry INTO the condition subtree,
+            # turning a do-while into a while (okDoWhile regression).
+            # Condition OPERANDS still chain when the condition node
+            # itself is wired (it is an EOG target)
+            continue
         pr = _OPERAND_FIELD_ORDER.get(f)
         if pr is None:
             # DeclarationStatement unpacks to its declarations

@@ -234,14 +234,28 @@ class _SpanParseCache:
     colocate, so a span duplicated N times parses at most 2×salt-K times
     total instead of N."""
 
-    def __init__(self, cap: int = 256):
+    def __init__(self, cap: int = 256, expr_eog: bool = False):
         from collections import OrderedDict
 
         self._d: "OrderedDict" = OrderedDict()
         self._first: set = set()  # sha1 digests of once-seen spans
         self.cap = cap
+        self.expr_eog = expr_eog
         self.parses = 0
         self.hits = 0
+
+    def _parse(self, parser, doc_id, offset, text):
+        g = parser(doc_id, offset, text)
+        self.parses += 1
+        if self.expr_eog:
+            # granularity applied BEFORE the relocation template is
+            # built, so cached duplicates relocate expression-level
+            # edges like any others (one flag value per parse_docs call
+            # keeps the cache granularity-homogeneous)
+            from cpg_spark.frontends.eog import expand_expression_eog
+
+            expand_expression_eog(g)
+        return g
 
     def rows_for(self, kind: str, text: str, doc_id: str, offset: int):
         import hashlib
@@ -259,8 +273,7 @@ class _SpanParseCache:
             return _relocated_rows(ent, doc_id, offset)
         if key in self._first:
             # a real duplicate: build the relocatable template now
-            g = parser(_SENT_DOC, 0, text)
-            self.parses += 1
+            g = self._parse(parser, _SENT_DOC, 0, text)
             ent = (_graph_rows(g, _SENT_DOC, 0), g.id_log)
             self._d[key] = ent
             if len(self._d) > self.cap:
@@ -268,8 +281,7 @@ class _SpanParseCache:
             self._first.discard(key)
             return _relocated_rows(ent, doc_id, offset)
         self._first.add(key)
-        g = parser(doc_id, offset, text)
-        self.parses += 1
+        g = self._parse(parser, doc_id, offset, text)
         return _graph_rows(g, doc_id, offset)
 
 
@@ -310,9 +322,9 @@ def _rows_for_doc(doc_id: str, spans, defines=None,
         else:
             g = parser(doc_id, int(offset), text)
         if expr_eog:
-            # flag-gated expression-level EOG rewrite
-            # (EvaluationOrderGraphPass.java:917-951); statement-level
-            # stays the default
+            # expression-level EOG rewrite — the default since round 4
+            # (EvaluationOrderGraphPass.java:917-951 runs at expression
+            # granularity); statement-level behind expr_eog=False
             from cpg_spark.frontends.eog import expand_expression_eog
 
             expand_expression_eog(g)
@@ -321,7 +333,7 @@ def _rows_for_doc(doc_id: str, spans, defines=None,
 
 
 def parse_docs(docs: DataFrame, target_partitions: int | None = None,
-               dedup_spans: bool = False, expr_eog: bool = False) -> DataFrame:
+               dedup_spans: bool = False, expr_eog: bool = True) -> DataFrame:
     """docs(doc_id, spans) -> unified parse rows (PARSE_OUT_SCHEMA).
 
     The docs checkpoint is small on disk, so a naive scan coalesces into
@@ -346,12 +358,12 @@ def parse_docs(docs: DataFrame, target_partitions: int | None = None,
             target_partitions = None
     # per-doc symbol maps make identical span text parse DIFFERENTLY, so
     # the content-hash dedup cache would be wrong — bypass it
-    if (dedup_spans and not expr_eog and not docs.isStreaming
+    if (dedup_spans and not docs.isStreaming
             and "defines" not in docs.columns):
-        # (the expr-EOG rewrite composes with relocation, but the cache
-        # would need flag-keyed entries — fall through to the direct path
-        # when both are requested rather than risk mixed-granularity rows)
-        return _parse_docs_dedup(docs, target_partitions)
+        # the expr-EOG rewrite composes with relocation: granularity is
+        # applied before the relocation template is built, and one flag
+        # value per call keeps every cache entry homogeneous
+        return _parse_docs_dedup(docs, target_partitions, expr_eog)
     if target_partitions and not docs.isStreaming:
         docs = docs.repartition(target_partitions, "doc_id")
 
@@ -383,7 +395,8 @@ def parse_docs(docs: DataFrame, target_partitions: int | None = None,
 
 
 def _parse_docs_dedup(docs: DataFrame,
-                      target_partitions: int | None) -> DataFrame:
+                      target_partitions: int | None,
+                      expr_eog: bool = False) -> DataFrame:
     """Content-hash-partitioned span stream -> memoized parse + relocate."""
     spans = docs.select(
         "doc_id",
@@ -409,7 +422,7 @@ def _parse_docs_dedup(docs: DataFrame,
         )
 
     def run(batches):
-        cache = _SpanParseCache()
+        cache = _SpanParseCache(expr_eog=expr_eog)
         out: list[dict] = []
         for pdf in batches:
             for doc_id, kind, text, offset, prev in zip(

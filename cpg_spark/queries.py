@@ -1625,7 +1625,7 @@ def q_cpg_enums(spark, sf_dir):
 
 
 def q_cpg_eog_expr(spark, sf_dir):
-    """EXPRESSION-level EOG (flag-gated rewrite of the statement-level
+    """EXPRESSION-level EOG (the default granularity since round 4;
     default) over the reference's eog/EOG.java fixture: operands evaluate
     before their operators (EvaluationOrderGraphPass.java:917-951 — lhs
     -> rhs -> op, initializer -> declaration, unary input -> unary), so
@@ -1833,13 +1833,21 @@ def q_cpg_eog_reach(spark, sf_dir):
 
 
 def q_cpg_triples_profile(spark, sf_dir):
-    """Per-predicate triple counts of the flagship fixture-corpus graph —
-    a golden regression pin on the WHOLE parse+link output shape: any
-    frontend, EOG, DFG or linking change that adds/loses edges moves one
-    of these counts."""
+    """Per-predicate triple counts AND value hashes of the flagship
+    fixture-corpus graph — a golden regression pin on the WHOLE
+    parse+link output shape.  ``vhash`` is an order-free commutative
+    digest (sum of 48-bit md5 prefixes of ``subj|pred|obj``) over the
+    predicate's triple SET: node ids are content hashes, so the digest
+    is engine- and run-independent — this value-pins the flagship's
+    exact triples (round-4 close of the one rows-only CPG gap), not
+    just their count."""
     return (
         q_cpg_triples(spark, sf_dir)
-        .groupBy("pred").agg(F.count("*").alias("n_triples"))
+        .select("pred", F.conv(F.substring(F.md5(F.concat_ws(
+            "|", "subj", "pred", "obj")), 1, 12), 16, 10)
+            .cast("long").alias("h"))
+        .groupBy("pred").agg(F.count("*").alias("n_triples"),
+                             F.sum("h").alias("vhash"))
         .orderBy("pred")
     )
 
