@@ -62,24 +62,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is deliberate: the driver's oracle gate checks
-    the FIRST 50 registrations, so the window carries every semantically
-    load-bearing golden (the full CPG tier incl. the round-3 additions,
-    plus one representative per relational/curation Catalyst surface and
-    every query whose code changed this round).  Rows 51+ are
-    already-proven surfaces (driver-green in CORRECTNESS_r02.json,
-    unchanged since) rotated out to make room — their local oracle
-    evidence is refreshed each round in CORRECTNESS_local.json."""
+    the FIRST 50 registrations, and since round 4 those 50 cover EVERY
+    operator family EVERY round — no rotation.  The consolidation
+    (round-3 VERDICT item 3): families whose singletons used to rotate
+    past the window are folded into composite profile queries whose one
+    row per member is (q, n_rows, vhash) with vhash an order-free
+    digest of the member's FULL result set — exactly as strong a value
+    check as the singleton row, permanently in-window.  Paired CPG
+    goldens (fnptr calls+sigs, nullptr+oob checks, llvm triples+compress,
+    ts+ps script frontends) merged into one registration each with a leg
+    column, keeping their hand-derived golden semantics.
+
+    Rows PAST the window are an annex, not rotated coverage: each is a
+    singleton whose full value content is ALREADY digest-verified
+    in-window via its profile leg this same round; they stay registered
+    so the local parity suite (tests/test_oracle_parity.py) and users
+    can run/debug them individually."""
     return {
-        # ---- CPG pipeline tier (in-window) -------------------------------
-        "cpg_triples": Q.q_cpg_triples,  # rows-only; profile is the oracle
-        "cpg_triples_profile": Q.q_cpg_triples_profile,
+        # ---- CPG pipeline tier (in-window rows 1-37) ---------------------
+        "cpg_triples_profile": Q.q_cpg_triples_profile,  # value-pins the
+        # flagship triple SET per predicate (count + vhash)
         "cpg_calls_cpp": Q.q_cpg_calls_cpp,
         "cpg_crossdoc_calls": Q.q_cpg_crossdoc_calls,
         "cpg_inherited_calls": Q.q_cpg_inherited_calls,
         "cpg_super_calls": Q.q_cpg_super_calls,
         "cpg_overload_calls": Q.q_cpg_overload_calls,
-        "cpg_fnptr_calls": Q.q_cpg_fnptr_calls,
-        "cpg_fnptr_sigs": Q.q_cpg_fnptr_sigs,
+        "cpg_fnptr": Q.q_cpg_fnptr,                  # merged calls+sigs
         "cpg_static_imports": Q.q_cpg_static_imports,
         "cpg_template_calls": Q.q_cpg_template_calls,
         "cpg_typedefs": Q.q_cpg_typedefs,
@@ -87,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_namespaces": Q.q_cpg_namespaces,
         "cpg_includes": Q.q_cpg_includes,
         "cpg_compdb": Q.q_cpg_compdb,
+        "cpg_preproc": Q.q_cpg_preproc,              # new (r4)
         "cpg_type_prop": Q.q_cpg_type_prop,
         "cpg_jdk_hierarchy": Q.q_cpg_jdk_hierarchy,
         "cpg_inferred_records": Q.q_cpg_inferred_records,
@@ -97,35 +106,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_overrides": Q.q_cpg_overrides,
         "cpg_eog_jumps": Q.q_cpg_eog_jumps,
         "cpg_eog_reach": Q.q_cpg_eog_reach,
-        "cpg_eog_expr": Q.q_cpg_eog_expr,      # new (r3)
-        "cpg_enums": Q.q_cpg_enums,            # new (r3)
-        "cpg_generics": Q.q_cpg_generics,      # new (r3)
+        "cpg_eog_expr": Q.q_cpg_eog_expr,
+        "cpg_enums": Q.q_cpg_enums,
+        "cpg_generics": Q.q_cpg_generics,
+        "cpg_lambdas": Q.q_cpg_lambdas,              # new (r4)
+        "cpg_annotations": Q.q_cpg_annotations,      # new (r4)
+        "cpg_problem_rate": Q.q_cpg_problem_rate,    # new (r4)
+        "cpg_checks": Q.q_cpg_checks,                # merged nullptr+oob
+        "cpg_llvm": Q.q_cpg_llvm,                    # merged triples+compress
+        "cpg_script_triples": Q.q_cpg_script_triples,  # merged ts+ps
+        "cypher_params": Q.q_cypher_params,
+        "identifier_pass": Q.q_identifier_pass,
+        "training_data_pipeline": Q.q_training_data_pipeline,
+        # ---- curation/relational tier (rows 38-44) -----------------------
+        "agg_pricing_summary": Q.q_agg_pricing_summary,
+        "salted_skew_join": Q.q_salted_skew_join,
+        "supertype_closure": Q.q_supertype_closure,
+        "connected_components": Q.q_connected_components,
+        "minhash_lsh_neardup": Q.q_minhash_lsh_neardup,
+        "decontaminate": Q.q_decontaminate,
+        "pii_scrub": Q.q_pii_scrub,
+        # ---- family profiles (rows 45-50) --------------------------------
+        "relational_profile": Q.q_relational_profile,
+        "window_pack_profile": Q.q_window_pack_profile,
+        "textops_profile": Q.q_textops_profile,
+        "dedup_profile": Q.q_dedup_profile,
+        "ann_profile": Q.q_ann_profile,
+        "media_profile": Q.q_media_profile,
+        # =========== driver window boundary (first 50 above) ==============
+        # annex: singletons already digest-verified in-window this round
+        # via their profile leg / merged registration; kept for local
+        # parity + per-query debugging
+        "cpg_fnptr_calls": Q.q_cpg_fnptr_calls,
+        "cpg_fnptr_sigs": Q.q_cpg_fnptr_sigs,
         "cpg_nullptr_check": Q.q_cpg_nullptr_check,
         "cpg_oob_check": Q.q_cpg_oob_check,
         "cpg_llvm_triples": Q.q_cpg_llvm_triples,
         "cpg_llvm_compress": Q.q_cpg_llvm_compress,
         "cpg_ts_triples": Q.q_cpg_ts_triples,
         "cpg_ps_triples": Q.q_cpg_ps_triples,
-        "cypher_params": Q.q_cypher_params,
-        "identifier_pass": Q.q_identifier_pass,
-        "training_data_pipeline": Q.q_training_data_pipeline,
-        # ---- one representative per Catalyst surface (in-window) ---------
-        "agg_pricing_summary": Q.q_agg_pricing_summary,
-        "salted_skew_join": Q.q_salted_skew_join,
-        "supertype_closure": Q.q_supertype_closure,
-        "connected_components": Q.q_connected_components,
-        "minhash_lsh_neardup": Q.q_minhash_lsh_neardup,
-        # ---- changed or added this round (in-window) ---------------------
-        "decontaminate": Q.q_decontaminate,
-        "embedding_neardup": Q.q_embedding_neardup,
-        "embedding_neardup_auto": Q.q_embedding_neardup_auto,
-        "ann_ivf_topk": Q.q_ann_ivf_topk,
-        "ann_lsh_recall": Q.q_ann_lsh_recall,
-        "media_frame_sample": Q.q_media_frame_sample,
-        "pii_scrub": Q.q_pii_scrub,  # new (r3)
-        # =========== driver window boundary (first 50 above) ==============
-        # rows below are r02-driver-green and unchanged; still checked
-        # locally every round
         "label_filter_projection": Q.q_label_filter_projection,
         "innermost_scope_winner": Q.q_innermost_scope_winner,
         "by_name_lookup": Q.q_by_name_lookup,
@@ -149,19 +168,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": Q.q_pack_stats,
         "stratified_sample": Q.q_stratified_sample,
         "ann_bruteforce_topk": Q.q_ann_bruteforce_topk,
-        "ann_lsh_topk": Q.q_ann_lsh_topk,  # rows-only (approximate by
-        # design; quality driver-verified via ann_lsh_recall in-window)
-        "media_feature_extract": Q.q_media_features,
-        "media_audio_chunks": Q.q_media_audio_chunks,  # new (r3, audio
-        # modality fan-out; golden oracle, rotates in-window next round)
+        "ann_ivf_topk": Q.q_ann_ivf_topk,
+        "ann_lsh_recall": Q.q_ann_lsh_recall,
+        "embedding_neardup": Q.q_embedding_neardup,
+        "embedding_neardup_auto": Q.q_embedding_neardup_auto,
         "embedding_neardup_clusters": Q.q_embedding_neardup_clusters,
-        # ^ new (r3): LSH pairs -> CC -> min-id cluster, oracled by a
-        # recursive-CTE reachability closure over brute-force pairs
+        "media_feature_extract": Q.q_media_features,
+        "media_frame_sample": Q.q_media_frame_sample,
+        "media_audio_chunks": Q.q_media_audio_chunks,
+        # rows-only by design (no oracle): flagship raw triples (value-
+        # pinned in-window by cpg_triples_profile vhash) and the
+        # approximate-by-design LSH top-k (recall pinned in-window via
+        # the ann_profile lsh-recall leg)
+        "cpg_triples": Q.q_cpg_triples,
+        "ann_lsh_topk": Q.q_ann_lsh_topk,
     }
 
 
+def _digest_leg_sql(leg: str, inner: str, cols: list[str]) -> str:
+    """DuckDB side of one profile leg: (q, n_rows, vhash) over the
+    member query's FULL result — vhash = sum of 48-bit md5 prefixes of
+    the '|'-rendered column list (order-free, NULL -> '\\N'), the same
+    digest cpg_spark.queries._leg_digest computes Spark-side."""
+    rendered = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), '\\N')" for c in cols)
+    return (
+        f"SELECT '{leg}' AS q, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(COALESCE(SUM(CAST(('0x' || substring(md5("
+        f"concat_ws('|', {rendered})), 1, 12)) AS BIGINT)), 0) AS BIGINT)"
+        f" AS vhash FROM ({inner})"
+    )
+
+
+def _profile_sql(legs) -> str:
+    return (" UNION ALL ".join(_digest_leg_sql(*x) for x in legs)
+            + " ORDER BY q")
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    o = {
         # DuckDB SUM over BIGINT returns HUGEINT which pandas materializes
         # as float64 and breaks the driver's value hash vs Spark's int64 —
         # the outer CAST(... AS BIGINT) pins the result type (round-1
@@ -1679,6 +1724,176 @@ def oracle_sql() -> dict[str, str]:
         # and asserted in tests/test_ann.py.
         # cpg_triples: the raw 1000+-row parser emission — rows-only check;
         # P/R vs the reference fixtures is asserted in
-        # tests/test_fixture_triples.py (and the per-predicate profile is
-        # driver-verified via cpg_triples_profile).
+        # tests/test_fixture_triples.py (and the per-predicate profile now
+        # ALSO value-pins the triple set via its vhash column).
     }
+
+    # ---- round-4 golden oracles ----
+    # compdb-driven preprocessor conditionals: two TUs compile the same
+    # two-branch source with different -D maps; each parses its own
+    # branch (C11 6.10.1 subset over IScannerInfo-style symbols)
+    o["cpg_preproc"] = """
+        SELECT * FROM (VALUES
+          ('/src/fast.cpp', 'always'),
+          ('/src/fast.cpp', 'fast_path'),
+          ('/src/fast.cpp', 'v2_feature'),
+          ('/src/legacy.cpp', 'always'),
+          ('/src/legacy.cpp', 'slow_path'),
+          ('/src/legacy.cpp', 'v1_only')) AS t(doc_id, fn)
+        ORDER BY doc_id, fn
+    """
+    # LambdaExpression node model (LambdaExpression.kt:40-56): one row
+    # per lambda across both dialects' fixtures — param count, derived
+    # FunctionPointerType spelling ('' when the return type is not
+    # syntactically derivable), fn->lambda DFG edge count (always 1)
+    o["cpg_lambdas"] = """
+        SELECT * FROM (VALUES
+          ('cpp/lambdas/0001', 5, 1, 'int(*)(int)', 1),
+          ('cpp/lambdas/0001', 6, 1, 'int(*)(int)', 1),
+          ('cpp/lambdas/0001', 7, 1, '', 1),
+          ('cpp/lambdas/0001', 8, 0, '', 1),
+          ('java/Lambdas/0001', 6, 1, '', 1),
+          ('java/Lambdas/0001', 7, 1, '', 1),
+          ('java/Lambdas/0001', 8, 1, '', 1),
+          ('java/Lambdas/0001', 9, 0, '', 1))
+          AS t(doc_id, line, n_params, lam_type, fn_dfg)
+        ORDER BY doc_id, line
+    """
+    # the exact facts JavaLanguageFrontendTest.kt testAnnotations:473-521
+    # asserts over the reference's own Annotation.java resource
+    o["cpg_annotations"] = """
+        SELECT * FROM (VALUES
+          ('FieldDeclaration', 'anotherField', 'AnnotatedField', 'value',
+           'myString'),
+          ('FieldDeclaration', 'field', 'AnnotatedField', '', ''),
+          ('RecordDeclaration', 'Annotation', 'AnnotationForClass',
+           'value', '2'))
+          AS t(owner_label, owner_name, annotation, member, value)
+        ORDER BY owner_label, owner_name, annotation, member
+    """
+    # real-corpus robustness pin: the reference repo's ~240 test-resource
+    # programs parse with ZERO whole-file failures and two residual gap
+    # tokens (a fnptr-TYPE cast in one decompiler-generated file) — a
+    # grammar regression or corpus change moves a count
+    o["cpg_problem_rate"] = """
+        SELECT * FROM (VALUES
+          ('cpp', CAST(121 AS BIGINT), CAST(6254 AS BIGINT),
+           CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+          ('go', CAST(15 AS BIGINT), CAST(282 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          ('java', CAST(90 AS BIGINT), CAST(4084 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          ('python', CAST(15 AS BIGINT), CAST(350 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+          AS t(lang, n_files, n_nodes, n_degraded, degrade_pm)
+        ORDER BY lang
+    """
+
+    # ---- composite profile oracles (round-4 window consolidation) ----
+    # each leg wraps the member's EXISTING oracle SQL (golden semantics
+    # preserved verbatim) in the (q, n_rows, vhash) digest; float
+    # columns are quantized to integers identically on both engines
+    o["relational_profile"] = _profile_sql([
+        ("label_filter_projection",
+         "SELECT event_id, user_id, "
+         "CAST(round(value * 1000000) AS BIGINT) AS vq "
+         "FROM events WHERE event_type = 'click'",
+         ["event_id", "user_id", "vq"]),
+        ("by_name_lookup", o["by_name_lookup"],
+         ["dotted", "c_custkey", "n_name"]),
+        ("linking_join_cascade", o["linking_join_cascade"],
+         ["c_custkey", "resolved_nation", "resolved_region"]),
+        ("broadcast_dim_join", o["broadcast_dim_join"],
+         ["p_brand", "n_items", "sum_qty"]),
+        ("anti_join_refinement", o["anti_join_refinement"],
+         ["o_orderkey", "o_custkey"]),
+    ])
+    o["window_pack_profile"] = _profile_sql([
+        ("window_nth_statement", o["window_nth_statement"],
+         ["l_orderkey", "l_partkey", "l_linenumber"]),
+        ("window_span_order", o["window_span_order"],
+         ["user_id", "event_id", "seq"]),
+        ("innermost_scope_winner",
+         "SELECT l_orderkey, l_linenumber, "
+         "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM ("
+         + o["innermost_scope_winner"] + ")",
+         ["l_orderkey", "l_linenumber", "cents"]),
+        ("sequence_packing", o["sequence_packing"],
+         ["doc_id", "shard", "n_tokens", "start_offset", "pack_id"]),
+        ("pack_stats", o["pack_stats"],
+         ["shard", "pack_id", "n_docs", "sum_tokens", "fill_permille"]),
+        ("stratified_sample", o["stratified_sample"],
+         ["doc_id", "lang", "sample_bucket"]),
+    ])
+    o["textops_profile"] = _profile_sql([
+        ("quality_features", o["quality_features"],
+         ["doc_id", "n_chars", "n_tokens", "n_distinct", "n_stopwords",
+          "quality_score"]),
+        ("lang_id", o["lang_id"],
+         ["doc_id", "score_de", "score_en", "score_es", "lang_pred"]),
+        ("doc_fingerprint", o["doc_fingerprint"],
+         ["doc_id", "fingerprint"]),
+        ("token_counts", o["token_counts"],
+         ["doc_id", "ws_tokens", "bpe_tokens"]),
+        ("repetition_features", o["repetition_features"],
+         ["doc_id", "n_tokens", "dup_token_pm", "top2_gram", "top2_count",
+          "top2_char_pm"]),
+        ("top_tokens", o["top_tokens"], ["token", "n"]),
+        ("simhash", o["simhash"], ["doc", "simhash"]),
+    ])
+    o["dedup_profile"] = _profile_sql([
+        ("dedup_exact", o["dedup_exact"], ["text_hash", "keep_id",
+                                           "n_dups"]),
+        ("ngram_jaccard_pairs", o["ngram_jaccard_pairs"],
+         ["a", "b", "inter", "jaccard_pm"]),
+        ("neardup_clusters", o["neardup_clusters"], ["doc", "cluster"]),
+        ("segment_dedup", o["segment_dedup"],
+         ["doc_id", "n_segs", "n_kept", "kept_text"]),
+    ])
+    o["ann_profile"] = _profile_sql([
+        ("ann_bruteforce_topk", o["ann_bruteforce_topk"],
+         ["query_id", "neighbor_id", '"rank"']),
+        ("ann_ivf_topk", o["ann_ivf_topk"],
+         ["query_id", "neighbor_id", '"rank"']),
+        ("ann_lsh_recall", o["ann_lsh_recall"],
+         ["n_true", "n_hit", "recall_pm", "meets_900pm"]),
+        ("embedding_neardup", o["embedding_neardup"], ["a", "b"]),
+        ("embedding_neardup_auto", o["embedding_neardup_auto"],
+         ["a", "b"]),
+        ("embedding_neardup_clusters", o["embedding_neardup_clusters"],
+         ["vec", "cluster"]),
+    ])
+    o["media_profile"] = _profile_sql([
+        ("media_feature_extract", o["media_feature_extract"],
+         ["media_ref", "mime", "n_bytes", "sha", "width", "height"]),
+        ("media_frame_sample", o["media_frame_sample"],
+         ["media_ref", "frame_no", "ts_ms", "frame_sha"]),
+        ("media_audio_chunks", o["media_audio_chunks"],
+         ["media_ref", "chunk_no", "start_ms", "end_ms", "chunk_sha"]),
+    ])
+    # ---- merged CPG golden oracles (leg-tagged unions of the original
+    # hand-derived VALUES, semantics unchanged) ----
+    o["cpg_fnptr"] = (
+        "SELECT 'calls' AS leg, site, callee, CAST(-1 AS BIGINT) AS arity,"
+        " false AS inferred FROM (" + o["cpg_fnptr_calls"] + ")"
+        " UNION ALL SELECT 'sigs', site, callee, CAST(arity AS BIGINT),"
+        " inferred FROM (" + o["cpg_fnptr_sigs"] + ")"
+        " ORDER BY leg, site, arity, callee")
+    o["cpg_checks"] = (
+        "SELECT 'nullptr' AS leg, doc_id, base_name AS subject,"
+        " label AS detail, CAST(line AS BIGINT) AS line FROM ("
+        + o["cpg_nullptr_check"] + ")"
+        " UNION ALL SELECT 'oob', doc_id, array_name,"
+        " CAST(index AS VARCHAR) || '/' || CAST(capacity AS VARCHAR),"
+        " CAST(line AS BIGINT) FROM (" + o["cpg_oob_check"] + ")"
+        " ORDER BY leg, doc_id, line")
+    o["cpg_llvm"] = (
+        "SELECT 'triples' AS leg, pred AS k, n_edges AS n FROM ("
+        + o["cpg_llvm_triples"] + ")"
+        " UNION ALL SELECT 'compress', label, n_nodes FROM ("
+        + o["cpg_llvm_compress"] + ") ORDER BY leg, k")
+    o["cpg_script_triples"] = (
+        "SELECT 'ts' AS leg, pred, n_edges FROM (" + o["cpg_ts_triples"]
+        + ") UNION ALL SELECT 'ps', pred, n_edges FROM ("
+        + o["cpg_ps_triples"] + ") ORDER BY leg, pred")
+    return o

@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "pii_scrub",
     "media_audio_chunks",
     "embedding_neardup_clusters",
+    # round-4 additions: lambda/annotation node models, compdb-driven
+    # preprocessor conditionals, the real-corpus robustness gate
+    "cpg_lambdas",
+    "cpg_annotations",
+    "cpg_preproc",
+    "cpg_problem_rate",
 ]
 
 
