@@ -95,3 +95,59 @@ def test_windowed_counts_drop_late_rows(spark, tmp_path):
     assert by_win.get(10) == 1     # 10:05
     assert 0 not in by_win
     assert 20 not in by_win
+
+
+def test_streaming_neardup_cross_batch(spark, tmp_path):
+    """A near-duplicate arriving in a LATER micro-batch is flagged
+    against the kept doc (cross-batch MinHash-LSH state); distinct docs
+    are not flagged; the signature definition is bit-identical to the
+    batch operator's."""
+    from cpg_spark.streaming.stream_ops import streaming_neardup
+
+    src = str(tmp_path / "nd_docs")
+    schema = "doc_id string, text string"
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    near = base + " again"   # high-overlap shingle set
+    other = ("completely different words about spark structured "
+             "streaming state stores and arrow batches everywhere")
+    _write_batch(spark, src, [("A", base), ("X", other)], schema)
+    _write_batch(spark, src, [("B", near), ("C", "unrelated short text "
+                                                 "with nothing shared")],
+                 schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_neardup(stream, num_hashes=8, band_size=2, k=3,
+                          est_jaccard_pm_threshold=500)
+        .writeStream.format("memory").queryName("nd_out")
+        .option("checkpointLocation", str(tmp_path / "nd_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from nd_out").collect()
+    flagged = {r["doc_id"] for r in rows}
+    assert "B" in flagged, rows           # later-batch near-dup dropped
+    assert flagged == {"B"}               # X, C, A survive
+    assert all(r["dup_of"] == "A" for r in rows if r["doc_id"] == "B")
+    assert all(r["est_jaccard_pm"] >= 500 for r in rows)
+
+
+def test_streaming_neardup_signature_matches_batch(spark):
+    """The per-row higher-order-function signature equals the batch
+    groupBy aggregation for the same text (bit-identical minhash)."""
+    from cpg_spark.operators.dedup import minhash_signatures
+    from cpg_spark.streaming.stream_ops import _row_minhash
+
+    df = spark.createDataFrame(
+        [("d1", "one two three four five six seven")],
+        "doc_id string, text string")
+    stream_sig = df.select(*_row_minhash("text", 8, 3)).collect()[0]
+    batch_sig = minhash_signatures(df, num_hashes=8, k=3).collect()[0]
+    for j in range(8):
+        assert stream_sig[f"mh{j}"] == batch_sig[f"mh{j}"]
