@@ -190,11 +190,20 @@ def _function_pointer_targets(missed: DataFrame, nodes: DataFrame,
     pointers; ``terminals`` are (mention_id, t_name, t_nargs) rows where
     the chain ended at an UNRESOLVED signature-hinted function reference
     (``&fun`` with no local declaration — FunctionPointerTest's inferred
-    leg), for the caller to resolve cross-document or infer."""
-    empty = missed.sparkSession.createDataFrame(
-        [], "mention_id bigint, fn_id bigint")
-    empty_t = missed.sparkSession.createDataFrame(
-        [], "mention_id bigint, t_name string, t_nargs int")
+    leg), for the caller to resolve cross-document or infer.
+
+    Spark shape (round-4 rewrite): frontend DFG is doc-local at link
+    time, so the chain can never leave its document — the walk is a
+    PER-DOCUMENT kernel, not a distributed BFS.  The previous
+    per-round join + eager-checkpoint + probe loop cost ~2 fixed-latency
+    jobs per hop regardless of data volume (measured: 14.8 s of the
+    link stage's 19 s at 96k docs, parallelism-independent — the whole
+    reason the link stage didn't scale 8->32).  Now ONE shuffle
+    colocates each seed document's (seed, dfg, fn, hint) rows and an
+    ``applyInPandas`` BFS walks every chain in-memory; the non-seed
+    corpus never shuffles (left-semi on seed docs, as before)."""
+    import pandas as pd
+
     vars_ = nodes.filter(
         F.col("label").isin("VariableDeclaration",
                             "ParamVariableDeclaration", "FieldDeclaration")
@@ -203,71 +212,124 @@ def _function_pointer_targets(missed: DataFrame, nodes: DataFrame,
         missed.select("mention_id", "name", "doc_id")
         .join(vars_, ["doc_id", "name"])
         .select("mention_id", "cur", "doc_id")
-        .localCheckpoint(eager=True)
     )
-    # the common corpus has FEW missed-call-names-that-are-variables;
-    # skip the walk (and its per-round scans of the DFG table) outright
-    if seeds.limit(1).count() == 0:
-        return empty, empty_t
-    # one materialization of the reversed DFG feeds every hop instead of
-    # re-filtering the full edge table per round — restricted to the seed
-    # documents (frontend DFG is doc-local at link time, so chains cannot
-    # leave them): at corpus scale this turns a full-DFG cache into a
-    # sliver proportional to the fnptr-call docs
-    # plain semi-join (AQE promotes it to broadcast when the doc list is
-    # small; at corpus scale it may not be)
     seed_docs = seeds.select("doc_id").distinct()
     dfg_rev = (
         edges.filter(F.col("pred") == "DFG")
         .join(seed_docs, "doc_id", "left_semi")
-        .select(F.col("obj").alias("cur"), F.col("subj").alias("prev"))
-        .persist()
+        .select("doc_id", F.col("obj").alias("cur"),
+                F.col("subj").alias("prev"))
     )
-    fn_ids = nodes.filter(
-        F.col("label").isin("FunctionDeclaration", "MethodDeclaration")
-    ).select(F.col("node_id").alias("cur"))
-    # signature-hinted unresolved function references (ref/member_ref
-    # mentions carrying n_args): valid chain terminals
-    hint_refs = None
+    fn_ids = (
+        nodes.filter(F.col("label").isin("FunctionDeclaration",
+                                         "MethodDeclaration"))
+        .join(seed_docs, "doc_id", "left_semi")
+        .select("doc_id", F.col("node_id").alias("cur"))
+    )
+    parts = [
+        seeds.select("doc_id", F.lit("seed").alias("rk"),
+                     F.col("mention_id").alias("a"), F.col("cur").alias("b"),
+                     F.lit(None).cast("string").alias("s"),
+                     F.lit(None).cast("int").alias("n")),
+        dfg_rev.select("doc_id", F.lit("dfg").alias("rk"),
+                       F.col("cur").alias("a"), F.col("prev").alias("b"),
+                       F.lit(None).cast("string").alias("s"),
+                       F.lit(None).cast("int").alias("n")),
+        # b = 0 (not NULL) for rows that don't carry a second id:
+        # a nullable int64 column round-trips through Arrow->pandas as
+        # float64 and 64-bit hash ids lose precision past 2^53
+        fn_ids.select("doc_id", F.lit("fn").alias("rk"),
+                      F.col("cur").alias("a"),
+                      F.lit(0).cast("long").alias("b"),
+                      F.lit(None).cast("string").alias("s"),
+                      F.lit(None).cast("int").alias("n")),
+    ]
     if mentions is not None:
         hint_refs = (
             mentions.filter(F.col("kind").isin("ref", "member_ref")
                             & F.col("n_args").isNotNull())
-            .select(F.col("mention_id").alias("cur"),
-                    F.col("name").alias("t_name"),
-                    F.col("n_args").alias("t_nargs"))
+            .join(seed_docs, "doc_id", "left_semi")
+            .select("doc_id", F.lit("hint").alias("rk"),
+                    F.col("mention_id").alias("a"),
+                    F.lit(0).cast("long").alias("b"),
+                    F.col("name").alias("s"),
+                    F.col("n_args").cast("int").alias("n"))
         )
-    frontier = seeds
-    hits = None
-    terms = None
-    try:
-        for _ in range(max_hops):
-            step = (
-                frontier.join(dfg_rev, "cur")
-                .select("mention_id", F.col("prev").alias("cur"))
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
-            if step.limit(1).count() == 0:
-                break
-            h = step.join(fn_ids, "cur").select(
-                "mention_id", F.col("cur").alias("fn_id"))
-            hits = h if hits is None else hits.unionByName(h)
-            if hint_refs is not None:
-                th = step.join(hint_refs, "cur").select(
-                    "mention_id", "t_name", "t_nargs")
-                terms = th if terms is None else terms.unionByName(th)
-            frontier = step.join(fn_ids, "cur", "left_anti")
-        hits = (empty if hits is None
-                else hits.dropDuplicates(["mention_id", "fn_id"])
-                .localCheckpoint(eager=True))
-        terms = (empty_t if terms is None
-                 else terms.dropDuplicates(["mention_id", "t_name",
-                                            "t_nargs"])
-                 .localCheckpoint(eager=True))
-        return hits, terms
-    finally:
-        dfg_rev.unpersist()
+        parts.append(hint_refs)
+    stream = parts[0]
+    for p in parts[1:]:
+        stream = stream.unionByName(p)
+
+    hops = max_hops
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        rk = pdf["rk"]
+        dfg: dict = {}
+        for a, b in zip(pdf.loc[rk == "dfg", "a"],
+                        pdf.loc[rk == "dfg", "b"]):
+            dfg.setdefault(a, []).append(b)
+        fns = set(pdf.loc[rk == "fn", "a"])
+        hints = {a: (s_, n_) for a, s_, n_ in zip(
+            pdf.loc[rk == "hint", "a"], pdf.loc[rk == "hint", "s"],
+            pdf.loc[rk == "hint", "n"])}
+        out = []
+        seen_hit = set()
+        seen_term = set()
+        for mid, cur in zip(pdf.loc[rk == "seed", "a"],
+                            pdf.loc[rk == "seed", "b"]):
+            frontier = {cur}
+            visited = {cur}
+            for _ in range(hops):
+                step = set()
+                for c in frontier:
+                    for p in dfg.get(c, ()):
+                        if p not in visited:
+                            visited.add(p)
+                            step.add(p)
+                if not step:
+                    break
+                nxt = set()
+                for p in step:
+                    if p in fns:
+                        if (mid, p) not in seen_hit:
+                            seen_hit.add((mid, p))
+                            out.append({"kind": "hit", "mention_id": mid,
+                                        "fn_id": p, "t_name": None,
+                                        "t_nargs": None})
+                        continue  # stop at function nodes
+                    if p in hints:
+                        s_, n_ = hints[p]
+                        key = (mid, s_, n_)
+                        if key not in seen_term:
+                            seen_term.add(key)
+                            out.append({"kind": "term", "mention_id": mid,
+                                        "fn_id": None, "t_name": s_,
+                                        "t_nargs": n_})
+                    nxt.add(p)
+                frontier = nxt
+        # dtype=object: a column mixing ints and None would coerce to
+        # float64 and 64-bit hash ids lose precision past 2^53 (the same
+        # rule parse.py applies to its row stream)
+        return pd.DataFrame(
+            out, columns=["kind", "mention_id", "fn_id", "t_name",
+                          "t_nargs"], dtype=object)
+
+    # LAZY on purpose: the walk folds into the stage's single final
+    # job (no probe/checkpoint jobs — measured 16 s of flat, parallelism-
+    # independent driver+job latency at 96k docs); its consumers within
+    # one physical plan share the group-shuffle via exchange reuse, and
+    # a corpus with no fnptr mentions contributes an empty-input subtree
+    # that costs nothing at run time
+    walked = stream.groupBy("doc_id").applyInPandas(
+        walk,
+        schema=("kind string, mention_id bigint, fn_id bigint, "
+                "t_name string, t_nargs int"),
+    )
+    hits = walked.filter(F.col("kind") == "hit").select("mention_id",
+                                                        "fn_id")
+    terms = walked.filter(F.col("kind") == "term").select(
+        "mention_id", "t_name", "t_nargs")
+    return hits, terms
 
 
 def joined_mentions(mentions: DataFrame, symbols: DataFrame,
@@ -594,6 +656,11 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
     fp_terms = None
     term_inferred = None
     if nodes is not None and edges is not None:
+        # materialize the miss set ONCE: the fnptr walk, the terminal
+        # join, the inference path and two anti-joins all consume it —
+        # lazily each re-runs the whole name-join + overload-ladder
+        # subtree (measured 54 s vs 18 s for the stage at 96k docs)
+        missed = missed.localCheckpoint(eager=True)
         # keep the pre-anti-join miss set: a conditionally-assigned
         # pointer can have BOTH a resolved target and an unresolved
         # terminal; the terminal leg must still be processed even though
@@ -623,12 +690,10 @@ def link_calls(mentions: DataFrame, symbols: DataFrame,
         # same key link_refs' miss path mints, so both collapse to ONE
         # node at materialize (FunctionPointerTest noParamUnknown:
         # every call through any pointer to &fun invokes one inferred fn)
-        if fp_terms.isEmpty():
-            # common corpus: no unresolved fnptr terminals — skip the
-            # window + dim join entirely (fp_terms is a checkpointed
-            # sliver, so the probe is O(1))
-            fp_terms = None
     if fp_terms is not None:
+        # built unconditionally and lazily: with no terminals the window
+        # + dim join run over an empty sliver inside the same final job
+        # (an isEmpty probe here used to force the whole walk eagerly)
         tm = fp_terms.join(
             fp_base.select("mention_id", "doc_id"), "mention_id")
         t_dim = fns.filter(F.col("d_kind").isin("function", "method")).select(
