@@ -1977,6 +1977,38 @@ class CFamilyFrontend(Emitter):
             return infos[0]["nid"], infos[0]
         if t.kind == "ident":
             kw = t.text
+            if (self.dialect == "cpp"
+                    and kw in ("asm", "__asm__", "__asm")):
+                # inline assembly `asm("..." : ...);` ->
+                # ASMDeclarationStatement carrying the asm text
+                # (graph/statements/ASMDeclarationStatement.java)
+                self.next()
+                while (self.peek().kind == "ident"
+                       and self.peek().text in ("volatile", "__volatile__",
+                                                "goto", "inline")):
+                    self.next()
+                code = ""
+                if self.peek().kind == "(":
+                    j, depth = self.i, 0
+                    frag = []
+                    while self.toks[j].kind != "eof":
+                        k = self.toks[j].kind
+                        if k == "(":
+                            depth += 1
+                        elif k == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        elif k == "string":
+                            frag.append(self.toks[j].text.strip('"'))
+                        j += 1
+                    code = "".join(frag)
+                    self._skip_balanced("(", ")")
+                self.accept(";")
+                nid = self.node(path, "ASMDeclarationStatement", "",
+                                self._tloc(t), code=code)
+                self.ast_edge(parent, nid, "STATEMENTS", index)
+                return nid, {"kind": "plain", "nid": nid}
             if (self.dialect == "cpp" and kw in ("class", "struct")
                     and self.peek(1).kind == "ident"
                     and self.peek(2).kind == "{"):
@@ -3138,6 +3170,22 @@ class CFamilyFrontend(Emitter):
             return self.parse_lambda(path)
         if self.dialect == "cpp" and t.kind == "[":
             return self.parse_lambda(path)
+        if (self.dialect == "cpp" and t.kind == "("
+                and self.peek(1).kind == "{"):
+            # GNU statement expression `({ stmt; ...; expr; })` —
+            # CompoundStatementExpression wrapping the block (field
+            # STATEMENT, CompoundStatementExpression.java:37-49); its
+            # value is the last statement's, so the last child DFG-flows
+            # into the node (the CDT handler's shape)
+            self.next()
+            nid = self.node(path, "CompoundStatementExpression", "",
+                            self._tloc(t))
+            infos = self.parse_block(path + ".stmt", nid, "STATEMENT")
+            stmts = infos[0].get("stmts") or []
+            if stmts and stmts[-1].get("nid"):
+                self.edge(stmts[-1]["nid"], "DFG", nid)
+            self.accept(")")
+            return nid, {"kind": "stmtexpr", "name": "", "type": None}
         if t.kind == "int":
             self.next()
             val, tp = self._int_literal(t.text)

@@ -254,3 +254,52 @@ def test_bindings_use_then_declare():
             and nodes[e["subj"]]["name"] == "x"]
     assert ("x", "FieldDeclaration") in hits
     assert not [m for m in g.mentions if m["name"] == "x"]
+
+
+def test_gnu_statement_expression():
+    """`({ stmt; expr; })` -> CompoundStatementExpression wrapping the
+    block (CompoundStatementExpression.java:37-49); value = the last
+    statement's (DFG last child -> node)."""
+    from cpg_spark.frontends.cfamily_frontend import parse_cpp_document
+
+    src = ("int main() {\n"
+           "  int x = ({ int t = 2; t + 1; });\n"
+           "  return x;\n"
+           "}\n")
+    g = parse_cpp_document("d", 0, src, "m")
+    cse = [r for r in g.nodes if r["label"] == "CompoundStatementExpression"]
+    assert len(cse) == 1
+    # block child via field STATEMENT, last stmt flows into the node
+    kids = [e for e in g.edges if e["subj"] == cse[0]["node_id"]
+            and e["props"].get("field") == "STATEMENT"]
+    assert len(kids) == 1
+    dfg_in = [e for e in g.edges if e["pred"] == "DFG"
+              and e["obj"] == cse[0]["node_id"]]
+    assert dfg_in, "last statement must DFG-flow into the expression"
+    # the initializer flows on into x
+    x = next(r["node_id"] for r in g.nodes
+             if r["label"] == "VariableDeclaration" and r["name"] == "x")
+    assert any(e["pred"] == "DFG" and e["subj"] == cse[0]["node_id"]
+               and e["obj"] == x for e in g.edges)
+    assert not [r for r in g.nodes if "Problem" in r["label"]]
+
+
+def test_asm_declaration_statement():
+    """`asm("...")` -> ASMDeclarationStatement carrying the asm text
+    (statements/ASMDeclarationStatement.java); volatile/extended forms
+    consume cleanly."""
+    from cpg_spark.frontends.cfamily_frontend import parse_cpp_document
+
+    src = ("int main() {\n"
+           "  int a = 1;\n"
+           '  asm("nop");\n'
+           '  __asm__ volatile("mfence" ::: "memory");\n'
+           "  return a;\n"
+           "}\n")
+    g = parse_cpp_document("d", 0, src, "m")
+    asms = [r for r in g.nodes if r["label"] == "ASMDeclarationStatement"]
+    assert len(asms) == 2
+    assert {a["code"] for a in asms} == {"nop", "mfencememory"}
+    assert not [r for r in g.nodes if "Problem" in r["label"]]
+    assert not [r for r in g.nodes
+                if r["label"] == "Expression" and r["name"] == ""]
