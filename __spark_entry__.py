@@ -1772,13 +1772,13 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY owner_label, owner_name, annotation, member
     """
     # real-corpus robustness pin: the reference repo's ~240 test-resource
-    # programs parse with ZERO whole-file failures and two residual gap
-    # tokens (a fnptr-TYPE cast in one decompiler-generated file) — a
-    # grammar regression or corpus change moves a count
+    # programs parse with ZERO whole-file failures and ZERO degraded
+    # nodes in every language — a grammar regression or corpus change
+    # moves a count
     o["cpg_problem_rate"] = """
         SELECT * FROM (VALUES
-          ('cpp', CAST(121 AS BIGINT), CAST(6254 AS BIGINT),
-           CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+          ('cpp', CAST(121 AS BIGINT), CAST(6248 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('go', CAST(15 AS BIGINT), CAST(282 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('java', CAST(90 AS BIGINT), CAST(4084 AS BIGINT),

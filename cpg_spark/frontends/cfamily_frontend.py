@@ -3303,11 +3303,32 @@ class CFamilyFrontend(Emitter):
             self.next()
             if self._looks_like_type():
                 tname = self.parse_type()
+                if (tname and self.peek().kind == "("
+                        and self.peek(1).kind == "*"
+                        and self.peek(2).kind == ")"):
+                    # cast to a function-pointer TYPE:
+                    # `(ret (*)(params))expr` (retdec client.c line 71)
+                    self.next(); self.next(); self.next()
+                    fpp = []
+                    if self.accept("("):
+                        while self.peek().kind not in (")", "eof"):
+                            fp = self.parse_type()
+                            if fp is None:
+                                self.next()
+                                continue
+                            fpp.append(fp)
+                            if self.peek().kind == "ident":
+                                self.next()
+                            if not self.accept(","):
+                                break
+                        self.accept(")")
+                    tname = normalize_type(
+                        f"{tname}(*)({', '.join(fpp)})")
                 # `(T*)&x` / `(struct S*)&x`: a pointer-type cast may be
                 # followed by unary & or * — unambiguous because the
                 # spelling ends in '*' (a bare `(a) & b` stays binary)
                 follow = ("ident", "int", "float", "string", "char", "(")
-                if tname and tname.endswith("*"):
+                if tname and (tname.endswith("*") or "(*)" in tname):
                     follow = follow + ("&", "*")
                 if tname and self.peek().kind == ")" \
                         and self.peek(1).kind in follow:

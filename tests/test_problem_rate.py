@@ -27,15 +27,12 @@ def test_corpus_size(rates):
 
 
 def test_degrade_rates_pinned(rates):
-    """Round-4 state: zero degrades everywhere except two gap tokens in
-    one machine-generated decompiler file (retdec client.c line 71: a
-    cast to a function-pointer TYPE — `(int64_t * (*)(int64_t *))0x..`),
-    an honest residual recorded here so any new degrade is visible."""
-    assert rates["java"]["n_degraded"] == 0
-    assert rates["go"]["n_degraded"] == 0
-    assert rates["python"]["n_degraded"] == 0
-    assert rates["cpp"]["n_degraded"] == 2
+    """Round-4 end state: ZERO degraded nodes in every language across
+    the whole corpus (the last residual — casts to function-pointer
+    TYPES, `(int64_t * (*)(int64_t *))0x..` in the retdec decompiler
+    output — closed by the fnptr-type-cast arm in parse_operand)."""
     for r in rates.values():
+        assert r["n_degraded"] == 0
         assert r["degrade_pm"] == 0
 
 
