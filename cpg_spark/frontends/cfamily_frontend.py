@@ -398,6 +398,76 @@ def _expand_symbols(toks: list[Tok], symbols: dict | None) -> list[Tok]:
     return out
 
 
+# GCC/glibc declaration decorations.  Real-world C/C++ headers (libc's
+# own /usr/include among them) annotate nearly every prototype with
+# attribute machinery that carries no CPG semantics; CDT's GNU dialect
+# parser accepts and discards these the same way
+# (GCCLanguageExtensionsTest in the reference's CDT dependency).  They
+# are stripped at TOKEN level because they may appear in any declarator
+# position (before the return type, after the parameter list, between
+# declarators, after a struct body).
+_GNU_BARE = frozenset({
+    "__THROW", "__THROWNL", "__BEGIN_DECLS", "__END_DECLS",
+    "__extension__", "__restrict", "__restrict__", "__restrict_arr",
+    "__wur", "__inline", "__inline__", "__forceinline", "_Noreturn",
+    "_Restrict_",
+    "__COLD", "__BEGIN_NAMESPACE_STD", "__END_NAMESPACE_STD",
+    "__BEGIN_NAMESPACE_C99", "__END_NAMESPACE_C99",
+})
+_GNU_PAREN = frozenset({
+    "__attribute__", "__attribute", "__declspec", "__nonnull",
+    "__fortified_attr_access", "__glibc_macro_warning", "_Alignas",
+    "alignas",
+})
+# glibc's pre-expanded attribute macros: __attribute_pure__ (bare),
+# __attribute_alloc_size__ ((1, 2)) (parenthesized) and friends
+_GNU_ATTR_RE = re.compile(r"^__attribute_\w+__$")
+
+
+def _skip_paren_group(toks: list[Tok], j: int) -> int:
+    """Index just past the balanced ( ... ) group starting at toks[j];
+    j unchanged if toks[j] is not '('."""
+    if j >= len(toks) or toks[j].kind != "(":
+        return j
+    depth = 0
+    while j < len(toks) and toks[j].kind != "eof":
+        if toks[j].kind == "(":
+            depth += 1
+        elif toks[j].kind == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    return j
+
+
+def _strip_gnu_decorations(toks: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "ident":
+            if t.text in _GNU_BARE:
+                i += 1
+                continue
+            if t.text in _GNU_PAREN or _GNU_ATTR_RE.match(t.text):
+                i = _skip_paren_group(toks, i + 1)
+                continue
+            if (t.text in ("__asm__", "__asm", "asm")
+                    and i + 1 < len(toks) and toks[i + 1].kind == "("
+                    and out and out[-1].kind in (")", "ident", "]")):
+                # symbol-redirect suffix `... stat (...) __asm__("stat64")`:
+                # only ever follows a declarator (closing paren /
+                # identifier / array bound) — asm STATEMENTS are preceded
+                # by ';' '{' '}' and keep their tokens
+                # (ASMDeclarationStatement)
+                i = _skip_paren_group(toks, i + 1)
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 class CFamilyFrontend(Emitter):
     def __init__(self, doc_id: str, span_offset: int, source: str,
                  module_name: str, dialect: str, symbols: dict | None = None):
@@ -405,6 +475,8 @@ class CFamilyFrontend(Emitter):
         self.dialect = dialect  # 'java' | 'cpp'
         self.toks = _expand_symbols(
             _filter_conditionals(tokenize(source), symbols), symbols)
+        if dialect != "java":
+            self.toks = _strip_gnu_decorations(self.toks)
         self.i = 0
         self.pending_refs: list = []
         self.pending_calls: list = []
@@ -535,6 +607,55 @@ class CFamilyFrontend(Emitter):
         self._path_n += 1
         return f"cf.{tag}.{self._path_n}"
 
+    def _sync_toplevel(self) -> None:
+        """Panic-mode resynchronisation after a declaration-level parse
+        error: consume up to and including the next ';' at brace depth 0
+        or the '}' that closes the current construct, so the rest of the
+        document still parses (CDT recovers per-declaration the same
+        way — one bad prototype yields one problem node, not a dead
+        file)."""
+        depth = 0
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                return
+            if t.kind == "{":
+                depth += 1
+            elif t.kind == "}":
+                self.next()
+                if depth <= 1:
+                    return
+                depth -= 1
+                continue
+            elif t.kind == ";" and depth == 0:
+                self.next()
+                return
+            self.next()
+
+    def _guard_top(self, fn, *args, **kw):
+        """Run one top-level declaration parse; on failure emit a
+        ProblemDeclaration (the reference's ProblemDeclaration.java — one
+        per failed construct) anchored at the failing token, restore the
+        scope/typedef/namespace stacks, and resync."""
+        start_i = self.i
+        scopes_n = len(self.scopes)
+        typedefs_n = len(self._typedefs)
+        ns_n = len(self._ns_stack)
+        try:
+            return fn(*args, **kw)
+        except (CFamilyParseError, IndexError, RecursionError) as e:
+            del self.scopes[scopes_n:]
+            del self._typedefs[typedefs_n:]
+            del self._ns_stack[ns_n:]
+            t = self.toks[min(start_i, len(self.toks) - 1)]
+            pid = self.node(self._p("problem"), "ProblemDeclaration",
+                            str(e)[:200], self._tloc(t),
+                            props={"problem": "CFamilyParseError"})
+            if self.i <= start_i:
+                self.i = start_i + 1
+            self._sync_toplevel()
+            return pid
+
     def _tloc(self, t: Tok):
         return (t.line, t.col, t.line, t.col + max(len(t.text), 1))
 
@@ -659,7 +780,7 @@ class CFamilyFrontend(Emitter):
                         iid, "import", name, base_type=mod))
             elif (t.kind == "ident" and t.text == "namespace"
                   and self.dialect == "cpp"):
-                self._parse_namespace(ns_id, di)
+                self._guard_top(self._parse_namespace, ns_id, di)
             elif t.kind == "ident" and t.text == "using":
                 self.next()
                 if (self.dialect == "cpp"
@@ -687,16 +808,18 @@ class CFamilyFrontend(Emitter):
             elif t.kind == "ident" and (
                     t.text in ("class", "struct")
                     or (t.text == "interface" and self.dialect == "java")):
-                nid = self.parse_class(self._p("class"))
+                nid = self._guard_top(self.parse_class, self._p("class"))
                 if nid:
                     self.ast_edge(ns_id, nid, "DECLARATIONS", di)
             elif t.kind == "ident" and t.text == "enum":
-                nid = self.parse_enum(self._p("enum"), ns_id, di)
+                nid = self._guard_top(self.parse_enum, self._p("enum"),
+                                      ns_id, di)
                 if nid:
                     self.ast_edge(ns_id, nid, "DECLARATIONS", di)
             else:
-                nid = self.parse_member_or_global(self._p("top"), record=None,
-                                                  parent=ns_id, index=di)
+                nid = self._guard_top(self.parse_member_or_global,
+                                      self._p("top"), record=None,
+                                      parent=ns_id, index=di)
                 if nid is None:
                     self.next()  # unknown token: skip
             di += 1
@@ -807,7 +930,7 @@ class CFamilyFrontend(Emitter):
                 return scope[name]
         return None
 
-    def parse_type(self) -> str | None:
+    def parse_type(self, sized_arrays: bool = False) -> str | None:
         """Type = [qualifiers] Ident (::Ident|.Ident)* [<...>] [*&]* [\\[\\]]*
         — the spelled string is canonicalized through
         frontends.typeparser.normalize_type (SURVEY U3), so every alias
@@ -817,7 +940,13 @@ class CFamilyFrontend(Emitter):
                 "const", "unsigned", "signed", "volatile"):
             prefix.append(self.next().text)
         if (self.dialect == "cpp" and self.peek().kind == "ident"
-                and self.peek().text in ("struct", "union")
+                and self.peek().text == "typename"
+                and self.peek(1).kind == "ident"):
+            # dependent-type marker `typename X<T>::member` — spelling
+            # only, no resolution weight (CDT's ICPPASTNamedTypeSpecifier)
+            self.next()
+        if (self.dialect == "cpp" and self.peek().kind == "ident"
+                and self.peek().text in ("struct", "union", "enum")
                 and self.peek(1).kind == "ident"
                 and self.peek(2).kind != "{"):
             # elaborated type specifier in a USE position —
@@ -842,6 +971,10 @@ class CFamilyFrontend(Emitter):
         while self.peek().kind in ("::", ".") and self.peek(1).kind == "ident":
             self.next()
             name += "." + self.next().text
+        # east const (`char const *`): same canonical type as west const
+        while (self.peek().kind == "ident"
+               and self.peek().text in ("const", "volatile")):
+            prefix.insert(0, self.next().text)
         name = " ".join(prefix + [name]).strip()
         if self.peek().kind == "<":
             # generics / template args: consume balanced and KEEP the
@@ -870,6 +1003,16 @@ class CFamilyFrontend(Emitter):
             if depth == 0:
                 name += " ".join(t.text for t in self.toks[self.i:j + 1])
                 self.i = j + 1
+                # dependent member of a template instantiation:
+                # `__gmp_resolve_expr<T>::ptr_type`
+                while (self.peek().kind == "::"
+                       and self.peek(1).kind == "ident"):
+                    self.next()
+                    name += "." + self.next().text
+                # east cv after template args (`B<T> const&`)
+                while (self.peek().kind == "ident"
+                       and self.peek().text in ("const", "volatile")):
+                    name = (self.next().text + " " + name).strip()
         suffix = ""
         while self.peek().kind in ("*", "&"):
             # '&' (reference) is consumed but held out of the canonical
@@ -877,8 +1020,27 @@ class CFamilyFrontend(Emitter):
             # reference qualifiers for resolution)
             if self.next().kind == "*":
                 suffix += "*"
-        while self.peek().kind == "[" and self.peek(1).kind == "]":
+            # pointer-level cv (`char *const p`, `T *__restrict q`):
+            # no resolution weight (the reference's TypeParser drops
+            # pointer qualifiers for candidate matching)
+            while (self.peek().kind == "ident"
+                   and self.peek().text in ("const", "volatile")):
+                self.next()
+        while self.peek().kind == "[" and (
+                self.peek(1).kind == "]"
+                or (sized_arrays
+                    and self.peek(1).kind in ("ident", "int")
+                    and self.peek(2).kind == "]")):
+            # `[]` always; a sized/macro dimension `[L_tmpnam]` only in
+            # parameter position (abstract declarators like stdio.h's
+            # `char[L_tmpnam]`) — NEVER in expression contexts, where
+            # `new int[10]` must keep its dimension for
+            # ArrayCreationExpression.  The canonical type drops the
+            # extent (ArrayType resolution is extent-free in the
+            # reference's TypeParser).
             self.next()
+            if self.peek().kind != "]":
+                self.next()
             self.next()
             suffix += "[]"
         # typedef alias expansion (innermost scope wins; expansions are
@@ -1092,8 +1254,14 @@ class CFamilyFrontend(Emitter):
                 # enclosing scope without qualification
                 self.declare(ct.text, cid, "var", etype)
             ei += 1
+            # glibc interleaves `#define X X` re-exports between entries
+            # (pthread.h): preprocessor lines are transparent here
+            while self.peek().kind == "preproc":
+                self.next()
             if not self.accept(","):
                 break
+        while self.peek().kind == "preproc":
+            self.next()
         if self.accept(";"):
             # java: members after the constant list parse like a record
             # body (enums are full classes in the JLS)
@@ -1459,7 +1627,7 @@ class CFamilyFrontend(Emitter):
                 self.next(); self.next(); self.next()
                 is_variadic = True
                 break
-            ptype = self.parse_type()
+            ptype = self.parse_type(sized_arrays=True)
             if ptype is None:
                 if not self.accept(","):
                     break
@@ -2725,6 +2893,13 @@ class CFamilyFrontend(Emitter):
 
     def parse_unary(self, path: str):
         t = self.peek()
+        if (t.kind == "::" and self.peek(1).kind == "ident"
+                and self.dialect == "cpp"):
+            # global-namespace qualifier `::slk_clear()` — resolution
+            # falls through the scope ladder to module/global scope
+            # anyway, so the qualifier is spelling-only
+            self.next()
+            t = self.peek()
         if t.kind in ("!", "-", "+", "~", "*", "&"):
             op = self.next().text
             iid, imeta = self.parse_unary(path + ".i")
