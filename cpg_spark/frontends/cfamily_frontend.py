@@ -76,12 +76,12 @@ _TYPEID_OPS = {"sizeof", "alignof", "typeid", "typeof"}
 _TOKEN_RE = re.compile(
     r"""
       (?P<comment>//[^\n]*|/\*.*?\*/)
-    | (?P<preproc>\#[^\n]*)
+    | (?P<preproc>\#(?:[^\n\\]|\\\r?\n|\\[^\n])*)
     | (?P<annotation>@\w+)
     | (?P<string>"(?:\\.|[^"\\])*")
     | (?P<char>'(?:\\.|[^'\\])*')
-    | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?[fFdD]?|\.\d+[fFdD]?|\d+[fFdD])
-    | (?P<int>0[xX][0-9a-fA-F]+[uUlL]*|0[bB][01]+[uUlL]*|\d+[uUlL]*)
+    | (?P<float>(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?[fFlLdD]?|\d+[eE][+-]?\d+[fFlLdD]?|\d+[fFdD])
+    | (?P<int>0[xX][0-9a-fA-F]+[uUlL]*|0[bB][01]+[uUlL]*|\d+[uUlL]*(?:[a-zA-Z_]\w*)?)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op><<=|>>=|->\*?|::|\+\+|--|&&|\|\||==|!=|<=|>=|\+=|-=|\*=|/=|%=|&=|\|=|\^=|<<|>>|[+\-*/%&|^<>=!~?:.,;(){}\[\]])
     | (?P<ws>\s+)
@@ -422,6 +422,21 @@ _GNU_PAREN = frozenset({
 # glibc's pre-expanded attribute macros: __attribute_pure__ (bare),
 # __attribute_alloc_size__ ((1, 2)) (parenthesized) and friends
 _GNU_ATTR_RE = re.compile(r"^__attribute_\w+__$")
+# libstdc++'s feature-gate decoration macros (reserved _GLIBCXX
+# namespace): `_GLIBCXX20_CONSTEXPR inline T f()`, `str() const
+# _GLIBCXX_LVAL_REF_QUAL`, `_GLIBCXX_NOEXCEPT_IF(...)` — decoration
+# only, no grammar weight.  Paren-taking spellings end in _IF/__ args;
+# simplest sound rule: strip the ident, and a directly-following paren
+# group ONLY for the known paren-takers.
+_GLIBCXX_DECOR_RE = re.compile(
+    r"^_GLIBCXX(\d*)_(CONSTEXPR|INLINE|NODISCARD|NOEXCEPT|NOTHROW|"
+    r"NORETURN|PURE|CONST|ALWAYS_INLINE|VISIBILITY|DEPRECATED\w*|"
+    r"LVAL_REF_QUAL|REF_QUAL|DEFAULT_ABI_TAG|TXN_SAFE\w*|"
+    r"USE_NOEXCEPT|THROW|NOEXCEPT_IF|NOEXCEPT_PARM|NOEXCEPT_QUAL)$")
+_GLIBCXX_DECOR_PAREN = frozenset({
+    "_GLIBCXX_NOEXCEPT_IF", "_GLIBCXX_THROW", "_GLIBCXX_VISIBILITY",
+    "_GLIBCXX_DEPRECATED_SUGGEST",
+})
 
 
 def _skip_paren_group(toks: list[Tok], j: int) -> int:
@@ -446,12 +461,36 @@ def _strip_gnu_decorations(toks: list[Tok]) -> list[Tok]:
     i = 0
     while i < len(toks):
         t = toks[i]
+        if (t.kind == "[" and i + 1 < len(toks)
+                and toks[i + 1].kind == "["):
+            # C++11 attribute specifier `[[nodiscard]]` / `[[deprecated
+            # ("x")]]`: skip to the matching `]]` (two adjacent `[` can
+            # start nothing else in declaration grammar)
+            d = 0
+            while i < len(toks) and toks[i].kind != "eof":
+                if toks[i].kind == "[":
+                    d += 1
+                elif toks[i].kind == "]":
+                    d -= 1
+                    if d == 0:
+                        break
+                i += 1
+            i += 1
+            continue
         if t.kind == "ident":
             if t.text in _GNU_BARE:
                 i += 1
                 continue
             if t.text in _GNU_PAREN or _GNU_ATTR_RE.match(t.text):
                 i = _skip_paren_group(toks, i + 1)
+                continue
+            if _GLIBCXX_DECOR_RE.match(t.text):
+                if (t.text in _GLIBCXX_DECOR_PAREN
+                        and i + 1 < len(toks)
+                        and toks[i + 1].kind == "("):
+                    i = _skip_paren_group(toks, i + 1)
+                else:
+                    i += 1
                 continue
             if (t.text in ("__asm__", "__asm", "asm")
                     and i + 1 < len(toks) and toks[i + 1].kind == "("
@@ -496,6 +535,10 @@ class CFamilyFrontend(Emitter):
         # (record_name_or_'', fn_name) -> [template_info]: function
         # templates (TemplateDeclaration.java / FunctionTemplateTest)
         self._templates: dict[tuple, list] = {}
+        # names declared as VARIABLE templates (`template<..> bool v =`):
+        # a later `v<T, U>` in an expression is a template-id, never a
+        # comparison chain, even though the name resolves to a value
+        self._var_templates: set[str] = set()
         # scope stack of typedef alias -> normalized target type; resolved
         # at parse time like the reference's ScopeManager typedef table
         # (TypedefTest: member/function-local typedefs shadow outer ones)
@@ -917,6 +960,14 @@ class CFamilyFrontend(Emitter):
                 and t.text in ("struct", "union")
                 and self.peek(k + 1).kind == "ident"):
             return True  # elaborated specifier in a use position
+        if (self.dialect == "cpp" and t.kind == "ident"
+                and t.text == "decltype" and self.peek(k + 1).kind == "("):
+            return True
+        if (self.dialect == "cpp" and t.kind == "ident"
+                and t.text == "typename"
+                and self.peek(k + 1).kind == "ident"):
+            # dependent-type marker can ONLY introduce a type
+            return True
         return t.kind == "ident" and (
             t.text in _PRIMITIVES
             or (t.text not in _KEYWORDS and t.text[0].isupper())
@@ -954,7 +1005,23 @@ class CFamilyFrontend(Emitter):
             # type is the bare record name (CDT elaborates to the same
             # ObjectType)
             self.next()
-        if self.peek().kind != "ident" or self.peek().text in _KEYWORDS:
+        if (self.dialect == "cpp" and self.peek().kind == "ident"
+                and self.peek().text == "decltype"
+                and self.peek(1).kind == "("):
+            # `decltype(expr)` — keep the spelling; the operand gets no
+            # resolution weight (CDT's ICPPASTDecltypeSpecifier)
+            self.next()
+            parts, pd = ["decltype", "("], 1
+            self.next()
+            while pd and self.peek().kind != "eof":
+                k = self.peek().kind
+                if k == "(":
+                    pd += 1
+                elif k == ")":
+                    pd -= 1
+                parts.append(self.next().text)
+            name = " ".join(parts)
+        elif self.peek().kind != "ident" or self.peek().text in _KEYWORDS:
             if prefix and prefix[-1] in ("unsigned", "signed"):
                 # bare 'unsigned' / 'unsigned long' style: implied int
                 name = ""
@@ -984,9 +1051,14 @@ class CFamilyFrontend(Emitter):
             # tokenizes as one shift op, so it closes TWO angles (the
             # classic C++ parse quirk).
             depth = 0
-            j = self.i
+            pd = 0  # paren depth — `enable_if_t<sizeof...(X) == N>` puts
+            j = self.i  # parens (and `)`) INSIDE the argument list
             while self.toks[j].kind != "eof":
-                if self.toks[j].kind == "<":
+                if self.toks[j].kind == "(":
+                    pd += 1
+                elif self.toks[j].kind == ")" and pd:
+                    pd -= 1
+                elif self.toks[j].kind == "<":
                     depth += 1
                 elif self.toks[j].kind == ">":
                     depth -= 1
@@ -1000,7 +1072,15 @@ class CFamilyFrontend(Emitter):
                     depth = -1
                     break
                 j += 1
-            if depth == 0:
+            if depth < 0 and self.toks[j].kind == ">>":
+                # `decay_t<_Tp>>` inside a template header: the `>>`
+                # closes our args AND the enclosing header — split the
+                # token, first `>` is ours, second stays for the caller
+                name += " ".join(t.text for t in self.toks[self.i:j]) + ">"
+                old = self.toks[j]
+                self.toks[j] = Tok(">", ">", old.line, old.col + 1)
+                self.i = j
+            elif depth == 0:
                 name += " ".join(t.text for t in self.toks[self.i:j + 1])
                 self.i = j + 1
                 # dependent member of a template instantiation:
@@ -1013,11 +1093,18 @@ class CFamilyFrontend(Emitter):
                 while (self.peek().kind == "ident"
                        and self.peek().text in ("const", "volatile")):
                     name = (self.next().text + " " + name).strip()
+        if (self.dialect == "cpp" and self.peek().kind == "ident"
+                and self.peek(1).kind == "::" and self.peek(2).kind == "*"):
+            # pointer-to-member type `_Tp _Class::*` (mem_fn): a pointer
+            # for resolution purposes; the owner class has no weight here
+            self.next(); self.next(); self.next()
+            name += "*"
         suffix = ""
-        while self.peek().kind in ("*", "&"):
-            # '&' (reference) is consumed but held out of the canonical
-            # type string (the reference's TypeParser strips top-level
-            # reference qualifiers for resolution)
+        while self.peek().kind in ("*", "&", "&&"):
+            # '&' (lvalue ref) and '&&' (rvalue ref — one token, shared
+            # with logical-and) are consumed but held out of the
+            # canonical type string (the reference's TypeParser strips
+            # top-level reference qualifiers for resolution)
             if self.next().kind == "*":
                 suffix += "*"
             # pointer-level cv (`char *const p`, `T *__restrict q`):
@@ -1661,13 +1748,49 @@ class CFamilyFrontend(Emitter):
                             break
                     self.accept(")")
                 ptype = normalize_type(f"{ptype}(*)({', '.join(fpp)})")
+            elif (self.peek().kind == "(" and self.peek(1).kind == "&"
+                  and self.dialect == "cpp"):
+                # reference-to-array parameter `T (&name)[N]`
+                # (std::swap's array overload): resolves as T[]
+                self.next()
+                self.next()
+                pt = (self.next() if self.peek().kind == "ident" else None)
+                self.accept(")")
+                while self.peek().kind == "[":
+                    self._skip_balanced("[", "]")
+                ptype = normalize_type((ptype or "") + "[]")
             else:
                 pt = None
                 if self.peek().kind == "ident":
                     pt = self.next()
+                    if self.peek().kind == "(":
+                        # function-TYPE parameter `Tp func(Tp)` (valarray
+                        # apply): decays to a function pointer
+                        fpp = []
+                        self.next()
+                        while self.peek().kind not in (")", "eof"):
+                            fp = self.parse_type()
+                            if fp is None:
+                                self.next()
+                                continue
+                            fpp.append(fp)
+                            if self.peek().kind == "ident":
+                                self.next()
+                            if not self.accept(","):
+                                break
+                        self.accept(")")
+                        ptype = normalize_type(
+                            f"{ptype}(*)({', '.join(fpp)})")
                     while self.peek().kind == "[":  # C array suffix argv[]
                         self._skip_balanced("[", "]")
                         ptype = (ptype or "") + "[]"
+                    while (self.dialect == "cpp"
+                           and self.peek().kind == "ident"
+                           and self.peek(1).kind in (",", ")")):
+                        # glibc attribute macros AFTER the name
+                        # (`const locale& __loc _IsUnused`): nothing can
+                        # legally follow a param name but `=`/`,`/`)`/`[`
+                        self.next()
             # unnamed parameters (prototypes like `void f(int, char)`)
             # still count toward the signature
             pid = self.node(f"{path}.p[{pidx}]",
@@ -1784,19 +1907,87 @@ class CFamilyFrontend(Emitter):
             if self.peek().kind == "ident" and self.peek().text in (
                     "class", "typename"):
                 self.next()
-                nt = self.next()
+                pack = False
+                if (self.peek().kind == "." and self.peek(1).kind == "."
+                        and self.peek(2).kind == "."):
+                    # template parameter pack `typename... Args`
+                    self.next(); self.next(); self.next()
+                    pack = True
+                # the parameter name is optional (`template<typename = D>`)
+                pname = (self.next().text if self.peek().kind == "ident"
+                         else "")
                 dflt = None
                 if self.accept("="):
                     dflt = self.parse_type()
-                tparams.append({"kind": "type", "name": nt.text,
-                                "default": dflt, "pi": pi})
+                tparams.append({"kind": "type", "name": pname,
+                                "default": dflt, "pi": pi, "pack": pack})
+            elif (self.peek().kind == "ident"
+                  and self.peek().text == "template"
+                  and self.peek(1).kind == "<"):
+                # template-template parameter
+                # `template<class, class> class _Meta` — the inner header
+                # is spelling-only; the param behaves as a type param
+                self.next()
+                d = 0
+                while self.peek().kind != "eof":
+                    k = self.peek().kind
+                    if k == "<":
+                        d += 1
+                    elif k == ">":
+                        d -= 1
+                    elif k == ">>":
+                        d -= 2
+                    self.next()
+                    if d <= 0:
+                        break
+                if (self.peek().kind == "ident"
+                        and self.peek().text in ("class", "typename")):
+                    self.next()
+                pname = (self.next().text
+                         if self.peek().kind == "ident" else "")
+                dflt = self.parse_type() if self.accept("=") else None
+                tparams.append({"kind": "type", "name": pname,
+                                "default": dflt, "pi": pi, "pack": False})
             else:
                 ptype = self.parse_type()
+                if (self.peek().kind == "." and self.peek(1).kind == "."
+                        and self.peek(2).kind == "."):
+                    # value parameter pack `size_t... _Ind`
+                    self.next(); self.next(); self.next()
                 nt = self.next() if self.peek().kind == "ident" else None
                 dflt = None
                 if self.accept("="):
-                    dt = self.next()
-                    dflt = dt.text
+                    # the default is an arbitrary constant expression
+                    # (`unsigned long M = 0x10ffff`, `bool = (_Nb < X)`,
+                    # `codecvt_mode _M = (codecvt_mode)0`): consume a
+                    # balanced token run up to the next `,`/`>` at
+                    # depth 0 and keep the spelling
+                    parts, pd, ad = [], 0, 0
+                    while self.peek().kind != "eof":
+                        k = self.peek().kind
+                        if pd == 0 and ad == 0 and k in (",", ">", ">>"):
+                            break
+                        if k in ("(", "["):
+                            pd += 1
+                        elif k in (")", "]"):
+                            pd -= 1
+                        elif k == "<" and pd == 0:
+                            ad += 1
+                        elif k == ">" and pd == 0 and ad > 0:
+                            ad -= 1
+                        elif k == ">>" and pd == 0:
+                            if ad >= 2:
+                                ad -= 2
+                            else:
+                                # `= X<Y>>`: first `>` closes the default's
+                                # angles, second closes the header — split
+                                parts.append(">")
+                                old = self.peek()
+                                self.toks[self.i] = Tok(
+                                    ">", ">", old.line, old.col + 1)
+                                break
+                        parts.append(self.next().text)
+                    dflt = " ".join(parts)
                 tparams.append({"kind": "value",
                                 "name": nt.text if nt else "",
                                 "type": ptype, "default": dflt, "pi": pi})
@@ -1804,7 +1995,17 @@ class CFamilyFrontend(Emitter):
             if not self.accept(","):
                 break
         self.expect(">")
-        fid = self.parse_member_or_global(path + ".r", record, parent, index)
+        # the realization sees the type params as type names
+        # (`_Mem_fn<_Tp _Class::*>` inside the body must read `_Tp` as a
+        # type): an identity typedef scope for the realization's extent
+        self._typedefs.append({tp["name"]: tp["name"] for tp in tparams
+                               if tp.get("kind") == "type"
+                               and tp.get("name")})
+        try:
+            fid = self.parse_member_or_global(path + ".r", record, parent,
+                                              index)
+        finally:
+            self._typedefs.pop()
         fn_info = self._functions_by_id.get(fid)
         rec_info = None
         if fn_info is None:
@@ -1815,6 +2016,15 @@ class CFamilyFrontend(Emitter):
             rec_info = next((r for r in self.records.values()
                              if r["decl_id"] == fid), None)
             if rec_info is None:
+                # variable template: remember the name so expression-side
+                # `name<args>` disambiguates to a template-id (the
+                # realization emits as a DeclarationStatement wrapping
+                # the VariableDeclaration — take the latest one)
+                row = next((n for n in reversed(self.out.nodes)
+                            if n["label"] == "VariableDeclaration"
+                            and n.get("name")), None)
+                if row:
+                    self._var_templates.add(row["name"])
                 return fid
         else:
             fn_info["is_template_realization"] = True
@@ -2479,18 +2689,33 @@ class CFamilyFrontend(Emitter):
         value is the declared variable (CDT models the condition as an
         IASTDeclaration alternative — cfg/{ifextra,forloop}.cpp hit
         this).  Falls through to a plain expression otherwise."""
-        if self.dialect == "cpp" and self._looks_like_type():
+        if self.dialect == "cpp" and (
+                self._looks_like_type()
+                or (self.peek().kind == "ident"
+                    and self.peek().text not in _KEYWORDS
+                    and (self.peek(1).kind == "<"
+                         or (self.peek(1).kind == "ident"
+                             and self.peek(2).kind in ("=", "{"))))):
+            # the second arm catches dependent types the name-based
+            # heuristic misses (`if (_Tp __a = ...)`) — two adjacent
+            # identifiers before `=` cannot be an expression
             save = self.i
             tname = self.parse_type()
-            if (tname and self.peek().kind == "ident"
-                    and self.peek(1).kind == "="):
+            if (tname is not None and self.peek().kind == "ident"
+                    and self.peek(1).kind in ("=", "{")):
                 vt = self.next()
-                self.next()
+                brace = self.peek().kind == "{"
+                if not brace:
+                    self.next()
                 vid = self.node(path + ".cdecl", "VariableDeclaration",
                                 vt.text, self._tloc(vt))
                 self.eval_type(vid, tname)
                 self.declare(vt.text, vid, "var", tname)
-                iid, _ = self.parse_expr(path + ".cinit")
+                if brace:
+                    # `if (unique_lock<L> lock{l, t})` — brace-init
+                    iid, _ = self.parse_init_list(path + ".cinit")
+                else:
+                    iid, _ = self.parse_expr(path + ".cinit")
                 self.ast_edge(vid, iid, "INITIALIZER", 0)
                 self.edge(iid, "DFG", vid)  # VariableDeclaration.java:118
                 return vid, {"kind": "conddecl", "name": vt.text,
@@ -2501,6 +2726,17 @@ class CFamilyFrontend(Emitter):
     def parse_if(self, path: str):
         t = self.next()
         nid = self.node(path, "IfStatement", "", self._tloc(t))
+        if (self.peek().kind == "ident" and self.peek(1).kind == "("
+                and self.peek().text not in _KEYWORDS):
+            # C++17 `if constexpr (...)` — and its macro spellings like
+            # glibc's `if _GLIBCXX17_CONSTEXPR (...)`.  CDT surfaces
+            # both as a plain IfStatement; both branches stay in the
+            # graph (constant pruning is the UnreachableEOGPass's job,
+            # not the parser's).  Any identifier directly between `if`
+            # and `(` cannot be part of the condition in C/C++/Java.
+            kwtok = self.next()
+            if "constexpr" in kwtok.text.lower():
+                self.out.nodes[-1]["props"]["constexpr"] = True
         has_init = self._paren_has_semi()
         self.expect("(")
         if has_init:
@@ -3081,12 +3317,26 @@ class CFamilyFrontend(Emitter):
                                   "type": None})
             elif t.kind == "(" and base[1].get("kind") == "ref":
                 base = self.plain_call(base, f"{path}.call{n}")
-            elif (t.kind == "<" and base[1].get("kind") == "ref"
+            elif (t.kind == "<" and base[1].get("kind") in ("ref", "member")
                   and self.dialect == "cpp" and self._scan_template_args()):
                 # `name<targs>(...)` — explicit template argument list
                 # (disambiguated from less-than by the balanced-scan)
                 targs = self._parse_template_args(f"{path}.targ{n}")
                 base = self.plain_call(base, f"{path}.call{n}", targs=targs)
+            elif (t.kind == "<" and base[1].get("kind") in ("ref", "member")
+                  and self.dialect == "cpp"
+                  and (base[1].get("name") in self._var_templates
+                       or not self.resolve(base[1].get("name") or ""))
+                  and self._scan_template_id()):
+                # variable template / template-id as a VALUE
+                # (`is_same_v<decay_t<_Up>, _Up>`): the args decorate the
+                # reference; a DECLARED value named on the left keeps
+                # less-than semantics (CDT's name-based disambiguation)
+                targs = self._parse_template_args(f"{path}.targ{n}")
+                bid, bmeta = base
+                spelled = ", ".join((a.get("name") or "") for a in targs)
+                base = (bid, {**bmeta,
+                              "name": f"{bmeta.get('name')}<{spelled}>"})
             elif t.kind == "(" and base[1].get("deref_of"):
                 # call through a dereferenced function pointer:
                 # `(*p)(...)` / `(a.*p)(...)` / `(a.*a.f)(...)` — the
@@ -3170,6 +3420,13 @@ class CFamilyFrontend(Emitter):
         suffixes pin the unsigned/width floor).  Java keeps its two-rung
         int/long ladder."""
         s = text
+        if s[:2].lower() not in ("0x", "0b"):
+            # user-defined literal suffix (`12h`, `10ms` — C++11 UDLs,
+            # chrono literals): the numeric value stands, the suffix has
+            # no resolution weight in the subset
+            m = re.match(r"(\d+)([a-zA-Z_]\w*)$", s)
+            if m and any(c not in "uUlL" for c in m.group(2)):
+                return int(m.group(1)), "int"
         suf = ""
         while s and s[-1] in "uUlL":
             suf = s[-1].lower() + suf
@@ -3372,7 +3629,10 @@ class CFamilyFrontend(Emitter):
             self.next()
             nid = self.node(path, "Literal", t.text, self._tloc(t),
                             props={"value": t.text})
-            tp = "float" if t.text[-1] in "fF" else "double"
+            tp = ("float" if t.text[-1] in "fF"
+                  else "long double" if (self.dialect == "cpp"
+                                         and t.text[-1] in "lL")
+                  else "double")
             self.eval_type(nid, tp)
             return nid, {"kind": "literal", "name": t.text, "type": tp}
         if t.kind == "string":
@@ -3428,6 +3688,22 @@ class CFamilyFrontend(Emitter):
                 self.eval_type(nid, tname)
             self.edge(eid, "DFG", nid)  # CastExpression.java:60
             return nid, {"kind": "cast", "name": t.text, "type": tname}
+        if (t.kind == "ident" and t.text == "sizeof"
+                and self.peek(1).kind == "." and self.peek(2).kind == "."
+                and self.peek(3).kind == "."):
+            # `sizeof...(Pack)` — a TypeIdExpression over the pack name
+            # (CDT IASTTypeIdExpression op_sizeofParameterPack)
+            self.next()
+            self.next(); self.next(); self.next()
+            self.expect("(")
+            pname = self.next().text if self.peek().kind == "ident" else ""
+            self.accept(")")
+            nid = self.node(path, "TypeIdExpression", "sizeof...",
+                            self._tloc(t),
+                            props={"referenced_type": pname})
+            self.eval_type(nid, "std::size_t")
+            return nid, {"kind": "typeid", "name": "sizeof...",
+                         "type": "std::size_t"}
         if (t.kind == "ident" and t.text in _TYPEID_OPS
                 and self.peek(1).kind == "("
                 and not (self.dialect == "java" and t.text != "sizeof")):
@@ -3552,6 +3828,10 @@ class CFamilyFrontend(Emitter):
                 eid, _ = self.parse_expr(ep)
             self.ast_edge(nid, eid, "INITIALIZERS", idx)
             self.edge(eid, "DFG", nid)  # InitializerListExpression.java:81
+            if (self.peek().kind == "." and self.peek(1).kind == "."
+                    and self.peek(2).kind == "."):
+                # pack expansion element `{__lockables, defer_lock}...`
+                self.next(); self.next(); self.next()
             idx += 1
             if not self.accept(","):
                 break
@@ -3631,18 +3911,74 @@ class CFamilyFrontend(Emitter):
         disambiguation (the reference leans on CDT's)."""
         if self.peek().kind != "<":
             return False
-        j, depth = self.i + 1, 1
+        j, depth, pd = self.i + 1, 1, 0
         while depth and j < len(self.toks):
             k = self.toks[j].kind
+            if k == "(":
+                pd += 1
+                j += 1
+                continue
+            if k == ")":
+                if pd == 0:
+                    return False
+                pd -= 1
+                j += 1
+                continue
+            if pd:
+                # inside a parenthesized sub-expression (`X<v<a>(), T>`):
+                # any token goes, angles don't nest
+                j += 1
+                continue
             if k == "<":
                 depth += 1
             elif k == ">":
                 depth -= 1
+            elif k == ">>":
+                depth -= 2
             elif k not in ("ident", "int", "float", "string", "char",
-                           ",", "*", "&", "::", "[", "]"):
+                           ",", "*", "&", "&&", "::", "[", "]", "."):
                 return False
             j += 1
-        return depth == 0 and j < len(self.toks) and self.toks[j].kind == "("
+        if depth != 0 or j >= len(self.toks):
+            return False
+        return self.toks[j].kind == "("
+
+    def _scan_template_id(self) -> bool:
+        """Lookahead for a template-id used as a VALUE (variable
+        template, `is_same_v<T, int>`): balanced ``<...>`` whose
+        follower cannot continue a comparison chain."""
+        if self.peek().kind != "<":
+            return False
+        j, depth, pd = self.i + 1, 1, 0
+        while depth and j < len(self.toks):
+            k = self.toks[j].kind
+            if k == "(":
+                pd += 1
+                j += 1
+                continue
+            if k == ")":
+                if pd == 0:
+                    return False
+                pd -= 1
+                j += 1
+                continue
+            if pd:
+                # inside a parenthesized sub-expression (`X<v<a>(), T>`):
+                # any token goes, angles don't nest
+                j += 1
+                continue
+            if k == "<":
+                depth += 1
+            elif k == ">":
+                depth -= 1
+            elif k == ">>":
+                depth -= 2
+            elif k not in ("ident", "int", "float", "string", "char",
+                           ",", "*", "&", "&&", "::", "[", "]", "."):
+                return False
+            j += 1
+        return (depth == 0 and j < len(self.toks)
+                and self.toks[j].kind in (")", ",", ";", "]", "?", "}"))
 
     def _parse_template_args(self, path: str) -> list[dict]:
         """``<double, 3>`` (possibly empty ``<>``): type args become
@@ -3651,13 +3987,22 @@ class CFamilyFrontend(Emitter):
         targs: list[dict] = []
         i = 0
         while self.peek().kind not in (">", "eof"):
-            if self._looks_like_type():
+            if self._looks_like_type() or (
+                    # an undeclared template-id arg (`ctype<_CharT>`):
+                    # ident directly followed by its own angle list can
+                    # only be a type in template-argument position
+                    self.peek().kind == "ident"
+                    and self.peek(1).kind == "<"):
                 targs.append({"kind": "type", "name": self.parse_type()})
             else:
                 aid, ameta = self.parse_operand(f"{path}[{i}]")
                 targs.append({"kind": "value", "node": aid,
                               "name": (ameta or {}).get("name"),
                               "type": (ameta or {}).get("type")})
+            if (self.peek().kind == "." and self.peek(1).kind == "."
+                    and self.peek(2).kind == "."):
+                # pack expansion `_Types...` — expansion is spelling-only
+                self.next(); self.next(); self.next()
             i += 1
             if not self.accept(","):
                 break

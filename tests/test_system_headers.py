@@ -65,3 +65,95 @@ def test_gnu_decorated_prototype_parses_exactly():
            if n["label"] == "FunctionDeclaration"}
     assert "__assert_fail" in fns
     assert not [n for n in g.nodes if "Problem" in n["label"]]
+
+
+CXX_DIRS = sorted(glob.glob("/usr/include/c++/*/"))
+CXX_HDRS = (sorted(p for p in glob.glob(CXX_DIRS[0] + "*")
+                   if os.path.isfile(p)) if CXX_DIRS else [])
+
+
+@pytest.mark.skipif(len(CXX_HDRS) < 20, reason="no libstdc++ on this box")
+def test_libstdcxx_headers_parse_with_bounded_problem_rate():
+    """The hardest real-world C++ there is: libstdc++'s own top-level
+    headers (tuple/variant/chrono/functional/...), full of variadic
+    templates, SFINAE defaults, fold expressions, UDLs, [[attributes]]
+    and _GLIBCXX decoration macros.  Round-4 grammar work bounds the
+    degradation: zero whole-file failures, problem-node rate < 0.2%
+    (measured 0.087% at commit time)."""
+    tot_nodes = tot_prob = 0
+    whole_file_failures = []
+    for f in CXX_HDRS:
+        with open(f, errors="replace") as fh:
+            src = fh.read()
+        g = parse_cpp_document(f, 0, src, "std")
+        probs = [x for x in g.nodes if "Problem" in x["label"]]
+        if probs and len(g.nodes) <= len(probs) + 2:
+            whole_file_failures.append(f)
+        tot_nodes += len(g.nodes)
+        tot_prob += len(probs)
+    assert not whole_file_failures
+    assert tot_nodes > 20_000
+    rate = tot_prob / tot_nodes
+    assert rate < 0.002, \
+        f"problem rate {rate:.4%} over {len(CXX_HDRS)} libstdc++ headers"
+
+
+def test_modern_cpp_constructs_parse_clean():
+    """Construct-level pins for the round-4 grammar breadth (each was a
+    real libstdc++ failure class): every snippet parses with zero
+    Problem nodes."""
+    snippets = {
+        "if_constexpr": "template<class T> int f(T t) { if constexpr"
+                        " (sizeof(T) > 4) { return 8; } else { return 4; } }",
+        "variadic_template": "template<typename... Args> void f(Args..."
+                             " args) { g(args...); }",
+        "sizeof_pack": "template<typename... T> int n() "
+                       "{ return sizeof...(T); }",
+        "rvalue_ref_forward": "template<typename... A> void call(A&&... a)"
+                              " { target(static_cast<int>(1), a...); }",
+        "anon_tparam_default": "template<typename = int> struct D {};",
+        "value_tparam_expr_default":
+            "template<int N = (3 < 5)> struct B {};",
+        "nested_default_shift": "template<class T, class U = X<T>>"
+                                " struct C {};",
+        "template_template_param":
+            "template<class O, template<class, class> class M, class D>"
+            " struct U;",
+        "value_param_pack": "template<int... I> struct S {};",
+        "decltype_alias": "int q; using P = decltype(q + 1);",
+        "member_pointer_type":
+            "template<class T> struct M { M(T p) {} };\n"
+            "template<typename T, typename C> M<T C::*> mf(T C::* p)"
+            " { return M<T C::*>(p); }",
+        "udl_chrono": "int f(long h) { return h <= 23 && 0h <= 12h; }",
+        "float_exponent_suffix": "long double a = 0.0L; double b = 1e10;"
+                                 " float c = 2.5e-3f;",
+        "cxx11_attribute": "[[nodiscard]] inline int* end(int* p)"
+                           " { return p; }",
+        "cond_decl_auto": "struct V { int size() { return 3; } };\n"
+                          "int f(V& v) { if (auto n = v.size())"
+                          " return n; return 0; }",
+        "cond_decl_brace": "int f() { if (int k{3}) return k; return 0; }",
+        "cond_decl_template_type":
+            "template<class L> int t(L& l) "
+            "{ if (unique_lock<L> k{l, 2}) { return 1; } return 0; }",
+        "variable_template_expr":
+            "template<class A, class B> constexpr bool same_v = false;\n"
+            "template<class T> int f() "
+            "{ if (!same_v<T, int>) return 1; return 0; }",
+        "pack_expansion_targs":
+            "template<typename... T> struct W "
+            "{ static int n() { return probe<T...>(); } };",
+        "fn_type_param": "int apply(int fn(int), int x) { return fn(x); }",
+        "array_ref_param": "template<class T, int N> void sw(T (&a)[N],"
+                           " T (&b)[N]) {}",
+        "macro_after_param_name": "void imbue(const int& loc _IsUnused) {}",
+        "if_macro_constexpr": "template<class T> int f(T x) "
+                              "{ if _GLIBCXX17_CONSTEXPR (x > 0)"
+                              " { return 1; } return 0; }",
+        "define_continuation": "#define MK(Q) \\\n  int q_##Q;\nint z;",
+    }
+    for name, src in snippets.items():
+        g = parse_cpp_document(name + ".cpp", 0, src, "m")
+        probs = [x for x in g.nodes if "Problem" in x["label"]]
+        assert not probs, (name, [p["name"] for p in probs])
