@@ -273,6 +273,11 @@ class GoFrontend(Emitter):
             self.expect(")")
         name_t = self.expect("ident")
         name = name_t.text
+        if self.peek().kind == "[":
+            # generic type parameters `func Map[T any, U any](...)`
+            # (Go 1.18): erased — any ident parses as a type name in the
+            # body already, and resolution is name-based
+            self._skip_bracket_group()
         label = "MethodDeclaration" if recv_type else "FunctionDeclaration"
         fid = self.node(path, label, name, self._tloc(name_t))
         self.enter_scope("function", name, fid)
@@ -366,10 +371,29 @@ class GoFrontend(Emitter):
         return param_ids, param_names
 
     # ---------------------------------------------------------- type decls
+    def _skip_bracket_group(self) -> None:
+        """Consume a balanced ``[...]`` (generic type-parameter lists —
+        spelling-only in the erased subset)."""
+        d = 0
+        while self.peek().kind != "eof":
+            k = self.peek().kind
+            if k == "[":
+                d += 1
+            elif k == "]":
+                d -= 1
+                self.next()
+                if d == 0:
+                    return
+                continue
+            self.next()
+
     def parse_type_decl(self, path: str) -> str | None:
         self.next()  # 'type'
         name_t = self.expect("ident")
         name = name_t.text
+        if self.peek().kind == "[":
+            # generic type declaration `type Pair[K any, V any] struct`
+            self._skip_bracket_group()
         t = self.peek()
         if t.kind == "ident" and t.text == "struct":
             return self.parse_struct(name, name_t, path)
@@ -398,12 +422,18 @@ class GoFrontend(Emitter):
         self.skip_semis()
         fi = 0
         while self.peek().kind != "}" and self.peek().kind != "eof":
+            if self.peek().kind == "*":
+                # embedded pointer field `*A`
+                self.next()
             names = [self.expect("ident")]
             while self.accept(","):
                 names.append(self.expect("ident"))
             ftype = None
-            if self.peek().kind not in (";", "}"):
+            if self.peek().kind not in (";", "}", "string"):
                 ftype = self.parse_type_name()
+            if self.peek().kind == "string":
+                # struct tag `json:"y"` — metadata, no graph weight
+                self.next()
             for ft in names:
                 fid = self.node(f"{path}.f[{fi}]", "FieldDeclaration", ft.text,
                                 self._tloc(ft))
@@ -653,6 +683,25 @@ class GoFrontend(Emitter):
                         break
                     continue
                 self.next()
+            # result: parenthesized list, or a single type on the same
+            # construct (`func(T) U`, `f func(int) error`)
+            if self.peek().kind == "(":
+                d = 0
+                while self.peek().kind != "eof":
+                    k = self.peek().kind
+                    if k == "(":
+                        d += 1
+                    elif k == ")":
+                        d -= 1
+                        self.next()
+                        if d == 0:
+                            break
+                        continue
+                    self.next()
+            elif self.peek().kind in ("*", "[") or (
+                    self.peek().kind == "ident"
+                    and self.peek().text not in _KEYWORDS):
+                self.parse_type_name()
             return "func()"
         if t.kind == "ident" and t.text in ("struct", "interface"):
             kw = self.next().text
@@ -675,7 +724,12 @@ class GoFrontend(Emitter):
             if self.peek().kind == "." and self.peek(1).kind == "ident":
                 self.next()
                 sel = self.next().text
-                return f"{name}.{sel}"
+                name = f"{name}.{sel}"
+            if self.peek().kind == "[":
+                # generic instantiation `Pair[K, V]` in type position
+                # (unambiguous: Go array types are prefix `[N]T`) —
+                # generic args erased for resolution
+                self._skip_bracket_group()
             return name
         return None
 
@@ -757,7 +811,52 @@ class GoFrontend(Emitter):
             eid, _ = self.parse_expr(path)
             return self._attach((eid, {"kind": "plain", "nid": eid}), parent,
                                 index)
+        if t.kind == "ident" and t.text == "select":
+            return self._attach(self.parse_select(path), parent, index)
         return self._attach(self.parse_simple_stmt(path), parent, index)
+
+    def parse_select(self, path: str):
+        """``select { case v := <-ch: ... case ch <- x: ... default: }``
+        (go/ast SelectStmt) — modelled as a SwitchStatement whose cases
+        carry the comm statement (send / receive / recv-assign) as the
+        case expression; every branch is conditionally reachable, which
+        is exactly the switch EOG shape."""
+        t = self.next()  # 'select'
+        nid = self.node(path, "SwitchStatement", "", self._tloc(t),
+                        props={"select": "true"})
+        self.expect("{")
+        self.skip_semis()
+        cases = []
+        ci = 0
+        while self.peek().kind not in ("}", "eof"):
+            tt = self.peek()
+            if tt.kind == "ident" and tt.text == "case":
+                self.next()
+                cnid = self.node(f"{path}.case[{ci}]", "CaseStatement", "",
+                                 self._tloc(tt))
+                # the comm clause is a simple statement (short var decl,
+                # send, or bare receive)
+                eid, _ = self.parse_simple_stmt(f"{path}.case[{ci}].c")
+                self.ast_edge(cnid, eid, "CASE_EXPRESSION", 0)
+                self.expect(":")
+                stmts = self._case_body(f"{path}.case[{ci}]", cnid)
+                self.ast_edge(nid, cnid, "STATEMENTS", ci)
+                cases.append({"nid": cnid, "stmts": stmts, "default": False})
+            elif tt.kind == "ident" and tt.text == "default":
+                self.next()
+                self.expect(":")
+                cnid = self.node(f"{path}.default", "DefaultStatement", "",
+                                 self._tloc(tt))
+                stmts = self._case_body(f"{path}.default", cnid)
+                self.ast_edge(nid, cnid, "STATEMENTS", ci)
+                cases.append({"nid": cnid, "stmts": stmts, "default": True})
+            else:
+                self.next()
+            ci += 1
+            self.skip_semis()
+        self.expect("}")
+        return nid, {"kind": "switch", "nid": nid, "cond": nid,
+                     "cases": cases}
 
     def _attach(self, pair, parent, index):
         nid, info = pair
@@ -822,7 +921,28 @@ class GoFrontend(Emitter):
                                                   "ELSE_STATEMENT")
         return nid, info
 
+    def _header_has_range(self) -> bool:
+        """Pure lookahead: a `range` keyword at bracket-depth 0 before
+        the body '{' — a range clause (go/ast RangeStmt)."""
+        j, depth = self.i, 0
+        while j < len(self.toks):
+            k = self.toks[j].kind
+            if k in ("(", "["):
+                depth += 1
+            elif k in (")", "]"):
+                depth -= 1
+            elif k == "{" and depth == 0:
+                return False
+            elif (k == "ident" and self.toks[j].text == "range"
+                  and depth == 0):
+                return True
+            j += 1
+        return False
+
     def parse_for(self, path: str):
+        t = self.peek()
+        if self._header_has_range():
+            return self.parse_for_range(path)
         t = self.next()  # 'for'
         nid = self.node(path, "ForStatement", "", self._tloc(t))
         self._no_composite += 1
@@ -852,12 +972,58 @@ class GoFrontend(Emitter):
         return nid, {"kind": "for", "nid": nid, "init": init_info,
                      "cond": cond_id, "post": post_info, "body": body}
 
+    def parse_for_range(self, path: str):
+        """``for k, v := range m { ... }`` (go/ast RangeStmt) ->
+        ForEachStatement with VARIABLE declarations and an ITERABLE the
+        iterable DFG-flows from, mirroring the Java foreach shape
+        (statements/ForEachStatement.java)."""
+        t = self.next()  # 'for'
+        nid = self.node(path, "ForEachStatement", "", self._tloc(t))
+        self._no_composite += 1
+        names = []
+        if not (self.peek().kind == "ident"
+                and self.peek().text == "range"):
+            names.append(self.expect("ident"))
+            if self.accept(","):
+                names.append(self.expect("ident"))
+            if self.peek().kind in (":=", "="):
+                self.next()
+        if self.peek().kind == "ident" and self.peek().text == "range":
+            self.next()
+        iid = None
+        if self.peek().kind != "{":
+            iid, _ = self.parse_expr(path + ".iter")
+            self.ast_edge(nid, iid, "ITERABLE", 0)
+        for k, vt in enumerate(names):
+            vid = self.node(f"{path}.var{k}", "VariableDeclaration",
+                            vt.text, self._tloc(vt))
+            self.declare(vt.text, vid, "var", None)
+            self.ast_edge(nid, vid, "VARIABLE", k)
+            if iid is not None:
+                self.edge(iid, "DFG", vid)
+        self._no_composite -= 1
+        body = self.parse_block(path + ".body", nid, "STATEMENT")
+        return nid, {"kind": "foreach", "nid": nid, "body": body}
+
     def parse_switch(self, path: str):
         t = self.next()  # 'switch'
         nid = self.node(path, "SwitchStatement", "", self._tloc(t))
         self._no_composite += 1
         sel_id = None
-        if self.peek().kind != "{":
+        if (self.peek().kind == "ident" and self.peek(1).kind == ":="):
+            # type-switch short var `switch v := x.(type)` (go/ast
+            # TypeSwitchStmt.Assign): v declares into the switch scope
+            vt = self.next()
+            self.next()
+            gid, _ = self.parse_expr(path + ".guard")
+            vid = self.node(path + ".v", "VariableDeclaration", vt.text,
+                            self._tloc(vt))
+            self.ast_edge(vid, gid, "INITIALIZER", 0)
+            self.edge(gid, "DFG", vid)
+            self.declare(vt.text, vid, "var", None)
+            sel_id = vid
+            self.ast_edge(nid, vid, "SELECTOR", 0)
+        elif self.peek().kind != "{":
             sel_id, _ = self.parse_expr(path + ".sel")
             self.ast_edge(nid, sel_id, "SELECTOR", 0)
         self._no_composite -= 1
@@ -915,6 +1081,56 @@ class GoFrontend(Emitter):
         """ShortVarDecl / assignment / inc-dec / bare expression."""
         lhs_start = self.i
         lhs_id, lmeta = self.parse_expr(path + ".l")
+        if self.peek().kind == ",":
+            # tuple lhs `q, err := f()` / `a, b = b, a` (go/ast AssignStmt
+            # with multiple Lhs): every name declares/writes, the rhs
+            # flows into each
+            lhss = [(lhs_id, lmeta)]
+            while self.accept(","):
+                lhss.append(self.parse_expr(f"{path}.l{len(lhss)}"))
+            t = self.peek()
+            if t.kind == ":=":
+                self.next()
+                rhss = [self.parse_expr(path + ".r0")]
+                while self.accept(","):
+                    rhss.append(self.parse_expr(f"{path}.r{len(rhss)}"))
+                ds = self.node(path + ".ds", "DeclarationStatement", "",
+                               self._tloc(self.toks[lhs_start]))
+                for k, (lid, lm) in enumerate(lhss):
+                    name = lm.get("name") or ""
+                    # positional rhs when counts match (`a, b := 1, 2`);
+                    # a single multi-value rhs flows into every name
+                    rid = (rhss[k][0] if len(rhss) == len(lhss)
+                           else rhss[-1][0])
+                    vid = self.node(f"{path}.v{k}", "VariableDeclaration",
+                                    name, self._tloc(self.toks[lhs_start]))
+                    self.ast_edge(vid, rid, "INITIALIZER", 0)
+                    self.edge(rid, "DFG", vid)
+                    self.declare(name, vid, "var", None)
+                    self.ast_edge(ds, vid, "DECLARATIONS", k)
+                    self._drop_pending_ref(lid)
+                return ds, {"kind": "plain", "nid": ds}
+            if t.kind == "=":
+                self.next()
+                rhss = [self.parse_expr(path + ".r0")]
+                while self.accept(","):
+                    rhss.append(self.parse_expr(f"{path}.r{len(rhss)}"))
+                nid = self.node(path, "BinaryOperator", "=",
+                                self._tloc(self.toks[lhs_start]),
+                                props={"operator": "="})
+                for k, (lid, _lm) in enumerate(lhss):
+                    rid = (rhss[k][0] if len(rhss) == len(lhss)
+                           else rhss[-1][0])
+                    self._mark_write(lid)
+                    self.ast_edge(nid, lid, "LHS", k)
+                    self.edge(rid, "DFG", lid)
+                for k, (rid, _rm) in enumerate(rhss):
+                    self.ast_edge(nid, rid, "RHS", k)
+                    self.edge(rid, "DFG", nid)
+                return nid, {"kind": "plain", "nid": nid}
+            # not an assignment after all: leave the extra lhss as
+            # parsed expressions
+            return lhs_id, {"kind": "plain", "nid": lhs_id}
         t = self.peek()
         if t.kind == ":=":
             self.next()
@@ -952,6 +1168,19 @@ class GoFrontend(Emitter):
                 # compound assign: lhs also flows into the operator
                 # (BinaryOperator.java:96-108)
                 self.edge(lhs_id, "DFG", nid)
+            return nid, {"kind": "plain", "nid": nid}
+        if t.kind == "<-":
+            # send statement `ch <- v` (go/ast SendStmt): the value
+            # flows into the channel expression
+            self.next()
+            rhs_id, _ = self.parse_expr(path + ".r")
+            nid = self.node(path, "BinaryOperator", "<-",
+                            self._tloc(self.toks[lhs_start]),
+                            props={"operator": "<-"})
+            self.ast_edge(nid, lhs_id, "LHS", 0)
+            self.ast_edge(nid, rhs_id, "RHS", 0)
+            self.edge(rhs_id, "DFG", lhs_id)
+            self.edge(rhs_id, "DFG", nid)
             return nid, {"kind": "plain", "nid": nid}
         if t.kind in ("++", "--"):
             op = self.next().text
@@ -1037,6 +1266,21 @@ class GoFrontend(Emitter):
         while True:
             t = self.peek()
             if t.kind == ".":
+                if (self.peek(1).kind == "(" and self.peek(2).kind == "ident"
+                        and self.peek(2).text == "type"
+                        and self.peek(3).kind == ")"):
+                    # type-switch guard `x.(type)` (go/ast
+                    # TypeSwitchGuard): a CastExpression over the base
+                    # with no target type — the switch cases carry those
+                    self.next(); self.next(); self.next(); self.next()
+                    bid, bmeta = base
+                    nid = self.node(f"{path}.tsw{n}", "CastExpression",
+                                    "type", self._tloc(t))
+                    self.ast_edge(nid, bid, "EXPRESSION", 0)
+                    self.edge(bid, "DFG", nid)
+                    base = (nid, {"kind": "cast", "name": "type",
+                                  "type": None})
+                    continue
                 if self.peek(1).kind != "ident":
                     self.next()
                     continue

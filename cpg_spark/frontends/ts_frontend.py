@@ -328,6 +328,27 @@ class TsFrontend(Emitter):
                 return
 
     # ------------------------------------------------------------ functions
+    def _skip_type_params(self) -> None:
+        """Consume a balanced ``<...>`` generic parameter list."""
+        d = 0
+        while self.peek().kind != "eof":
+            t = self.peek()
+            if t.kind == "op" and t.text == "<":
+                d += 1
+            elif t.kind == "op" and t.text == ">":
+                d -= 1
+                self.next()
+                if d == 0:
+                    return
+                continue
+            elif t.kind == "op" and t.text == ">>":
+                d -= 2
+                self.next()
+                if d <= 0:
+                    return
+                continue
+            self.next()
+
     def _type_annotation(self) -> str | None:
         """Optional `: T` postfix annotation; returns normalized name."""
         if not self.accept("op", ":"):
@@ -416,6 +437,11 @@ class TsFrontend(Emitter):
         anon = None
         if name_tok is None:
             kw = self.next()  # 'function'
+            if self.peek().kind == "op" and self.peek().text == "*":
+                # generator `function* gen()` — the star is
+                # declaration-shape only (GeneratorFunction semantics
+                # have no CPG weight)
+                self.next()
             if self.peek().kind == "ident":
                 name_tok = self.expect("ident")
             else:  # anonymous function expression: `function (req, res) {`
@@ -427,6 +453,10 @@ class TsFrontend(Emitter):
         fid = self.node(path, label, name, loc=self._tloc(name_tok))
         self.declare(name, fid, "function")
         self.enter_scope("function", name, fid)
+        if self.peek().kind == "op" and self.peek().text == "<":
+            # generic type parameters `function f<T, K extends keyof T>`
+            # — erased (TS types carry no runtime weight)
+            self._skip_type_params()
         pids, pnames, has_default = self.parse_params(fid, path)
         rtype = self._type_annotation()
         if rtype:
@@ -517,6 +547,8 @@ class TsFrontend(Emitter):
             for mod in ("public", "private", "protected", "static",
                         "readonly", "async"):
                 self.accept_kw(mod)
+            if self.peek().kind == "op" and self.peek().text == "*":
+                self.next()  # generator method `*gen() {}`
             n = self.expect("ident")
             if self.peek().text == "(":
                 is_ctor = n.text == "constructor"
@@ -823,6 +855,25 @@ class TsFrontend(Emitter):
         """Returns (node_id, inferred_type|None)."""
         lhs = self.parse_unary(path)
         lhs = self._binary_rhs(lhs, path, min_prec)
+        # `x as T` / `x as const` / `x satisfies T` — type-level postfix
+        # operators (erased at runtime): a CastExpression over the value
+        while (self.peek().kind == "ident"
+               and self.peek().text in ("as", "satisfies")):
+            kw = self.next()
+            if (self.peek().kind == "ident"
+                    and self.peek().text == "const"):
+                self.next()
+                tname = "const"
+            else:
+                tname = self._parse_type()
+            cid = self.node(self._p(path + ".as"), "CastExpression",
+                            kw.text, loc=self._tloc(kw))
+            if lhs[0]:
+                self.ast_edge(cid, lhs[0], "expression")
+                self.edge(lhs[0], "DFG", cid)
+            if tname and tname != "const":
+                self.eval_type(cid, tname)
+            lhs = (cid, tname if tname != "const" else lhs[1])
         # assignment (right-assoc, lowest)
         if self.peek().kind == "op" and self.peek().text in _ASSIGN_OPS:
             op = self.next()
@@ -885,8 +936,12 @@ class TsFrontend(Emitter):
                 self.ast_edge(uid, operand[0], "input")
                 self.edge(operand[0], "DFG", uid)
             return (uid, None)
-        if t.kind == "ident" and t.text in ("typeof", "await", "delete"):
+        if t.kind == "ident" and t.text in ("typeof", "await", "delete",
+                                            "yield"):
             self.next()
+            if (t.text == "yield" and self.peek().kind == "op"
+                    and self.peek().text == "*"):
+                self.next()  # `yield* other()` delegation
             operand = self.parse_unary(path + ".u")
             uid = self.node(self._p(path + ".un"), "UnaryOperator", t.text,
                             loc=self._tloc(t))

@@ -1,0 +1,137 @@
+"""Round-4 robustness: modern Go (generics, range-for, select,
+type switches, tuple assignment, struct tags) and modern TS (generic
+functions, generators, as/satisfies casts) parse with zero Problem
+nodes and the expected graph shapes.
+
+Reference parity notes: range loops -> ForEachStatement with VARIABLE/
+ITERABLE (statements/ForEachStatement.java); select -> SwitchStatement
+whose cases carry the comm statement; `x.(type)` -> CastExpression
+guard; tuple `q, err := f()` -> one DeclarationStatement with a
+VariableDeclaration per name, rhs DFG into each."""
+
+from __future__ import annotations
+
+from cpg_spark.frontends.go_frontend import parse_go_document
+from cpg_spark.frontends.ts_frontend import parse_ts_document
+
+
+def _probs(g):
+    return [n for n in g.nodes if "Problem" in (n.get("label") or "")]
+
+
+def test_go_modern_constructs_parse_clean():
+    snippets = {
+        "generics": "package m\nfunc Map[T any, U any](xs []T, f func(T)"
+                    " U) []U {\n\tout := make([]U, 0, len(xs))\n\tfor _,"
+                    " x := range xs {\n\t\tout = append(out, f(x))\n\t}\n"
+                    "\treturn out\n}",
+        "generic_type": "package m\ntype Pair[K any, V any] struct "
+                        "{ K K; V V }\nfunc (p *Pair[K, V]) Get() V "
+                        "{ return p.V }",
+        "goroutine_select": "package m\nfunc f() {\n\tch := make(chan"
+                            " int, 3)\n\tgo func() { ch <- 1 }()\n\t"
+                            "select {\n\tcase v := <-ch:\n\t\tuse(v)\n\t"
+                            "default:\n\t}\n}",
+        "select_send_recv2": "package m\nfunc f(a chan int, b chan int)"
+                             " {\n\tselect {\n\tcase a <- 1:\n\tcase v,"
+                             " ok := <-b:\n\t\t_ = v\n\t\t_ = ok\n\t}\n}",
+        "type_switch": "package m\nfunc f(x interface{}) int {\n\tswitch"
+                       " v := x.(type) {\n\tcase int:\n\t\treturn v\n\t"
+                       "default:\n\t\treturn 0\n\t}\n}",
+        "struct_tags_embed": "package m\ntype A struct{ X int }\ntype B"
+                             " struct {\n\t*A\n\tY int `json:\"y\"`\n}",
+        "tuple_assign": "package m\nfunc f() {\n\ta, b := 1, 2\n\ta, b ="
+                        " b, a\n\t_ = a\n\t_ = b\n}",
+        "range_forms": "package m\nfunc f(xs []int, m map[string]int,"
+                       " ch chan int) int {\n\ts := 0\n\tfor i := range"
+                       " xs {\n\t\ts += xs[i]\n\t}\n\tfor k, v := range"
+                       " m {\n\t\t_ = k\n\t\ts += v\n\t}\n\tfor range ch"
+                       " {\n\t\ts++\n\t}\n\treturn s\n}",
+    }
+    for name, src in snippets.items():
+        g = parse_go_document(name + ".go", 0, src)
+        assert not _probs(g), (name, [p["name"] for p in _probs(g)])
+
+
+def test_go_range_foreach_shape():
+    g = parse_go_document("r.go", 0,
+                          "package m\nfunc f(m map[string]int) int {\n"
+                          "\ts := 0\n\tfor k, v := range m {\n\t\t_ = k"
+                          "\n\t\ts += v\n\t}\n\treturn s\n}")
+    fe = [n for n in g.nodes if n["label"] == "ForEachStatement"]
+    assert len(fe) == 1
+    var_edges = [e for e in g.edges
+                 if e["pred"] == "AST" and e["subj"] == fe[0]["node_id"]
+                 and e["props"].get("field") == "VARIABLE"]
+    assert len(var_edges) == 2  # k and v both declare
+    names = {n["name"] for n in g.nodes
+             if n["node_id"] in {e["obj"] for e in var_edges}}
+    assert names == {"k", "v"}
+    # both loop vars resolve inside the body (no dangling refs): s += v
+    # gives v a REFERS_TO through the local pass
+    it_edges = [e for e in g.edges
+                if e["pred"] == "AST" and e["subj"] == fe[0]["node_id"]
+                and e["props"].get("field") == "ITERABLE"]
+    assert len(it_edges) == 1
+
+
+def test_go_tuple_short_decl_declares_both():
+    g = parse_go_document("t.go", 0,
+                          "package m\nfunc g() (int, int) { return 1, 2 }"
+                          "\nfunc f() int {\n\tq, err := g()\n\treturn"
+                          " q + err\n}")
+    assert not _probs(g)
+    decls = sorted(n["name"] for n in g.nodes
+                   if n["label"] == "VariableDeclaration")
+    assert decls == ["err", "q"]
+    # the call initializer DFG-flows into BOTH names
+    call = next(n for n in g.nodes if n["label"] == "CallExpression"
+                and n["name"] == "g")
+    targets = {e["obj"] for e in g.edges
+               if e["pred"] == "DFG" and e["subj"] == call["node_id"]}
+    vids = {n["node_id"] for n in g.nodes
+            if n["label"] == "VariableDeclaration"}
+    assert len(targets & vids) == 2
+
+
+def test_go_select_is_switch_with_cases():
+    g = parse_go_document("s.go", 0,
+                          "package m\nfunc f(a chan int) {\n\tselect {\n"
+                          "\tcase v := <-a:\n\t\t_ = v\n\tdefault:\n\t}"
+                          "\n}")
+    sw = [n for n in g.nodes if n["label"] == "SwitchStatement"]
+    assert len(sw) == 1 and sw[0]["props"].get("select") == "true"
+    labels = sorted(n["label"] for n in g.nodes
+                    if n["label"] in ("CaseStatement", "DefaultStatement"))
+    assert labels == ["CaseStatement", "DefaultStatement"]
+
+
+def test_ts_modern_constructs_parse_clean():
+    snippets = {
+        "generic_fn": "function prop<T, K extends keyof T>(o: T, k: K):"
+                      " T[K] { return o[k]; }",
+        "generator": "function* gen() { yield 1; yield* other(); }",
+        "async_generator": "async function* s() { yield await one(); }",
+        "class_generator": "class C { *gen() { yield 1; } }",
+        "as_const": "const t = [1, 2] as const;",
+        "as_chain": "const y = getV() as any as string;",
+        "satisfies": "const cfg = { port: 8080 } satisfies"
+                     " Record<string, number>;",
+        "nested_generic_cast": "function pick<T extends Record<string,"
+                               " unknown>>(o: T): Array<keyof T> "
+                               "{ return Object.keys(o) as Array<keyof"
+                               " T>; }",
+    }
+    for name, src in snippets.items():
+        g = parse_ts_document(name + ".ts", 0, src)
+        assert not _probs(g), (name, [p["name"] for p in _probs(g)])
+
+
+def test_ts_as_cast_shape():
+    g = parse_ts_document("c.ts", 0, "const x = getV() as MyType;")
+    casts = [n for n in g.nodes if n["label"] == "CastExpression"]
+    assert len(casts) == 1 and casts[0]["name"] == "as"
+    # the value DFG-flows into the cast (CastExpression.java:60)
+    call = next(n for n in g.nodes if n["label"] == "CallExpression")
+    assert any(e["pred"] == "DFG" and e["subj"] == call["node_id"]
+               and e["obj"] == casts[0]["node_id"] for e in g.edges)
