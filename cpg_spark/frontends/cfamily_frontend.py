@@ -3086,6 +3086,20 @@ class CFamilyFrontend(Emitter):
             op_t = self.next()
             op = op_t.text
             rhs = self.parse_unary(f"{path}.r{n}.u")
+            if (op == "instanceof" and self.peek().kind == "ident"
+                    and self.peek().text not in _KEYWORDS
+                    and self.peek(1).kind in (")", "&&", "||", ";", "?")):
+                # Java 16 pattern matching `o instanceof String s`
+                # (JLS 14.30): the binding declares a flow-scoped local
+                bt = self.next()
+                bid = self.node(f"{path}.r{n}.bind", "VariableDeclaration",
+                                bt.text, self._tloc(bt))
+                tname = rhs[1].get("name") if rhs[1] else None
+                if tname:
+                    self.eval_type(bid, tname)
+                self.declare(bt.text, bid, "var", tname)
+                # the tested value flows into the binding
+                self.edge(lhs[0], "DFG", bid)
             while True:
                 nt = self.peek()
                 nkey = nt.text if (nt.kind == "ident"
