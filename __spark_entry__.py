@@ -1783,6 +1783,14 @@ def oracle_sql() -> dict[str, str]:
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('java', CAST(90 AS BIGINT), CAST(4084 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          ('modern_cpp', CAST(8 AS BIGINT), CAST(200 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          ('modern_go', CAST(4 AS BIGINT), CAST(150 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          ('modern_java', CAST(5 AS BIGINT), CAST(125 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          ('modern_ts', CAST(3 AS BIGINT), CAST(61 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('python', CAST(15 AS BIGINT), CAST(350 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
           AS t(lang, n_files, n_nodes, n_degraded, degrade_pm)

@@ -535,6 +535,8 @@ class CFamilyFrontend(Emitter):
         # (record_name_or_'', fn_name) -> [template_info]: function
         # templates (TemplateDeclaration.java / FunctionTemplateTest)
         self._templates: dict[tuple, list] = {}
+        # enclosing Java switch-expression nodes (yield targets)
+        self._switch_exprs: list[str] = []
         # names declared as VARIABLE templates (`template<..> bool v =`):
         # a later `v<T, U>` in an expression is a template-id, never a
         # comparison chain, even though the name resolves to a value
@@ -2429,6 +2431,22 @@ class CFamilyFrontend(Emitter):
                 return self._attach(self.parse_switch(path), parent, index)
             if kw == "return":
                 return self._attach(self.parse_return(path), parent, index)
+            if (kw == "yield" and self.dialect == "java"
+                    and self._switch_exprs
+                    and self.peek(1).kind not in ("=", ";", ".", "(")):
+                # switch-expression arm value (JLS 14.21) — only a
+                # contextual keyword inside an enclosing switch
+                # expression; `yield` the variable keeps parsing as a ref
+                t0 = self.next()
+                nid = self.node(path, "YieldStatement", "",
+                                self._tloc(t0))
+                vid, _ = self.parse_expr(path + ".v")
+                self.ast_edge(nid, vid, "RETURN_VALUE", 0)
+                self.edge(vid, "DFG", nid)
+                self.edge(vid, "DFG", self._switch_exprs[-1])
+                self.accept(";")
+                return self._attach(
+                    (nid, {"kind": "plain", "nid": nid}), parent, index)
             if kw == "break":
                 self.next()
                 lbl = None
@@ -2971,16 +2989,30 @@ class CFamilyFrontend(Emitter):
                                  self._tloc(tt))
                 eid, _ = self.parse_expr(f"{path}.case[{ci}].e")
                 self.ast_edge(cnid, eid, "CASE_EXPRESSION", 0)
-                self.expect(":")
-                stmts = self._case_body(f"{path}.case[{ci}]", cnid)
+                ei = 1
+                while self.accept(","):
+                    # Java 14 multi-label `case 1, 2 ->` / `case A, B:`
+                    e2, _ = self.parse_expr(f"{path}.case[{ci}].e{ei}")
+                    self.ast_edge(cnid, e2, "CASE_EXPRESSION", ei)
+                    ei += 1
+                if self.dialect == "java" and self.accept("->"):
+                    stmts = self._arrow_arm(f"{path}.case[{ci}]", cnid)
+                else:
+                    self.expect(":")
+                    stmts = self._case_body(f"{path}.case[{ci}]", cnid)
                 self.ast_edge(nid, cnid, "STATEMENTS", ci)
                 cases.append({"nid": cnid, "stmts": stmts, "default": False})
             elif tt.kind == "ident" and tt.text == "default":
                 self.next()
-                self.expect(":")
-                cnid = self.node(f"{path}.default", "DefaultStatement", "",
-                                 self._tloc(tt))
-                stmts = self._case_body(f"{path}.default", cnid)
+                if self.dialect == "java" and self.accept("->"):
+                    cnid = self.node(f"{path}.default", "DefaultStatement",
+                                     "", self._tloc(tt))
+                    stmts = self._arrow_arm(f"{path}.default", cnid)
+                else:
+                    self.expect(":")
+                    cnid = self.node(f"{path}.default", "DefaultStatement",
+                                     "", self._tloc(tt))
+                    stmts = self._case_body(f"{path}.default", cnid)
                 self.ast_edge(nid, cnid, "STATEMENTS", ci)
                 cases.append({"nid": cnid, "stmts": stmts, "default": True})
             else:
@@ -2996,6 +3028,78 @@ class CFamilyFrontend(Emitter):
         # break exits (ControlFlowSensitiveDFGSwitch.java semantics)
         return nid, {"kind": "switch", "nid": nid, "cond": sel,
                      "cases": cases, "fallthrough": True}
+
+    def parse_switch_expr(self, path: str):
+        """Java 14 switch EXPRESSION (`return switch (x) { case 1, 2 ->
+        10; case 3 -> { ...; yield v; } default -> 0; };`, JLS 15.28).
+        The reference predates the construct (its JavaParser visitor has
+        no SwitchExpr handler), so the label `SwitchExpression` is a
+        documented extension: CaseStatement/DefaultStatement arms keep
+        the statement-switch vocabulary, each arm's value (arrow expr or
+        `yield`) DFG-flows into the SwitchExpression node."""
+        t = self.next()
+        nid = self.node(path, "SwitchExpression", "", self._tloc(t))
+        self.expect("(")
+        sel, _ = self.parse_expr(path + ".sel")
+        self.expect(")")
+        self.ast_edge(nid, sel, "SELECTOR", 0)
+        self._switch_exprs.append(nid)
+        self.expect("{")
+        ci = 0
+        while self.peek().kind not in ("}", "eof"):
+            tt = self.peek()
+            is_default = tt.kind == "ident" and tt.text == "default"
+            if not is_default and not (tt.kind == "ident"
+                                       and tt.text == "case"):
+                self.next()
+                continue
+            self.next()
+            cnid = self.node(
+                f"{path}.arm[{ci}]",
+                "DefaultStatement" if is_default else "CaseStatement",
+                "", self._tloc(tt))
+            if not is_default:
+                ei = 0
+                while True:
+                    eid, _ = self.parse_expr(f"{path}.arm[{ci}].e{ei}")
+                    self.ast_edge(cnid, eid, "CASE_EXPRESSION", ei)
+                    ei += 1
+                    if not self.accept(","):
+                        break
+            if self.accept("->"):
+                if self.peek().kind == "{":
+                    # block arm: values arrive via `yield` statements
+                    self.parse_block(f"{path}.arm[{ci}].b", cnid,
+                                     "STATEMENTS")
+                else:
+                    vid, _ = self.parse_expr(f"{path}.arm[{ci}].v")
+                    self.ast_edge(cnid, vid, "STATEMENTS", 0)
+                    self.edge(vid, "DFG", nid)
+                    self.accept(";")
+            else:
+                self.expect(":")
+                self._case_body(f"{path}.arm[{ci}]", cnid)
+            self.ast_edge(nid, cnid, "STATEMENTS", ci)
+            ci += 1
+        self.expect("}")
+        self._switch_exprs.pop()
+        return nid, {"kind": "switchexpr", "name": "", "type": None}
+
+    def _arrow_arm(self, path, cnid):
+        """One Java 14 arrow arm (`case 1, 2 -> body`): a single
+        statement or block, terminated by an implicit break — arrow arms
+        never fall through (JLS 14.11.1)."""
+        if self.peek().kind == "{":
+            stmts = self.parse_block(path + ".b", cnid, "STATEMENTS")
+        else:
+            got = self.parse_stmt(path + ".b", cnid, 0)
+            self.accept(";")
+            stmts = [got[1]]
+        bid = self.node(path + ".brk", "BreakStatement", "", None,
+                        is_implicit=True)
+        self.ast_edge(cnid, bid, "STATEMENTS", 1)
+        stmts = list(stmts) + [{"kind": "break", "nid": bid}]
+        return stmts
 
     def _case_body(self, path, cnid):
         infos = []
@@ -3282,7 +3386,10 @@ class CFamilyFrontend(Emitter):
         n = 0
         while True:
             t = self.peek()
-            if t.kind in (".", "->", "::") and self.peek(1).kind == "ident":
+            if (t.kind in (".", "->", "::") and self.peek(1).kind == "ident"
+                    and not (t.kind == "->" and self.dialect == "java")):
+                # java `->` is never member access (it's the lambda /
+                # switch-arm arrow; member access is `.` only)
                 if (t.kind == "::" and self.dialect == "cpp"
                         and base[1].get("kind") == "ref"):
                     # `X::member`: X is syntactically a scope qualifier
@@ -3612,6 +3719,9 @@ class CFamilyFrontend(Emitter):
 
     def parse_operand(self, path: str):
         t = self.peek()
+        if (self.dialect == "java" and t.kind == "ident"
+                and t.text == "switch" and self.peek(1).kind == "("):
+            return self.parse_switch_expr(path)
         if self.dialect == "java" and self._lambda_ahead():
             return self.parse_lambda(path)
         if self.dialect == "cpp" and t.kind == "[":
@@ -4082,6 +4192,12 @@ class CFamilyFrontend(Emitter):
             # overload-resolution ladder; None = unknown (wildcard)
             args.append({"arg_id": aid, "kw": None, "index": idx,
                          "type": (ameta or {}).get("type")})
+            if (self.dialect == "cpp" and self.peek().kind == "."
+                    and self.peek(1).kind == "."
+                    and self.peek(2).kind == "."):
+                # pack expansion argument `g(args...)` /
+                # `target(std::forward<A>(a)...)` — spelling-only
+                self.next(); self.next(); self.next()
             idx += 1
             if not self.accept(","):
                 break

@@ -866,13 +866,21 @@ class GoFrontend(Emitter):
     def parse_return(self, path: str):
         t = self.next()  # 'return'
         nid = self.node(path, "ReturnStatement", "", self._tloc(t))
-        if self.peek().kind not in (";", "}", "eof"):
-            vid, _ = self.parse_expr(path + ".v")
-            self.ast_edge(nid, vid, "RETURN_VALUE", 0)
+        vi = 0
+        while self.peek().kind not in (";", "}", "eof"):
+            # multi-value `return a / b, nil` (one value per result);
+            # the first value keeps the historical `.v` path so
+            # single-value returns mint identical content-hash ids
+            vid, _ = self.parse_expr(f"{path}.v{vi}" if vi
+                                     else path + ".v")
+            self.ast_edge(nid, vid, "RETURN_VALUE", vi)
             self.edge(vid, "DFG", nid)  # ReturnStatement.java:53
             fn = self.current_function()
             if fn is not None and fn.node_id:
                 self.edge(vid, "DFG", fn.node_id)  # FunctionDeclaration.java:220-238
+            vi += 1
+            if not self.accept(","):
+                break
         return nid, {"kind": "return", "nid": nid}
 
     def _header_has_semi(self) -> bool:

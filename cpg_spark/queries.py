@@ -2399,12 +2399,22 @@ def q_cpg_problem_rate(spark, sf_dir):
     not model.  The golden pin makes grammar regressions (rate going UP)
     and silent corpus shrinkage (file count changing) driver-visible."""
     from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.sources.modern_fixtures import modern_docs
     from cpg_spark.sources.realcorpus import real_file_docs
 
-    docs = real_file_docs(spark)
-    lang = F.regexp_extract("doc_id", r"\.(\w+)$", 1)
-    lang = (F.when(lang.isin("cpp", "cc", "cxx", "c", "h", "hpp"), "cpp")
-            .when(lang == "py", "python").otherwise(lang))
+    # reference corpus + the embedded modern-syntax corpus (libstdc++-
+    # class C++, Go 1.18, TS, Java 16 — sources/modern_fixtures.py):
+    # the `modern_*` rows make the round-4 grammar breadth a driver-
+    # checked surface, not just a local pytest
+    docs = real_file_docs(spark).unionByName(modern_docs(spark))
+    ext = F.regexp_extract("doc_id", r"\.(\w+)$", 1)
+    base = (F.when(F.col("doc_id").startswith("modern/"),
+                   F.regexp_extract("doc_id", r"^modern/(\w+)/", 1))
+            .otherwise(ext))
+    lang = (F.when(base.isin("cpp", "cc", "cxx", "c", "h", "hpp"), "cpp")
+            .when(base == "py", "python").otherwise(base))
+    lang = F.when(F.col("doc_id").startswith("modern/"),
+                  F.concat(F.lit("modern_"), lang)).otherwise(lang)
     nodes, _, _, _ = split_parse_output(parse_docs(docs))
     per_node = nodes.select(
         lang.alias("lang"), "doc_id",

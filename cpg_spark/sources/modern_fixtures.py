@@ -1,0 +1,119 @@
+"""Modern-syntax fixture corpus: the construct batteries that drove the
+round-4 grammar work (libstdc++-class C++, Go 1.18, TS, Java 16),
+embedded so the driver's `cpg_problem_rate` golden pins them EVERY
+round — a grammar regression in any of these constructs flips a
+driver-checked row, not just a local pytest.
+
+These are original snippets (each one a real-world failure class found
+by probing the frontends against libstdc++ headers and modern-language
+idioms), not reference fixtures — the reference's CDT/JavaParser/go-ast
+frontends parse these natively, so zero degraded nodes is the parity
+bar (ProblemDeclaration emission per construct would diverge from the
+reference's graphs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+MODERN_CPP = {
+    "variadic": "template<typename... Args> void f(Args... args)"
+                " { g(args...); }\n"
+                "template<typename... T> int n() { return sizeof...(T); }",
+    "if_constexpr": "template<class T> int f(T t) { if constexpr"
+                    " (sizeof(T) > 4) { return 8; } else { return 4; } }",
+    "sfinae_header": "template<class T, class U = X<T>> struct C {};\n"
+                     "template<typename = int> struct D {};\n"
+                     "template<int N = (3 < 5)> struct B {};\n"
+                     "template<int... I> struct S {};\n"
+                     "template<class O, template<class, class> class M,"
+                     " class D2> struct U;",
+    "decltype_udl": "int q; using P = decltype(q + 1);\n"
+                    "long double a = 0.0L; double b = 1e10;\n"
+                    "int dur(long h) { return h <= 23 && 0h <= 12h; }",
+    "var_template": "template<class A, class B> constexpr bool same_v"
+                    " = false;\n"
+                    "template<class T> int f() { if (!same_v<T, int>)"
+                    " return 1; return 0; }",
+    "mem_ptr": "template<class T> struct M { M(T p) {} };\n"
+               "template<typename T, typename C> M<T C::*> mf(T C::* p)"
+               " { return M<T C::*>(p); }",
+    "cond_decls": "struct V { int size() { return 3; } };\n"
+                  "int f(V& v) { if (auto n = v.size()) return n;"
+                  " if (int k{2}) return k; return 0; }",
+    "attrs_refs": "[[nodiscard]] inline int* end(int* p) { return p; }\n"
+                  "template<class T, int N> void sw(T (&a)[N], T (&b)[N])"
+                  " {}\nint apply(int fn(int), int x) { return fn(x); }",
+}
+
+MODERN_JAVA = {
+    "Record": "record Point(int x, int y) { int sum() { return x + y; } }",
+    "Sealed": "sealed interface Shape permits Circle, Square {}\n"
+              "final class Circle implements Shape {}\n"
+              "final class Square implements Shape {}",
+    "SwitchExpr": "class S { int f(int x) { return switch (x) { case 1,"
+                  " 2 -> 10; case 3 -> { int y = x * 2; yield y; }"
+                  " default -> 0; }; } }",
+    "PatternMatch": "class P { int f(Object o) { if (o instanceof String"
+                    " s && s.length() > 2) { return s.length(); }"
+                    " return 0; } }",
+    "VarStreams": "import java.util.List; class C { long f(List<String>"
+                  " xs) { var n = xs.size(); return xs.stream()"
+                  ".filter(s -> !s.isEmpty()).map(String::trim).count()"
+                  " + n; } }",
+}
+
+MODERN_GO = {
+    "generics": "package m\nfunc Map[T any, U any](xs []T, f func(T) U)"
+                " []U {\n\tout := make([]U, 0, len(xs))\n\tfor _, x :="
+                " range xs {\n\t\tout = append(out, f(x))\n\t}\n\treturn"
+                " out\n}\ntype Pair[K any, V any] struct { K K; V V }\n"
+                "func (p *Pair[K, V]) Get() V { return p.V }",
+    "concurrency": "package m\nfunc f(b chan int) {\n\tch := make(chan"
+                   " int, 3)\n\tgo func() { ch <- 1 }()\n\tselect {\n\t"
+                   "case v := <-ch:\n\t\tuse(v)\n\tcase v2, ok := <-b:\n"
+                   "\t\t_ = v2\n\t\t_ = ok\n\tdefault:\n\t}\n}",
+    "rangetuple": "package m\nfunc g() (int, int) { return 1, 2 }\nfunc"
+                  " f(m map[string]int) int {\n\tq, err := g()\n\ts :="
+                  " q + err\n\tfor k, v := range m {\n\t\t_ = k\n\t\ts"
+                  " += v\n\t}\n\treturn s\n}",
+    "typeswitch": "package m\ntype A struct{ X int }\ntype B struct {\n"
+                  "\t*A\n\tY int `json:\"y\"`\n}\nfunc f(x interface{})"
+                  " int {\n\tswitch v := x.(type) {\n\tcase int:\n\t\t"
+                  "return v\n\tdefault:\n\t\treturn 0\n\t}\n}",
+}
+
+MODERN_TS = {
+    "generics": "function prop<T, K extends keyof T>(o: T, k: K): T[K]"
+                " { return o[k]; }\n"
+                "function pick<T extends Record<string, unknown>>(o: T):"
+                " Array<keyof T> { return Object.keys(o) as Array<keyof"
+                " T>; }",
+    "generators": "function* gen() { yield 1; yield* other(); }\n"
+                  "class C { *gen() { yield 1; } }\n"
+                  "async function* s() { yield await one(); }",
+    "typecasts": "const t = [1, 2] as const;\nconst y = getV() as any as"
+                 " string;\nconst cfg = { port: 8080 } satisfies"
+                 " Record<string, number>;",
+}
+
+_CORPUS = (
+    [("modern/cpp/" + k, "code/cpp", v) for k, v in MODERN_CPP.items()]
+    + [("modern/java/" + k, "code/java", v)
+       for k, v in MODERN_JAVA.items()]
+    + [("modern/go/" + k, "code/go", v) for k, v in MODERN_GO.items()]
+    + [("modern/ts/" + k, "code/typescript", v)
+       for k, v in MODERN_TS.items()]
+)
+
+
+def modern_docs(spark: SparkSession) -> DataFrame:
+    """Docs table over the embedded modern-syntax corpus (one code span
+    per snippet; a bounded literal list — ~20 rows, not a scan)."""
+    from cpg_spark.schemas import DOCS_SCHEMA
+    rows = [
+        {"doc_id": doc_id,
+         "spans": [{"kind": kind, "text": text, "media_ref": None,
+                    "offset": 0}]}
+        for doc_id, kind, text in sorted(_CORPUS)
+    ]
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)

@@ -60,3 +60,38 @@ def test_instanceof_binding_declares_and_flows():
     # `s.length()` resolves: the member call's base ref REFERS_TO s
     assert any(n["label"] == "MemberCallExpression"
                and n["name"] == "length" for n in g.nodes)
+
+
+def test_switch_expression_value_flow():
+    """Java 14 switch EXPRESSION (JLS 15.28) — the reference predates
+    the construct, so `SwitchExpression` is a documented label
+    extension: each arm's value (arrow expr or yield) DFG-flows into
+    the expression node."""
+    g = parse_java_document(
+        "S.java", 0,
+        "class S { int f(int x) { return switch (x) { case 1, 2 -> 10;"
+        " case 3 -> { int y = x * 2; yield y; } default -> 0; }; } }")
+    assert not _probs(g)
+    sw = [n for n in g.nodes if n["label"] == "SwitchExpression"]
+    assert len(sw) == 1
+    flows = [e for e in g.edges
+             if e["pred"] == "DFG" and e["obj"] == sw[0]["node_id"]]
+    assert len(flows) == 3  # 10, yield y, 0
+    assert any(n["label"] == "YieldStatement" for n in g.nodes)
+
+
+def test_arrow_statement_switch_no_fallthrough():
+    """Arrow arms in STATEMENT switches (JLS 14.11.1) terminate with an
+    implicit break — no fall-through edges between arms."""
+    g = parse_java_document(
+        "T.java", 0,
+        "class T { void f(int x) { switch (x) { case 1, 2 -> g();"
+        " default -> h(); } } void g() {} void h() {} }")
+    assert not _probs(g)
+    case = next(n for n in g.nodes if n["label"] == "CaseStatement")
+    labels = [e for e in g.edges
+              if e["pred"] == "AST" and e["subj"] == case["node_id"]
+              and e["props"].get("field") == "CASE_EXPRESSION"]
+    assert len(labels) == 2  # multi-label case 1, 2
+    assert any(n["label"] == "BreakStatement" and n["is_implicit"]
+               for n in g.nodes)
