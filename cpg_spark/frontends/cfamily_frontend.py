@@ -989,6 +989,25 @@ class CFamilyFrontend(Emitter):
         frontends.typeparser.normalize_type (SURVEY U3), so every alias
         spelling of one type mints the same content-hash Type id."""
         prefix: list[str] = []
+        while (self.dialect == "cpp" and self.peek().kind == "ident"
+               and self.peek().text not in _KEYWORDS
+               and self.peek().text not in ("const", "unsigned", "signed",
+                                            "volatile", "typename",
+                                            "decltype")
+               and self.peek(1).kind == "ident"
+               and (self.peek(1).text in _PRIMITIVES
+                    or self.peek(1).text in ("const", "unsigned", "signed",
+                                             "volatile", "struct", "union",
+                                             "enum"))
+               and self.peek().text not in _PRIMITIVES
+               and self._typedef_lookup(self.peek().text) is None
+               and self.peek().text not in self.records):
+            # unknown decoration macro directly before a type word —
+            # zlib's `local int f()` (#define local static), `z_const
+            # unsigned char *p`, `ZEXTERN int`: an identifier that is
+            # neither a declared type nor a primitive cannot legally
+            # precede one
+            self.next()
         while self.peek().kind == "ident" and self.peek().text in (
                 "const", "unsigned", "signed", "volatile"):
             prefix.append(self.next().text)
@@ -1708,6 +1727,25 @@ class CFamilyFrontend(Emitter):
         n_defaults = 0
         is_variadic = False
         self.expect("(")
+        if self.dialect == "cpp" and self._knr_header_ahead():
+            # K&R definition `void f(file) char *file; {` — the list is
+            # NAMES, not types; the declaration block after ')' types
+            # them (handled post-params)
+            pidx = 0
+            while self.peek().kind == "ident":
+                pt = self.next()
+                pid = self.node(f"{path}.p[{pidx}]",
+                                "ParamVariableDeclaration", pt.text,
+                                self._tloc(pt), argument_index=pidx)
+                self.edge(fid, "PARAMETERS", pid, {"index": pidx})
+                self.ast_edge(fid, pid, "PARAMETERS", pidx)
+                self.declare(pt.text, pid, "param", None)
+                param_ids.append(pid)
+                param_names.append(pt.text)
+                param_types.append(None)
+                pidx += 1
+                if not self.accept(","):
+                    break
         pidx = 0
         while self.peek().kind not in (")", "eof"):
             self._skip_modifiers()  # also queues param annotations
@@ -1830,6 +1868,29 @@ class CFamilyFrontend(Emitter):
                 if self.peek().kind == "ident" and self.peek(1).kind == "{":
                     break
                 self.next()
+        if self.dialect == "cpp":
+            # K&R parameter declarations between header and body:
+            # `void f(file) char *file; { ... }` — type the already-
+            # collected params by name (pre-ANSI C, minigzip.c)
+            while (self.peek().kind == "ident"
+                   and self.peek().text not in _KEYWORDS
+                   and self._knr_decl_ahead()):
+                ktype = self.parse_type()
+                while self.peek().kind == "ident":
+                    pname = self.next().text
+                    ptr = ""
+                    if ktype and ktype.endswith("*"):
+                        pass  # pointer spelling already in ktype
+                    if pname in param_names and ktype:
+                        k = param_names.index(pname)
+                        self.eval_type(param_ids[k], ktype)
+                    while self.peek().kind == "[":
+                        self._skip_balanced("[", "]")
+                    if not self.accept(","):
+                        break
+                    while self.peek().kind == "*":
+                        self.next()
+                self.accept(";")
         has_body = self.peek().kind == "{"
         if has_body:
             infos = self.parse_block(path + ".body", fid, "BODY")
@@ -2085,12 +2146,22 @@ class CFamilyFrontend(Emitter):
             vtype = tname
             # sized-array declarator: `int arr1[20];` has type int[20]
             # (TypedefTest testSingle arr1/arr2 parity)
-            while self.peek().kind == "[" and self.peek(1).kind in ("int",
-                                                                    "]"):
+            while self.peek().kind == "[":
+                # dimension = any constant expression (`[20]`, `[ND]`,
+                # `[65280 + 2]`) — balanced consume, spelling kept
                 self.next()
-                n = self.next().text if self.peek().kind == "int" else ""
-                self.accept("]")
-                vtype = normalize_type(vtype + f"[{n}]")
+                parts, d = [], 1
+                while self.peek().kind != "eof":
+                    k = self.peek().kind
+                    if k == "[":
+                        d += 1
+                    elif k == "]":
+                        d -= 1
+                        if d == 0:
+                            self.next()
+                            break
+                    parts.append(self.next().text)
+                vtype = normalize_type(vtype + f"[{''.join(parts)}]")
             init_id = None
             if self.accept("="):
                 init_id, _ = self.parse_expr(f"{path}.init[{vi}]")
@@ -2343,6 +2414,12 @@ class CFamilyFrontend(Emitter):
     # ---------------------------------------------------------- statements
     def parse_stmt(self, path: str, parent: str, index: int):
         t = self.peek()
+        while t.kind == "preproc":
+            # a directive inside a function body (`#define INC 10` in
+            # main) — already consumed by the symbol/conditional passes
+            # where it matters; no statement weight
+            self.next()
+            t = self.peek()
         if t.kind == "annotation":
             # annotated local declaration (`@SuppressWarnings(...) int x;`)
             self._collect_annotations()
@@ -2637,7 +2714,8 @@ class CFamilyFrontend(Emitter):
                 qk and self.peek(qk - 1).text in ("unsigned", "signed")) or (
                 self.peek(qk).kind == "ident"
                 and self.peek(qk).text not in _KEYWORDS
-                and self.peek(qk + 1).kind == "::"):
+                and self.peek(qk + 1).kind == "::") or (
+                self.dialect == "cpp" and self._ptr_decl_ahead(qk)):
             tname = self.parse_type()
             if (tname is not None and self.dialect == "cpp"
                     and self._fnptr_decl_ahead()):
@@ -2647,7 +2725,9 @@ class CFamilyFrontend(Emitter):
             if tname is not None and self.peek().kind == "ident" and \
                     (self.peek(1).kind in ("=", ";", ",")
                      or (self.peek(1).kind == "["
-                         and self.peek(2).kind in ("int", "]"))
+                         and (self.peek(2).kind in ("int", "]")
+                              or (self.peek(2).kind == "ident"
+                                  and self.peek(3).kind == "]")))
                      or (self.peek(1).kind == "("
                          and tname in self.records)):
                 # parse_var_after_type attaches the DeclarationStatement
@@ -2683,6 +2763,49 @@ class CFamilyFrontend(Emitter):
                 self.edge(vid, "DFG", fn.node_id)
         self.accept(";")
         return nid, {"kind": "return", "nid": nid}
+
+    def _knr_header_ahead(self) -> bool:
+        """At the first token after a function header's '(': bare comma-
+        separated identifiers up to ')' followed by a K&R declaration
+        block (`type name;` before '{')."""
+        j = self.i
+        while self.toks[j].kind in ("ident", ","):
+            j += 1
+        if self.toks[j].kind != ")" or j == self.i:
+            return False
+        j += 1
+        k = j
+        while self.toks[k].kind in ("ident", "*", ",", "[", "]", "int"):
+            k += 1
+        return k > j and self.toks[k].kind == ";"
+
+    def _knr_decl_ahead(self) -> bool:
+        """Between a function header and its body: type tokens then
+        declarators then ';' — only idents/*/,/[]/ints may appear, and a
+        ';' must arrive before any brace (K&R parameter declaration)."""
+        j = self.i
+        while self.toks[j].kind in ("ident", "*", ",", "[", "]", "int"):
+            j += 1
+        return self.toks[j].kind == ";"
+
+    def _ptr_decl_ahead(self, qk: int = 0) -> bool:
+        """``unknownType * name =`` — the classic C typedef ambiguity
+        (`sb_symbol * b = ...` with the typedef in an unresolved
+        header): when the left identifier does not resolve to a VALUE,
+        it cannot be multiplied, so the statement is a declaration."""
+        t = self.peek(qk)
+        if t.kind != "ident" or t.text in _KEYWORDS:
+            return False
+        if self.resolve(t.text):
+            return False
+        j = qk + 1
+        if self.peek(j).kind != "*":
+            return False
+        while self.peek(j).kind == "*":
+            j += 1
+        return (self.peek(j).kind == "ident"
+                and self.peek(j).text not in _KEYWORDS
+                and self.peek(j + 1).kind in ("=", ";", ","))
 
     def _paren_has_semi(self) -> bool:
         """';' at depth 1 before the closing ')' — C++17 if-initializer."""
@@ -2739,7 +2862,23 @@ class CFamilyFrontend(Emitter):
                 return vid, {"kind": "conddecl", "name": vt.text,
                              "type": tname}
             self.i = save
-        return self.parse_expr(path)
+        got = self.parse_expr(path)
+        if self.peek().kind == ",":
+            # comma condition `while (argv++, --argc)` — an
+            # ExpressionList whose value is the LAST element's
+            # (ExpressionList.java:65-80)
+            lid = self.node(path + ".list", "ExpressionList", "", None)
+            self.ast_edge(lid, got[0], "SUBEXPR", 0)
+            li = 1
+            last = got
+            while self.accept(","):
+                last = self.parse_expr(f"{path}.list[{li}]")
+                self.ast_edge(lid, last[0], "SUBEXPR", li)
+                li += 1
+            self.edge(last[0], "DFG", lid)
+            return lid, {"kind": "exprlist", "name": "",
+                         "type": (last[1] or {}).get("type")}
+        return got
 
     def parse_if(self, path: str):
         t = self.next()
@@ -2874,7 +3013,7 @@ class CFamilyFrontend(Emitter):
         if self.peek().kind == "ident" and self.peek().text == "while":
             self.next()
             self.expect("(")
-            cid, _ = self.parse_expr(path + ".c")
+            cid, _ = self._parse_condition(path + ".c")
             self.expect(")")
             self.accept(";")
             self.ast_edge(nid, cid, "CONDITION", 0)
@@ -3762,6 +3901,17 @@ class CFamilyFrontend(Emitter):
         if t.kind == "string":
             self.next()
             val = t.text[1:-1]
+            if self.dialect == "cpp":
+                # C adjacent-string-literal concatenation (C11 6.4.5),
+                # including a macro between pieces: `"%" PRIu64 " total"`
+                # — CDT folds these into ONE literal
+                while (self.peek().kind == "string"
+                       or (self.peek().kind == "ident"
+                           and self.peek().text not in _KEYWORDS
+                           and self.peek(1).kind == "string")):
+                    if self.peek().kind == "ident":
+                        self.next()
+                    val += self.next().text[1:-1]
             nid = self.node(path, "Literal", val, self._tloc(t),
                             props={"value": t.text})
             self.eval_type(nid, "String" if self.dialect == "java"
@@ -3876,7 +4026,37 @@ class CFamilyFrontend(Emitter):
             # cast `(Type) expr` vs parenthesized expr
             save = self.i
             self.next()
-            if self._looks_like_type():
+            qk = 0
+            while (self.peek(qk).kind == "ident"
+                   and self.peek(qk).text in ("const", "volatile",
+                                              "unsigned", "signed")):
+                # `(const char *)x` — the probe looks past qualifiers
+                qk += 1
+            unk_ptr_cast = deco = False
+            if (self.dialect == "cpp" and self.peek(qk).kind == "ident"
+                    and self.peek(qk).text not in _KEYWORDS
+                    and not self.resolve(self.peek(qk).text)):
+                # `(sb_symbol *) malloc(...)`: an unresolved identifier
+                # followed by '*'s and ')' can only be a pointer cast —
+                # `(a * )` is not an expression
+                j = qk + 1
+                while self.peek(j).kind == "*":
+                    j += 1
+                unk_ptr_cast = (j > qk + 1 and self.peek(j).kind == ")") or (
+                    # `(uInt)comprLen`: `(expr) ident` is invalid, so an
+                    # unresolved single ident before `) ident/literal`
+                    # must be a cast
+                    self.peek(qk + 1).kind == ")"
+                    and self.peek(qk + 2).kind in ("ident", "int",
+                                                   "float", "string"))
+                # `(z_const unsigned char *)x`: decoration macro before
+                # a type word (same rule as parse_type's skip)
+                deco = (self.peek(qk + 1).kind == "ident"
+                        and (self.peek(qk + 1).text in _PRIMITIVES
+                             or self.peek(qk + 1).text in (
+                                 "const", "unsigned", "signed",
+                                 "volatile", "struct", "union", "enum")))
+            if self._looks_like_type(qk) or qk > 0 or unk_ptr_cast or deco:
                 tname = self.parse_type()
                 if (tname and self.peek().kind == "("
                         and self.peek(1).kind == "*"
@@ -3903,8 +4083,16 @@ class CFamilyFrontend(Emitter):
                 # followed by unary & or * — unambiguous because the
                 # spelling ends in '*' (a bare `(a) & b` stays binary)
                 follow = ("ident", "int", "float", "string", "char", "(")
-                if tname and (tname.endswith("*") or "(*)" in tname):
-                    follow = follow + ("&", "*")
+                definite = tname and (
+                    tname in _PRIMITIVES or " " in tname
+                    or self._typedef_lookup(tname) is not None
+                    or tname in self.records)
+                if tname and (tname.endswith("*") or "(*)" in tname
+                              or definite):
+                    # a pointer spelling, or a KNOWN type (`(unsigned
+                    # long)*put++`): `*`/`&` after it must be unary —
+                    # a bare unresolved `(a) & b` stays binary
+                    follow = follow + ("&", "*", "-", "+", "!", "~")
                 if tname and self.peek().kind == ")" \
                         and self.peek(1).kind in follow:
                     self.next()
