@@ -235,6 +235,11 @@ class TsFrontend(Emitter):
                 self.next()  # modifier only; re-dispatch
                 self.accept_kw("default")
                 continue
+            if t.kind == "ident" and t.text in ("abstract", "declare") \
+               and self.peek(1).kind == "ident" \
+               and self.peek(1).text in ("class", "function", "interface"):
+                self.next()  # modifier only; re-dispatch
+                continue
             if t.kind == "ident" and t.text == "function":
                 fid = self.parse_function(self._p("fn"))
                 if fid:
@@ -362,18 +367,31 @@ class TsFrontend(Emitter):
         the surrounding declaration)."""
         parts = []
 
+        def balanced(op, cl):
+            depth = 0
+            while self.peek().kind != "eof":
+                t = self.next()
+                parts.append(t.text)
+                if t.text == op:
+                    depth += 1
+                elif t.text == cl:
+                    depth -= 1
+                    if depth == 0:
+                        return
+
         def one():
             if self.peek().text == "{":  # inline object type — swallow
-                depth = 0
-                while self.peek().kind != "eof":
-                    t = self.next()
-                    parts.append(t.text)
-                    if t.text == "{":
-                        depth += 1
-                    elif t.text == "}":
-                        depth -= 1
-                        if depth == 0:
-                            return
+                balanced("{", "}")
+                return
+            if self.peek().text == "[":  # tuple type `[string, number]`
+                balanced("[", "]")
+                return
+            if self.peek().text == "(":
+                # function type `(e: Error) => void` (or parenthesized)
+                balanced("(", ")")
+                if self.peek().text == "=>":
+                    parts.append(self.next().text)
+                    one()
                 return
             t = self.next()
             parts.append(t.text)
@@ -518,6 +536,9 @@ class TsFrontend(Emitter):
         name = name_t.text
         rid = self.node(path, "RecordDeclaration", name,
                         loc=self._tloc(name_t), props={"kind": "class"})
+        if self.peek().kind == "op" and self.peek().text == "<":
+            # `class C<T extends object = {}>` — erased, like functions
+            self._skip_type_params()
         supers = []
         if self.accept_kw("extends"):
             sup = self._parse_type()
@@ -545,11 +566,34 @@ class TsFrontend(Emitter):
                 continue
             self._parse_decorators(rid)
             for mod in ("public", "private", "protected", "static",
-                        "readonly", "async"):
+                        "readonly", "async", "abstract", "override"):
                 self.accept_kw(mod)
             if self.peek().kind == "op" and self.peek().text == "*":
                 self.next()  # generator method `*gen() {}`
-            n = self.expect("ident")
+            if self.peek().kind == "op" and self.peek().text == "{":
+                # `static { init(); }` — class static initializer block
+                # (ES2022); body statements keep their graph shape under a
+                # CompoundStatement child of the record
+                self.next()
+                cid = self.node(f"{path}.static[{mi}]", "CompoundStatement")
+                self.ast_edge(rid, cid, "staticBlocks")
+                self.parse_block_body(f"{path}.static[{mi}]", cid)
+                mi += 1
+                self.skip_semis()
+                continue
+            if self.peek().kind == "op" and self.peek().text == "[":
+                # computed member name `["dyn" + k]() {}` — evaluate the
+                # key expression, synthesize an anonymous member name
+                lb = self.next()
+                self.parse_expr(f"{path}.key[{mi}]")
+                self.accept("op", "]")
+                n = Tok("ident", f"<computed{mi}>", lb.line, lb.col)
+            else:
+                n = self.expect("ident")
+            if self.peek().kind == "op" and self.peek().text == "<":
+                # generic method `m<U>(x: U)` — a `<` right after a member
+                # name can only open a type-parameter list here
+                self._skip_type_params()
             if self.peek().text == "(":
                 is_ctor = n.text == "constructor"
                 label = "ConstructorDeclaration" if is_ctor \
@@ -588,14 +632,20 @@ class TsFrontend(Emitter):
         name = name_t.text
         rid = self.node(path, "RecordDeclaration", name,
                         loc=self._tloc(name_t), props={"kind": "interface"})
+        if self.peek().kind == "op" and self.peek().text == "<":
+            self._skip_type_params()
         self.declare(name, rid, "record", name)
         rec = {"decl_id": rid, "methods": {}, "fields": {}, "supers": []}
         self.records[name] = rec
         if self.accept_kw("extends"):
-            sup = self._parse_type()
-            base = sup.split("<")[0]
-            rec["supers"].append(base)
-            self.edge(rid, "SUPER_TYPE", self.type_node(base))
+            # interfaces may extend several bases: `extends A, B<T>`
+            while self.peek().kind == "ident":
+                sup = self._parse_type()
+                base = sup.split("<")[0]
+                rec["supers"].append(base)
+                self.edge(rid, "SUPER_TYPE", self.type_node(base))
+                if not self.accept("op", ","):
+                    break
         self.expect("op") if self.peek().text == "{" else None
         fi = 0
         while not self.accept("op", "}"):
@@ -606,6 +656,8 @@ class TsFrontend(Emitter):
                 continue
             n = self.expect("ident")
             self.accept("op", "?")
+            if self.peek().kind == "op" and self.peek().text == "<":
+                self._skip_type_params()  # generic signature `m<U>(x: U)`
             if self.peek().text == "(":
                 # method signature — swallow params + return type
                 depth = 0
@@ -672,10 +724,19 @@ class TsFrontend(Emitter):
                 return (fid, {"kind": "plain", "nid": fid})
             if t.text in ("break", "continue"):
                 self.next()
+                lab = None
+                nxt = self.peek()
+                if (nxt.kind == "ident" and nxt.text not in _KEYWORDS
+                        and nxt.line == t.line):  # `break outer` (no ASI)
+                    lab = self.next().text
                 nid = self.node(path, t.text.capitalize() + "Statement",
                                 loc=self._tloc(t))
                 self.skip_semis()
-                return (nid, {"kind": t.text, "nid": nid})
+                return (nid, {"kind": t.text, "nid": nid, "label": lab})
+            if t.text == "switch":
+                return self.parse_switch(path)
+            if t.text == "try":
+                return self.parse_try(path)
             if t.text == "throw":
                 self.next()
                 eid, _ = self.parse_expr(path + ".val")
@@ -690,6 +751,20 @@ class TsFrontend(Emitter):
             cid = self.node(path, "CompoundStatement")
             infos = self.parse_block_body(path, cid)
             return (cid, {"kind": "compound", "nid": cid, "stmts": infos})
+        if (t.kind == "ident" and t.text not in _KEYWORDS
+                and self.peek(1).kind == "op" and self.peek(1).text == ":"):
+            # `outer: for (...) { break outer; }` -> LabelStatement
+            self.next()
+            self.next()
+            nid = self.node(path, "LabelStatement", t.text,
+                            loc=self._tloc(t))
+            pair = self.parse_stmt(path + ".sub", nid, 0)
+            sub = None
+            if pair is not None:
+                self.ast_edge(nid, pair[0], "subStatement")
+                sub = pair[1]
+            return (nid, {"kind": "label", "nid": nid, "name": t.text,
+                          "sub": sub})
         # expression statement
         eid, _ = self.parse_expr(path)
         self.skip_semis()
@@ -823,13 +898,17 @@ class TsFrontend(Emitter):
                 if init:
                     self.ast_edge(vid, init, "initializer")
                     self.edge(init, "DFG", vid)
-        self.skip_semis()
+        # exactly ONE `;` per clause separator: `for (;;)` has empty
+        # init/cond clauses, so greedy skip_semis would overrun into `)`
+        if self.peek().kind == ";":
+            self.next()
         cond = None
-        if self.peek().text != ";":
+        if self.peek().text not in (";", ")"):
             cond, _ = self.parse_expr(path + ".cond")
             if cond:
                 self.ast_edge(nid, cond, "condition")
-        self.skip_semis()
+        if self.peek().kind == ";":
+            self.next()
         if self.peek().text != ")":
             upd, _ = self.parse_expr(path + ".update")
             if upd:
@@ -849,6 +928,114 @@ class TsFrontend(Emitter):
                 self.edge(eid, "DFG", nid)
         self.skip_semis()
         return (nid, {"kind": "return", "nid": nid})
+
+    def parse_switch(self, path: str):
+        """`switch (e) { case c: ...; default: ... }` -> SwitchStatement.
+
+        JS case bodies fall through to the next case label unless a break
+        exits — same EOG contract as the C-family switch (eog.py
+        handleSwitchStatement shape, ``fallthrough: True``)."""
+        t = self.next()  # 'switch'
+        nid = self.node(path, "SwitchStatement", loc=self._tloc(t))
+        self.expect("op") if self.peek().text == "(" else None
+        sel, _ = self.parse_expr(path + ".sel")
+        self.accept("op", ")")
+        if sel:
+            self.ast_edge(nid, sel, "selector")
+            self.edge(sel, "DFG", nid)
+        self.expect("op") if self.peek().text == "{" else None
+        cases = []
+        ci = 0
+        while not self.accept("op", "}"):
+            if self.peek().kind == "eof":
+                raise TsParseError("unterminated switch body")
+            self.skip_semis()
+            tt = self.peek()
+            if tt.kind == "ident" and tt.text == "case":
+                self.next()
+                cnid = self.node(f"{path}.case[{ci}]", "CaseStatement",
+                                 loc=self._tloc(tt))
+                eid, _ = self.parse_expr(f"{path}.case[{ci}].e")
+                if eid:
+                    self.ast_edge(cnid, eid, "caseExpression")
+                self.accept("op", ":")
+                stmts = self._case_body(f"{path}.case[{ci}]", cnid)
+                self.ast_edge(nid, cnid, "statements", index=ci)
+                cases.append({"nid": cnid, "stmts": stmts,
+                              "default": False})
+            elif tt.kind == "ident" and tt.text == "default":
+                self.next()
+                self.accept("op", ":")
+                cnid = self.node(f"{path}.default", "DefaultStatement",
+                                 loc=self._tloc(tt))
+                stmts = self._case_body(f"{path}.default", cnid)
+                self.ast_edge(nid, cnid, "statements", index=ci)
+                cases.append({"nid": cnid, "stmts": stmts, "default": True})
+            else:
+                self.next()
+                continue
+            ci += 1
+        return (nid, {"kind": "switch", "nid": nid, "cond": sel,
+                      "cases": cases, "fallthrough": True})
+
+    def _case_body(self, path: str, cnid: str) -> list[dict]:
+        """Statements of one case arm, up to the next case/default/}."""
+        infos: list[dict] = []
+        si = 0
+        while True:
+            self.skip_semis()
+            tt = self.peek()
+            if tt.kind == "eof" or tt.text == "}" or (
+                    tt.kind == "ident" and tt.text in ("case", "default")):
+                return infos
+            pair = self.parse_stmt(f"{path}.s[{si}]", cnid, si)
+            if pair is not None:
+                self.ast_edge(cnid, pair[0], "statements", index=si)
+                infos.append(pair[1])
+            si += 1
+
+    def parse_try(self, path: str):
+        """`try {} catch (e) {} finally {}` -> TryStatement + CatchClause;
+        the optional catch binding (`catch {`) is ES2019."""
+        t = self.next()  # 'try'
+        nid = self.node(path, "TryStatement", loc=self._tloc(t))
+        self.expect("op") if self.peek().text == "{" else None
+        bid = self.node(path + ".body", "CompoundStatement")
+        self.ast_edge(nid, bid, "tryBlock")
+        body = self.parse_block_body(path + ".body", bid)
+        catches = []
+        final = None
+        ci = 0
+        while self.peek().kind == "ident" and self.peek().text in (
+                "catch", "finally"):
+            kw = self.next().text
+            if kw == "finally":
+                self.expect("op") if self.peek().text == "{" else None
+                fid = self.node(path + ".fin", "CompoundStatement")
+                self.ast_edge(nid, fid, "finallyBlock")
+                final = self.parse_block_body(path + ".fin", fid)
+                break
+            cnid = self.node(f"{path}.cat[{ci}]", "CatchClause",
+                             loc=self._tloc(t))
+            self.ast_edge(nid, cnid, "catchClauses", index=ci)
+            self.enter_scope("block", "", cnid)
+            if self.accept("op", "("):
+                if self.peek().kind == "ident":
+                    p = self.next()
+                    self._type_annotation()  # `catch (e: unknown)`
+                    pid = self.node(f"{path}.cat[{ci}].p",
+                                    "VariableDeclaration", p.text,
+                                    loc=self._tloc(p))
+                    self.ast_edge(cnid, pid, "parameter")
+                    self.declare(p.text, pid, "var", None)
+                self.accept("op", ")")
+            self.expect("op") if self.peek().text == "{" else None
+            cstmts = self.parse_block_body(f"{path}.cat[{ci}].b", cnid)
+            self.leave_scope()
+            catches.append({"nid": cnid, "stmts": cstmts})
+            ci += 1
+        return (nid, {"kind": "try", "nid": nid, "body": body,
+                      "catches": catches, "final": final})
 
     # ---------------------------------------------------------- expressions
     def parse_expr(self, path: str, min_prec: int = 1):
@@ -986,6 +1173,9 @@ class TsFrontend(Emitter):
                     self.ast_edge(aid, idx, "subscriptExpression")
                     self.edge(idx, "DFG", aid)
                 base = (aid, None, None)
+            elif t.kind == "op" and t.text == "!" and self.peek(1).text in (
+                    ".", "(", "[", ";", ")", ",", "]", "}") :
+                self.next()  # non-null assertion `a!.b` — type-level only
             elif t.text in ("++", "--"):
                 self.next()
                 uid = self.node(self._p(path + ".post"), "UnaryOperator",
@@ -1083,6 +1273,14 @@ class TsFrontend(Emitter):
                 return (lid, None, None)
             if t.text == "new":
                 self.next()
+                if self.peek().kind == "op" and self.peek().text == ".":
+                    # `new.target` meta-property (ES2015)
+                    self.next()
+                    self.accept_kw("target")
+                    rid_ = self.node(self._p(path + ".newt"),
+                                     "DeclaredReferenceExpression",
+                                     "new.target", loc=self._tloc(t))
+                    return (rid_, None, None)
                 cls = self.expect("ident")
                 nid = self.node(self._p(path + ".new"), "NewExpression",
                                 cls.text, loc=self._tloc(cls))
@@ -1189,6 +1387,20 @@ class TsFrontend(Emitter):
             return (lid, "RegExp", None)
         if t.text == "<" and (self.peek(1).kind == "ident"
                               or self.peek(1).text in (">", "/")):
+            if self._looks_like_angle_cast():
+                # legacy TS cast `<T>expr` (CastExpression like `as T`)
+                self.next()
+                tname = self._parse_type()
+                self.accept("op", ">")
+                val, _ = self.parse_unary(path + ".castv")
+                cid = self.node(self._p(path + ".cast"), "CastExpression",
+                                tname or "", loc=self._tloc(t))
+                if tname:
+                    self.eval_type(cid, tname)
+                if val:
+                    self.ast_edge(cid, val, "expression")
+                    self.edge(val, "DFG", cid)
+                return (cid, tname, None)
             return self.parse_jsx(path)
         if t.kind == "eof":
             raise TsParseError("unexpected end of input in expression")
@@ -1196,6 +1408,53 @@ class TsFrontend(Emitter):
         self.next()
         eid = self.node(self._p(path + ".expr"), "Expression", t.text[:30])
         return (eid, None, None)
+
+    _TYPEISH_OPS = {".", ",", "[", "]", "<", ">", "|", "&"}
+
+    def _looks_like_angle_cast(self) -> bool:
+        """Disambiguate legacy cast ``<T>expr`` from a JSX element at an
+        operand-position ``<``: cast iff the angle segment holds only
+        type-shaped tokens, the matching ``>`` is followed by an
+        expression starter, and that expression is not immediately chased
+        by a ``</`` closing tag (``<div>hello</div>``)."""
+        d = 0
+        j = self.i
+        n = len(self.toks)
+        while j < n:
+            tk = self.toks[j]
+            if tk.kind == "eof":
+                return False
+            if tk.kind == "op" and tk.text == "<":
+                d += 1
+            elif tk.kind == "op" and tk.text == ">":
+                d -= 1
+                if d == 0:
+                    break
+            elif tk.kind == "op" and tk.text == ">>":
+                d -= 2
+                if d <= 0:
+                    break
+            elif tk.kind == "ident":
+                pass
+            elif tk.kind == "op" and tk.text in self._TYPEISH_OPS:
+                pass
+            else:  # strings, `=`, `/` — attribute syntax, not a type
+                return False
+            j += 1
+        if d > 0 or j + 1 >= n:
+            return False
+        nxt = self.toks[j + 1]
+        starts_expr = (nxt.kind in ("ident", "int", "float", "string")
+                       or (nxt.kind == "op" and nxt.text in ("(", "[")))
+        if not starts_expr:
+            return False
+        if (nxt.kind == "ident" and j + 3 < n
+                and self.toks[j + 2].kind == "op"
+                and self.toks[j + 2].text == "<"
+                and self.toks[j + 3].kind == "op"
+                and self.toks[j + 3].text == "/"):
+            return False  # `<div>text</div>` — JSX child text
+        return True
 
     def parse_jsx(self, path: str):
         """Minimal JSX element: attributes and ``{expr}`` holes parse as

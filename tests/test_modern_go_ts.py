@@ -135,3 +135,76 @@ def test_ts_as_cast_shape():
     call = next(n for n in g.nodes if n["label"] == "CallExpression")
     assert any(e["pred"] == "DFG" and e["subj"] == call["node_id"]
                and e["obj"] == casts[0]["node_id"] for e in g.edges)
+
+
+def test_ts_generic_classes_and_interfaces_parse_clean():
+    snippets = {
+        "generic_class": "class C<T> { x?: T; m<U>(v: U): U"
+                         " { return v; } }",
+        "generic_iface": "interface I<T extends object = {}> extends"
+                         " B<T>, C { m<U>(x: U): U; }",
+        "abstract": "export default abstract class C<T>"
+                    " { abstract f(): T; }",
+        "impl_list": "class C<T> extends B implements P, Q<T> { }",
+        "declare_fn": "declare function f(x: number): void;",
+        "computed_member": 'class C { ["dyn" + k]() { return 1; } }',
+        "static_block": "class C { static { init(); } }",
+        "new_target": "function f() { if (new.target) { } }",
+        "non_null": "const v = a!.b; f(x!);",
+        "for_empty_clauses": "for (;;) { break; }",
+        "labeled_break": "outer: for (;;) { break outer; }",
+    }
+    for name, src in snippets.items():
+        g = parse_ts_document(name + ".ts", 0, src)
+        assert not _probs(g), (name, _probs(g))
+
+
+def test_ts_switch_statement_shape():
+    g = parse_ts_document("s.ts", 0,
+                          'switch (x) { case 1: break; case "a": f();'
+                          " break; default: g(); }")
+    assert not _probs(g)
+    labels = [n["label"] for n in g.nodes]
+    assert labels.count("SwitchStatement") == 1
+    assert labels.count("CaseStatement") == 2
+    assert labels.count("DefaultStatement") == 1
+    assert "CallExpression" in labels  # f()/g() still resolve as calls
+    sw = next(n for n in g.nodes if n["label"] == "SwitchStatement")
+    # selector DFG feeds the switch (handleSwitchStatement)
+    assert any(e["pred"] == "DFG" and e["obj"] == sw["node_id"]
+               for e in g.edges)
+
+
+def test_ts_try_catch_finally_shape():
+    g = parse_ts_document("t.ts", 0,
+                          "try { f(); } catch (e) { g(e); }"
+                          " finally { h(); }")
+    assert not _probs(g)
+    labels = [n["label"] for n in g.nodes]
+    assert labels.count("TryStatement") == 1
+    assert labels.count("CatchClause") == 1
+    tr = next(n for n in g.nodes if n["label"] == "TryStatement")
+    cat = next(n for n in g.nodes if n["label"] == "CatchClause")
+    assert any(e["pred"] == "AST" and e["subj"] == tr["node_id"]
+               and e["obj"] == cat["node_id"] for e in g.edges)
+    # the catch binding is a scoped VariableDeclaration the body resolves
+    binding = next(n for n in g.nodes
+                   if n["label"] == "VariableDeclaration"
+                   and n["name"] == "e")
+    refs = [n for n in g.nodes
+            if n["label"] == "DeclaredReferenceExpression"
+            and n["name"] == "e"]
+    assert refs and any(
+        e["pred"] == "REFERS_TO" and e["subj"] == refs[0]["node_id"]
+        and e["obj"] == binding["node_id"] for e in g.edges)
+
+
+def test_ts_angle_cast_vs_jsx():
+    g = parse_ts_document("c.ts", 0, "const n = <number>x;")
+    casts = [n for n in g.nodes if n["label"] == "CastExpression"]
+    assert len(casts) == 1 and not _probs(g)
+    # JSX elements keep parsing as JSX, not casts
+    g2 = parse_ts_document("c.tsx", 0,
+                           'const el = <div className="x">hello</div>;')
+    assert not _probs(g2)
+    assert not [n for n in g2.nodes if n["label"] == "CastExpression"]
