@@ -72,7 +72,7 @@ _TOKEN_RE = re.compile(
     | (?P<int>0[xX][0-9a-fA-F]+|\d+)
     | (?P<flag>-[A-Za-z][A-Za-z0-9]*)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:-[A-Za-z][A-Za-z0-9_]*)*)
-    | (?P<op>\+\+|--|\+=|-=|\*=|/=|%=|::|[+\-*/%=!<>|&?:.,;(){}\[\]@])
+    | (?P<op>\+\+|--|\+=|-=|\*=|/=|%=|::|\.\.|[+\-*/%=!<>|&?:.,;(){}\[\]@])
     | (?P<nl>\n)
     | (?P<ws>[ \t\r]+)
     """,
@@ -87,6 +87,9 @@ _PREC = {
     "-contains": 3, "-notcontains": 3, "-in": 3, "-notin": 3,
     "-is": 3, "-isnot": 3, "-band": 3, "-bor": 3,
     "+": 5, "-": 5, "*": 6, "/": 6, "%": 6,
+    # range binds tighter than arithmetic (about_Operator_Precedence:
+    # `1..3*2` is `(1..3)*2`)
+    "..": 7,
 }
 
 _ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%="}
@@ -253,6 +256,12 @@ class PsFrontend(Emitter):
                 if fid:
                     self.ast_edge(ns_id, fid, "declarations")
                 continue
+            if self.peek().text == "[" and self._at_attributed_param_kw():
+                self._param_attributes()  # `[CmdletBinding()]` line
+                continue
+            if self.is_kw("param"):
+                self.parse_script_params(ns_id)
+                continue
             pair = self.parse_stmt(self._p("stmt"))
             if pair is not None:
                 self.ast_edge(ns_id, pair[0], "statements")
@@ -262,6 +271,37 @@ class PsFrontend(Emitter):
         self._export_symbols()
         self.leave_scope()
         return self.out
+
+    def parse_script_params(self, ns_id: str) -> None:
+        """Script-level ``param(...)`` — the script's own parameters
+        (about_Scripts): ParameterDeclaration rows scoped to the module,
+        so ``$Path`` references in the body resolve to them."""
+        self.next()  # 'param'
+        self.expect("op", "(")
+        j = 0
+        while not self.accept("op", ")"):
+            if self.peek().kind == "eof":
+                raise PsParseError("unterminated script param block")
+            self.skip_semis()
+            if self.peek().text == ")":
+                continue
+            ptype = self._param_attributes()
+            n = self.expect("var")
+            pid = self.node(f"sparam[{j}]", "ParameterDeclaration",
+                            n.text, loc=self._tloc(n), argument_index=j)
+            if ptype:
+                self.eval_type(pid, ptype)
+            if self.accept("op", "="):
+                dflt, _ = self.parse_expr(f"sparam[{j}].default")
+                if dflt:
+                    self.ast_edge(pid, dflt, "default")
+                    self.edge(dflt, "DFG", pid)
+            self.ast_edge(ns_id, pid, "parameters", index=j)
+            self.declare(n.text, pid, "param", ptype)
+            self.accept("op", ",")
+            self.skip_semis()
+            j += 1
+        self.skip_semis()
 
     # ------------------------------------------------------------ functions
     def parse_function(self, path: str):
@@ -278,7 +318,7 @@ class PsFrontend(Emitter):
             while not self.accept("op", ")"):
                 if self.peek().kind == "eof":
                     raise PsParseError("unterminated parameter list")
-                ptype = self._bracket_type()
+                ptype = self._param_attributes()
                 n = self.expect("var")
                 pid = self.node(f"{path}.param[{j}]", "ParameterDeclaration",
                                 n.text, loc=self._tloc(n), argument_index=j)
@@ -310,7 +350,7 @@ class PsFrontend(Emitter):
                 self.skip_semis()
                 if self.peek().text == ")":
                     continue
-                ptype = self._bracket_type()
+                ptype = self._param_attributes()
                 n = self.expect("var")
                 pid = self.node(f"{path}.param[{j}]", "ParameterDeclaration",
                                 n.text, loc=self._tloc(n), argument_index=j)
@@ -348,6 +388,53 @@ class PsFrontend(Emitter):
             self.next()
             return _canon_type(name)
         return None
+
+    def _param_attributes(self) -> str | None:
+        """Any run of ``[...]`` attribute blocks before a parameter —
+        ``[Parameter(Mandatory=$true)]``, ``[ValidateSet(...)]`` — plus
+        the optional simple ``[typename]``; only the type survives as
+        CPG weight (about_Functions_Advanced_Parameters)."""
+        ptype = None
+        while self.peek().text == "[":
+            got = self._bracket_type()
+            if got is not None:
+                ptype = got
+                continue
+            depth = 0
+            while self.peek().kind != "eof":
+                t = self.next()
+                if t.text == "[":
+                    depth += 1
+                elif t.text == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+        return ptype
+
+    def _at_attributed_param_kw(self, words=("param",)) -> bool:
+        """True when the cursor sits on ``[Attr(...)]...`` blocks whose
+        follower is one of ``words`` (e.g. a ``[CmdletBinding()]``
+        decoration line before ``param``) — distinguishes attribute
+        lines from ``[Math]::Max(...)`` statements."""
+        j = self.i
+        n = len(self.toks)
+        while j < n and self.toks[j].text == "[":
+            depth = 0
+            while j < n:
+                if self.toks[j].text == "[":
+                    depth += 1
+                elif self.toks[j].text == "]":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+            else:
+                return False
+            while j < n and self.toks[j].kind == ";":
+                j += 1
+        return (j < n and self.toks[j].kind == "ident"
+                and self.toks[j].text.lower() in words)
 
     def parse_scriptblock(self, path: str, open_tok: Tok):
         """``{ stmts }`` in expression position -> LambdaExpression
@@ -568,6 +655,8 @@ class PsFrontend(Emitter):
     def parse_switch(self, path: str):
         t = self.next()
         nid = self.node(path, "SwitchStatement", loc=self._tloc(t))
+        while self.peek().kind in ("flag", "psop"):
+            self.next()  # `switch -Regex/-Wildcard/-CaseSensitive (...)`
         sel = self._paren_cond(path + ".sel")
         if sel:
             self.ast_edge(nid, sel, "selector")

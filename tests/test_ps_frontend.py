@@ -316,3 +316,53 @@ def test_parse_docs_dispatch(spark):
     nodes, edges, _, _ = split_parse_output(raw)
     assert nodes.filter(F.col("label") == "FunctionDeclaration").count() == 3
     assert edges.filter(F.col("pred") == "CALLS").count() == 2
+
+
+def test_ps_script_params_and_attributes():
+    """Script-level `[CmdletBinding()] param(...)` binds real
+    ParameterDeclarations (about_Scripts), not expression garbage."""
+    src = ('[CmdletBinding()]\n'
+           'param(\n'
+           '    [Parameter(Mandatory=$true)][string]$Path,\n'
+           '    [int]$Retries = 3\n'
+           ')\n'
+           'Write-Host $Path\n')
+    g = parse_ps_document("s.ps1", 0, src)
+    assert not [n for n in g.nodes if "Problem" in (n["label"] or "")]
+    params = {n["name"]: n for n in g.nodes
+              if n["label"] == "ParameterDeclaration"}
+    assert set(params) == {"$Path", "$Retries"}
+    ref = next(n for n in g.nodes
+               if n["label"] == "DeclaredReferenceExpression"
+               and n["name"] == "$Path")
+    assert any(e["pred"] == "REFERS_TO" and e["subj"] == ref["node_id"]
+               and e["obj"] == params["$Path"]["node_id"]
+               for e in g.edges)
+
+
+def test_ps_range_operator_and_switch_flags():
+    probs = lambda g: [n for n in g.nodes
+                       if "Problem" in (n["label"] or "")]
+    g = parse_ps_document("r.ps1", 0, "foreach ($f in 1..3) { f $f }")
+    assert not probs(g)
+    # range -> BinaryOperator '..' feeding the foreach iterable
+    rng = next(n for n in g.nodes if n["label"] == "BinaryOperator"
+               and n["name"] == "..")
+    fe_ = next(n for n in g.nodes if n["label"] == "ForEachStatement")
+    assert any(e["pred"] == "AST" and e["subj"] == fe_["node_id"]
+               and e["obj"] == rng["node_id"] for e in g.edges)
+    g2 = parse_ps_document("w.ps1", 0,
+                           'switch -Regex ($s) { "^a" { f }; '
+                           "default { g } }")
+    assert not probs(g2)
+    assert [n for n in g2.nodes if n["label"] == "SwitchStatement"]
+
+
+def test_ps_function_param_pipeline_attribute():
+    g = parse_ps_document(
+        "p.ps1", 0,
+        "function F { param([Parameter(ValueFromPipeline)]$x)"
+        " process { $x * 2 } }")
+    assert not [n for n in g.nodes if "Problem" in (n["label"] or "")]
+    assert [n for n in g.nodes if n["label"] == "ParameterDeclaration"
+            and n["name"] == "$x"]
