@@ -1777,7 +1777,7 @@ def oracle_sql() -> dict[str, str]:
     # moves a count
     o["cpg_problem_rate"] = """
         SELECT * FROM (VALUES
-          ('cpp', CAST(121 AS BIGINT), CAST(6246 AS BIGINT),
+          ('cpp', CAST(121 AS BIGINT), CAST(6247 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('go', CAST(15 AS BIGINT), CAST(282 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),

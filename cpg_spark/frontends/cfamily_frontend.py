@@ -970,6 +970,11 @@ class CFamilyFrontend(Emitter):
                 and self.peek(k + 1).kind == "ident"):
             # dependent-type marker can ONLY introduce a type
             return True
+        if (self.dialect == "cpp" and t.kind == "ident"
+                and t.text in ("const", "volatile", "unsigned", "signed")):
+            # cv/sign qualifiers can only open a type in C/C++
+            # (`for (const auto& r : xs)`, `unsigned x = 5`)
+            return True
         return t.kind == "ident" and (
             t.text in _PRIMITIVES
             or (t.text not in _KEYWORDS and t.text[0].isupper())
@@ -1048,6 +1053,13 @@ class CFamilyFrontend(Emitter):
                 name = ""
             else:
                 return None
+        elif (prefix and prefix[-1] in ("unsigned", "signed")
+              and self.peek().text not in ("int", "char", "long", "short",
+                                           "double")):
+            # `unsigned x = 5` — the sign qualifier stands alone (implied
+            # int, C11 6.7.2); the follower ident is the DECLARATOR, not a
+            # base type, so leave it for the caller
+            name = ""
         else:
             name = self.next().text
         # multiword primitives: long long, long long int, long double ...

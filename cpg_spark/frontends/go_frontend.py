@@ -347,10 +347,20 @@ class GoFrontend(Emitter):
                 continue
             if self.peek().kind == "ident" and self.peek(1).kind not in (")", ","):
                 group.append(self.next())
-                tname = self.parse_type_name()
+                if self.peek().kind == "...":
+                    # variadic `xs ...int` — arrives as a slice (go spec
+                    # "Passing arguments to ... parameters")
+                    self.next()
+                    tname = "[]" + (self.parse_type_name() or "")
+                else:
+                    tname = self.parse_type_name()
             else:
                 # type-only parameter
-                tname = self.parse_type_name()
+                if self.peek().kind == "...":
+                    self.next()
+                    tname = "[]" + (self.parse_type_name() or "")
+                else:
+                    tname = self.parse_type_name()
                 group = [Tok("ident", f"_p{pidx}", 0, 0)]
             for g in group:
                 pid = self.node(f"{path}.p[{pidx}]", "ParamVariableDeclaration",
@@ -460,6 +470,19 @@ class GoFrontend(Emitter):
         mi = 0
         while self.peek().kind != "}" and self.peek().kind != "eof":
             mt = self.expect("ident")
+            if self.peek().kind != "(":
+                # embedded interface `io.Reader` / `Closer` — a SUPER_TYPE
+                # of this interface (go spec "Embedded interfaces"; the
+                # reference models Go embedding as supertypes)
+                tname = mt.text
+                while self.peek().kind == ".":
+                    self.next()
+                    tname += "." + self.expect("ident").text
+                base = tname.split(".")[-1]
+                self.edge(rid, "SUPER_TYPE", self.type_node(base))
+                rec["supers"].append(base)
+                self.skip_semis()
+                continue
             mid = self.node(f"{path}.m[{mi}]", "MethodDeclaration", mt.text,
                             self._tloc(mt))
             if self.peek().kind == "(":
@@ -1019,8 +1042,9 @@ class GoFrontend(Emitter):
         self._no_composite += 1
         sel_id = None
         if (self.peek().kind == "ident" and self.peek(1).kind == ":="):
-            # type-switch short var `switch v := x.(type)` (go/ast
-            # TypeSwitchStmt.Assign): v declares into the switch scope
+            # `switch v := x.(type)` (go/ast TypeSwitchStmt.Assign) OR a
+            # plain init stmt `switch y := f(); [tag]` — v declares into
+            # the switch scope either way
             vt = self.next()
             self.next()
             gid, _ = self.parse_expr(path + ".guard")
@@ -1029,11 +1053,27 @@ class GoFrontend(Emitter):
             self.ast_edge(vid, gid, "INITIALIZER", 0)
             self.edge(gid, "DFG", vid)
             self.declare(vt.text, vid, "var", None)
-            sel_id = vid
-            self.ast_edge(nid, vid, "SELECTOR", 0)
+            if self.accept(";"):
+                # init form: the optional tag expression follows
+                self.ast_edge(nid, vid, "INITIALIZER_STATEMENT", 0)
+                if self.peek().kind != "{":
+                    sel_id, _ = self.parse_expr(path + ".sel")
+                    self.ast_edge(nid, sel_id, "SELECTOR", 0)
+                else:
+                    sel_id = vid
+            else:
+                sel_id = vid
+                self.ast_edge(nid, vid, "SELECTOR", 0)
         elif self.peek().kind != "{":
             sel_id, _ = self.parse_expr(path + ".sel")
-            self.ast_edge(nid, sel_id, "SELECTOR", 0)
+            if self.accept(";"):
+                # expression init stmt, then the optional tag
+                self.ast_edge(nid, sel_id, "INITIALIZER_STATEMENT", 0)
+                if self.peek().kind != "{":
+                    sel_id, _ = self.parse_expr(path + ".sel2")
+                    self.ast_edge(nid, sel_id, "SELECTOR", 0)
+            else:
+                self.ast_edge(nid, sel_id, "SELECTOR", 0)
         self._no_composite -= 1
         self.expect("{")
         self.skip_semis()
@@ -1315,9 +1355,31 @@ class GoFrontend(Emitter):
                                 "", self._tloc(t))
                 self.ast_edge(nid, bid, "ARRAY_EXPRESSION", 0)
                 self.edge(bid, "DFG", nid)
-                if self.peek().kind != "]":
-                    sid, _ = self.parse_expr(f"{path}.idx{n}.s")
-                    self.ast_edge(nid, sid, "SUBSCRIPT_EXPRESSION", 0)
+                lo = None
+                if self.peek().kind not in ("]", ":"):
+                    lo, _ = self.parse_expr(f"{path}.idx{n}.s")
+                if self.peek().kind == ":":
+                    # slice expr `a[lo:hi]` / `a[:hi]` / `a[lo:]` /
+                    # `a[lo:hi:cap]` -> ArrayRangeExpression subscript
+                    # with FLOOR/CEILING children (same node model as the
+                    # C-family range designator, ArrayRangeExpression.java)
+                    self.next()
+                    rng = self.node(f"{path}.idx{n}.rng",
+                                    "ArrayRangeExpression", "",
+                                    self._tloc(t))
+                    if lo is not None:
+                        self.ast_edge(rng, lo, "FLOOR", 0)
+                        self.edge(lo, "DFG", rng)
+                    if self.peek().kind not in ("]", ":"):
+                        hi, _ = self.parse_expr(f"{path}.idx{n}.hi")
+                        self.ast_edge(rng, hi, "CEILING", 0)
+                        self.edge(hi, "DFG", rng)
+                    if self.accept(":") and self.peek().kind != "]":
+                        cap_, _ = self.parse_expr(f"{path}.idx{n}.cap")
+                        self.edge(cap_, "DFG", rng)
+                    self.ast_edge(nid, rng, "SUBSCRIPT_EXPRESSION", 0)
+                elif lo is not None:
+                    self.ast_edge(nid, lo, "SUBSCRIPT_EXPRESSION", 0)
                 self.expect("]")
                 base = (nid, {"kind": "subscript", "name": "", "type": None})
             elif t.kind == "{" and self._no_composite == 0 and \

@@ -303,3 +303,44 @@ def test_asm_declaration_statement():
     assert not [r for r in g.nodes if "Problem" in r["label"]]
     assert not [r for r in g.nodes
                 if r["label"] == "Expression" and r["name"] == ""]
+
+
+def test_cpp_cv_qualified_range_for_and_bare_unsigned():
+    """`for (const auto& r : xs)` and bare sign qualifiers: the cv/sign
+    prefix opens a type (C11 6.7.2 implied int), never swallows the
+    declarator ident."""
+    from cpg_spark.frontends.cfamily_frontend import parse_cpp_document
+
+    cases = {
+        "const_auto_ref": "void f() { for (const auto& r : roles)"
+                          " { use(r); } }",
+        "const_qualified": "void f() { for (const std::string& r :"
+                           " roles) { } }",
+        "unsigned_iter": "void f() { for (unsigned r : roles) { } }",
+        "bare_unsigned_local": "void f() { unsigned x = 5; use(x); }",
+        "bare_signed_local": "void f() { signed y = -2; use(y); }",
+        "member_range_for": "struct U { bool f() const noexcept {"
+                            " for (const auto& r : roles) { if (r ==\n"
+                            ' "admin") return true; } return false;'
+                            " } };",
+    }
+    for name, src in cases.items():
+        g = parse_cpp_document(name + ".cpp", 0, src)
+        probs = [n for n in g.nodes if "Problem" in (n["label"] or "")]
+        assert not probs, (name, probs)
+    g = parse_cpp_document("u.cpp", 0,
+                           "void f() { unsigned x = 5; use(x); }")
+    decl = next(n for n in g.nodes
+                if n["label"] == "VariableDeclaration"
+                and n["name"] == "x")
+    # EVAL_TYPE lands on the implied-int spelling
+    tids = [e["obj"] for e in g.edges
+            if e["pred"] == "EVAL_TYPE" and e["subj"] == decl["node_id"]]
+    types = [n["name"] for n in g.nodes if n["node_id"] in tids]
+    assert types and "unsigned" in types[0], types
+    # the reference resolves the later `use(x)` read back to the decl
+    ref = next(n for n in g.nodes
+               if n["label"] == "DeclaredReferenceExpression"
+               and n["name"] == "x")
+    assert any(e["pred"] == "REFERS_TO" and e["subj"] == ref["node_id"]
+               and e["obj"] == decl["node_id"] for e in g.edges)

@@ -208,3 +208,53 @@ def test_ts_angle_cast_vs_jsx():
                            'const el = <div className="x">hello</div>;')
     assert not _probs(g2)
     assert not [n for n in g2.nodes if n["label"] == "CastExpression"]
+
+
+def test_go_interface_embedding_variadic_slices_switch_init():
+    """Round-4 hunt: four everyday Go constructs that previously failed
+    whole-file — interface embedding (SUPER_TYPE per go spec "Embedded
+    interfaces"), variadic params (slice-typed), slice expressions
+    (ArrayRangeExpression subscript), and switch-with-init."""
+    cases = {
+        "iface_embed": "package m\ntype RW interface {\n\tio.Reader\n"
+                       "\tio.Writer\n\tClose() error\n}",
+        "variadic": "package m\nfunc sum(xs ...int) int {\n\tt := 0\n"
+                    "\tfor _, x := range xs { t += x }\n\treturn t\n}",
+        "slices": "package m\nfunc f(xs []int) []int {\n\tys := "
+                  "xs[1:3]\n\tys = append(ys, xs[:2]...)\n\treturn "
+                  "ys[:len(ys)-1]\n}",
+        "slice_full": "package m\nfunc f(xs []int) []int "
+                      "{ return xs[1:2:3] }",
+        "switch_init": "package m\nfunc f(x int) string {\n\tswitch y"
+                       " := x * 2; {\n\tcase y > 10:\n\t\treturn \"b\""
+                       "\n\tdefault:\n\t\treturn \"s\"\n\t}\n}",
+        "switch_init_tag": "package m\nfunc f(x int) int {\n\tswitch"
+                           " y := g(x); y {\n\tcase 1:\n\t\treturn y\n"
+                           "\t}\n\treturn 0\n}",
+    }
+    for name, src in cases.items():
+        g = parse_go_document(name + ".go", 0, src)
+        assert not _probs(g), (name, _probs(g))
+    g = parse_go_document("i.go", 0,
+                          "package m\ntype RW interface {\n\tio.Reader\n"
+                          "\tClose() error\n}")
+    assert sum(1 for e in g.edges if e["pred"] == "SUPER_TYPE") == 1
+    g = parse_go_document("s.go", 0,
+                          "package m\nfunc f(xs []int) []int "
+                          "{ return xs[1:3] }")
+    rng = [n for n in g.nodes if n["label"] == "ArrayRangeExpression"]
+    assert len(rng) == 1
+    # floor and ceiling literals hang off the range
+    kids = [e["obj"] for e in g.edges if e["pred"] == "AST"
+            and e["subj"] == rng[0]["node_id"]]
+    assert len(kids) == 2
+    # variadic param is slice-typed
+    g = parse_go_document("v.go", 0,
+                          "package m\nfunc sum(xs ...int) int "
+                          "{ return 0 }")
+    p = next(n for n in g.nodes
+             if n["label"] == "ParamVariableDeclaration")
+    tids = [e["obj"] for e in g.edges
+            if e["pred"] == "EVAL_TYPE" and e["subj"] == p["node_id"]]
+    tnames = [n["name"] for n in g.nodes if n["node_id"] in tids]
+    assert tnames and "int" in tnames[0] and "[]" in tnames[0], tnames
