@@ -498,7 +498,22 @@ class GoFrontend(Emitter):
                             self.next()
                             break
                     self.next()
-                if self.peek().kind not in (";", "}"):
+                if self.peek().kind == "(":
+                    # parenthesized multi-value result
+                    # `Encode(s string) (out string, ok bool, err error)`
+                    d2 = 0
+                    while self.peek().kind != "eof":
+                        k = self.peek().kind
+                        if k == "(":
+                            d2 += 1
+                        elif k == ")":
+                            d2 -= 1
+                            self.next()
+                            if d2 == 0:
+                                break
+                            continue
+                        self.next()
+                elif self.peek().kind not in (";", "}"):
                     self.parse_type_name()
             self.edge(rid, "METHODS", mid, {"index": mi})
             self.ast_edge(rid, mid, "METHODS", mi)
@@ -1453,6 +1468,9 @@ class GoFrontend(Emitter):
             if tn:
                 self.eval_type(nid, tn)
             return nid, {"kind": "call", "name": "make", "type": tn}
+        if t.kind == "ident" and t.text == "func" \
+                and self._func_literal_ahead():
+            return self.parse_func_literal(path)
         if t.kind == "ident" and t.text not in _KEYWORDS:
             self.next()
             nid = self.node(path, "DeclaredReferenceExpression", t.text,
@@ -1473,6 +1491,94 @@ class GoFrontend(Emitter):
         self.next()
         nid = self.node(path, "Expression", "", self._tloc(t), code=t.text)
         return nid, {"kind": "gap", "name": "", "type": None}
+
+    def _func_literal_ahead(self) -> bool:
+        """At a ``func`` token in operand position: does a body ``{``
+        follow the signature?  (``func(x int) error { ... }`` is a
+        LITERAL; ``func(int) error`` without a body is a type.)"""
+        j = self.i + 1
+        n = len(self.toks)
+        if j >= n or self.toks[j].kind != "(":
+            return False
+        d = 0
+        while j < n:  # params
+            k = self.toks[j].kind
+            if k == "(":
+                d += 1
+            elif k == ")":
+                d -= 1
+                j += 1
+                if d == 0:
+                    break
+                continue
+            j += 1
+        if j < n and self.toks[j].kind == "(":  # parenthesized results
+            d = 0
+            while j < n:
+                k = self.toks[j].kind
+                if k == "(":
+                    d += 1
+                elif k == ")":
+                    d -= 1
+                    j += 1
+                    if d == 0:
+                        break
+                    continue
+                j += 1
+        else:  # simple result type tokens until the body or a terminator
+            while j < n and self.toks[j].kind not in (
+                    "{", ";", ",", ")", "}", "eof", "="):
+                j += 1
+        return j < n and self.toks[j].kind == "{"
+
+    def parse_func_literal(self, path: str):
+        """``func(params) [results] { body }`` in expression position ->
+        LambdaExpression wrapping an implicit FunctionDeclaration (the
+        same shape the TS/PS frontends use; Go closures capture the
+        enclosing scope through the ordinary scope stack)."""
+        t = self.next()  # 'func'
+        self._lambda_n = getattr(self, "_lambda_n", 0) + 1
+        lname = f"<func{self._lambda_n}>"
+        lam = self.node(path, "LambdaExpression", lname, self._tloc(t))
+        fid = self.node(path + ".fn", "FunctionDeclaration", lname,
+                        self._tloc(t), is_implicit=True)
+        self.ast_edge(lam, fid, "FUNCTION", 0)
+        self.enter_scope("function", lname, fid)
+        param_ids, param_names = self.parse_params(fid, path)
+        if self.peek().kind not in ("{", ";", "eof"):
+            if self.accept("("):
+                ri = 0
+                while self.peek().kind != ")" and self.peek().kind != "eof":
+                    if (self.peek().kind == "ident"
+                            and self.peek(1).kind in ("ident", "*", "[",
+                                                      "map", "chan")):
+                        rn = self.next().text
+                        rt = self.parse_type_name()
+                        vid = self.node(f"{path}.res[{ri}]",
+                                        "VariableDeclaration", rn, None)
+                        if rt:
+                            self.eval_type(vid, rt)
+                        self.declare(rn, vid, "var", rt)
+                        self.ast_edge(fid, vid, "RETURN_TYPES", ri)
+                    else:
+                        self.parse_type_name()
+                    ri += 1
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+            else:
+                self.parse_type_name()
+        infos = self.parse_block(path + ".body", fid, "BODY")
+        build_eog(self, fid, infos)
+        self.leave_scope()
+        self.edge(fid, "DFG", lam)
+        fn_info = {
+            "decl_id": fid, "kind": "function", "name": lname,
+            "n_params": len(param_ids), "param_ids": param_ids,
+            "param_names": param_names, "record": None,
+        }
+        self._functions_by_id[fid] = fn_info
+        return lam, {"kind": "lambda", "name": lname, "type": "func()"}
 
     def plain_call(self, base, path: str):
         bid, bmeta = base

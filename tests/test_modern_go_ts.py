@@ -258,3 +258,35 @@ def test_go_interface_embedding_variadic_slices_switch_init():
             if e["pred"] == "EVAL_TYPE" and e["subj"] == p["node_id"]]
     tnames = [n["name"] for n in g.nodes if n["node_id"] in tids]
     assert tnames and "int" in tnames[0] and "[]" in tnames[0], tnames
+
+
+def test_go_func_literal_is_lambda():
+    """Closures in expression position are LambdaExpressions wrapping an
+    implicit FunctionDeclaration with a genuinely parsed body (was:
+    TypeExpression + composite-literal garbage that broke on multiline
+    bodies)."""
+    src = ("package m\nfunc f() {\n\terr := fs.WalkDir(root, p, "
+           "func(p string, d fs.DirEntry, err error) error {\n"
+           "\t\tif err != nil {\n\t\t\treturn err\n\t\t}\n"
+           "\t\treturn nil\n\t})\n\t_ = err\n}")
+    g = parse_go_document("w.go", 0, src)
+    assert not _probs(g)
+    lam = next(n for n in g.nodes if n["label"] == "LambdaExpression")
+    fn = next(n for n in g.nodes if n["label"] == "FunctionDeclaration"
+              and n["name"].startswith("<func"))
+    assert any(e["pred"] == "AST" and e["subj"] == lam["node_id"]
+               and e["obj"] == fn["node_id"] for e in g.edges)
+    # the literal's params declare into its scope and the body's `err`
+    # read resolves to the param, not an outer name
+    params = [n for n in g.nodes
+              if n["label"] == "ParamVariableDeclaration"]
+    assert {p["name"] for p in params} >= {"p", "d", "err"}
+    # body genuinely parsed: an IfStatement and ReturnStatements exist
+    labels = [n["label"] for n in g.nodes]
+    assert "IfStatement" in labels and "ReturnStatement" in labels
+    # func TYPES stay types: no lambda for a func-typed param
+    g2 = parse_go_document("t.go", 0,
+                           "package m\nfunc f(cb func(int) error)"
+                           " { _ = cb }")
+    assert not [n for n in g2.nodes
+                if n["label"] == "LambdaExpression"]
