@@ -66,8 +66,8 @@ _CHAIN_START = {"{", ".", "|", "+", "-", "*", "/", "=", ",", "-eq", "-ne",
 _TOKEN_RE = re.compile(
     r"""
       (?P<comment>\#[^\n]*|<\#.*?\#>)
-    | (?P<string>"(?:`.|[^"`])*"|'(?:''|[^'])*')
-    | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*|\$\{[^}]*\})
+    | (?P<string>"(?:`.|""|[^"`])*"|'(?:''|[^'])*')
+    | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*(?::[A-Za-z_][A-Za-z0-9_]*)?|\$\{[^}]*\})
     | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?)
     | (?P<int>0[xX][0-9a-fA-F]+|\d+)
     | (?P<flag>-[A-Za-z][A-Za-z0-9]*)
@@ -307,6 +307,13 @@ class PsFrontend(Emitter):
     def parse_function(self, path: str):
         self.next()  # 'function'
         name_t = self.expect("ident")
+        if name_t.text.lower() in ("global", "script", "local", "private") \
+                and self.peek().kind == "op" and self.peek().text == ":" \
+                and self.peek(1).kind == "ident":
+            # scope-qualified name `function global:deactivate` — the
+            # scope modifier has no CPG weight (about_Scopes)
+            self.next()
+            name_t = self.next()
         fid = self.node(path, "FunctionDeclaration", name_t.text,
                         loc=self._tloc(name_t))
         self.declare(name_t.text, fid, "function")
@@ -318,6 +325,9 @@ class PsFrontend(Emitter):
             while not self.accept("op", ")"):
                 if self.peek().kind == "eof":
                     raise PsParseError("unterminated parameter list")
+                self.skip_semis()
+                if self.peek().text == ")":
+                    continue
                 ptype = self._param_attributes()
                 n = self.expect("var")
                 pid = self.node(f"{path}.param[{j}]", "ParameterDeclaration",
@@ -395,7 +405,11 @@ class PsFrontend(Emitter):
         the optional simple ``[typename]``; only the type survives as
         CPG weight (about_Functions_Advanced_Parameters)."""
         ptype = None
-        while self.peek().text == "[":
+        while True:
+            # multi-line attribute stacks: ASI puts `;` after each `]`
+            self.skip_semis()
+            if self.peek().text != "[":
+                break
             got = self._bracket_type()
             if got is not None:
                 ptype = got

@@ -58,7 +58,7 @@ _TOKEN_RE = re.compile(
     | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
     | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?)
     | (?P<int>0[xX][0-9a-fA-F]+|\d+)
-    | (?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)
+    | (?P<ident>\#?[A-Za-z_$][A-Za-z0-9_$]*)
     | (?P<op>===|!==|\.\.\.|=>|\+\+|--|&&|\|\||\?\?|==|!=|<=|>=|\+=|-=|\*=|/=|%=|\*\*|[+\-*/%&|^~<>=!?:.,;(){}\[\]@])
     | (?P<nl>\n)
     | (?P<ws>[ \t\r]+)
@@ -237,7 +237,10 @@ class TsFrontend(Emitter):
                 continue
             if t.kind == "ident" and t.text in ("abstract", "declare") \
                and self.peek(1).kind == "ident" \
-               and self.peek(1).text in ("class", "function", "interface"):
+               and self.peek(1).text in ("class", "function", "interface",
+                                         "const", "let", "var",
+                                         "namespace", "module", "type",
+                                         "enum"):
                 self.next()  # modifier only; re-dispatch
                 continue
             if t.kind == "ident" and t.text == "function":
@@ -429,6 +432,48 @@ class TsFrontend(Emitter):
             self.accept("op", "...")
             for mod in ("public", "private", "protected", "readonly"):
                 self.accept_kw(mod)
+            if self.peek().kind == "op" and self.peek().text in ("{", "["):
+                # destructured parameter `({ a, b }: Opts)` — the bound
+                # names each become a ParameterDeclaration at this index
+                close = "}" if self.peek().text == "{" else "]"
+                self.next()
+                bound: list[Tok] = []
+                depth = 1
+                prev = None
+                while self.peek().kind != "eof" and depth:
+                    tk = self.next()
+                    if tk.kind == "op" and tk.text in ("{", "["):
+                        depth += 1
+                    elif tk.kind == "op" and tk.text in ("}", "]"):
+                        depth -= 1
+                    elif tk.kind == "ident" and depth == 1 \
+                            and tk.text not in _KEYWORDS:
+                        if prev is not None and prev.text == ":":
+                            # `{orig: alias}` binds the alias
+                            if bound:
+                                bound[-1] = tk
+                        elif prev is None or prev.text != "=":
+                            bound.append(tk)
+                    prev = tk
+                self.accept("op", "?")
+                ptype = self._type_annotation()
+                if not bound:
+                    bound = [Tok("ident", f"<destructured{j}>", 0, 0)]
+                for b in bound:
+                    pid = self.node(f"{path}.param[{j}]",
+                                    "ParameterDeclaration", b.text,
+                                    loc=self._tloc(b) if b.line else None,
+                                    argument_index=j)
+                    self.ast_edge(fid, pid, "parameters", index=j)
+                    self.declare(b.text, pid, "param", None)
+                    pids.append(pid)
+                    pnames.append(b.text)
+                if self.accept("op", "="):
+                    has_default = True
+                    self.parse_expr(f"{path}.param[{j}].default")
+                self.accept("op", ",")
+                j += 1
+                continue
             n = self.expect("ident")
             self.accept("op", "?")
             ptype = self._type_annotation()

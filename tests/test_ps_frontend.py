@@ -366,3 +366,36 @@ def test_ps_function_param_pipeline_attribute():
     assert not [n for n in g.nodes if "Problem" in (n["label"] or "")]
     assert [n for n in g.nodes if n["label"] == "ParameterDeclaration"
             and n["name"] == "$x"]
+
+
+def test_ps_real_activate_script_shapes():
+    """Constructs from python's venv Activate.ps1 (real-world script the
+    grammar was never tuned on): scoped function names, multi-line
+    attributed inline params, doubled-quote escapes, $env: variables."""
+    src = (
+        'function global:deactivate ([switch]$NonDestructive) {\n'
+        '    if (Test-Path -Path Function:_OLD_VIRTUAL_PROMPT) {\n'
+        '        Remove-Item -Path Function:_OLD_VIRTUAL_PROMPT\n'
+        '    }\n'
+        '}\n'
+        'function Get-PyVenvConfig(\n'
+        '    [String]\n'
+        '    $ConfigDir\n'
+        ') {\n'
+        '    Write-Verbose "Given ConfigDir=$ConfigDir"\n'
+        '}\n'
+        'if ("\'""".Contains($val.Substring(0, 1))) {\n'
+        '    $val = $val.Substring(1, $val.Length - 2)\n'
+        '}\n'
+        '$env:VIRTUAL_ENV = $VenvDir\n')
+    g = parse_ps_document("a.ps1", 0, src)
+    assert not [n for n in g.nodes if "Problem" in (n["label"] or "")]
+    fns = {n["name"] for n in g.nodes
+           if n["label"] == "FunctionDeclaration"}
+    assert fns == {"deactivate", "Get-PyVenvConfig"}
+    p = next(n for n in g.nodes if n["label"] == "ParameterDeclaration"
+             and n["name"] == "$ConfigDir")
+    tids = [e["obj"] for e in g.edges
+            if e["pred"] == "EVAL_TYPE" and e["subj"] == p["node_id"]]
+    assert [n["name"] for n in g.nodes
+            if n["node_id"] in tids] == ["String"]
