@@ -1785,11 +1785,13 @@ def oracle_sql() -> dict[str, str]:
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('modern_cpp', CAST(8 AS BIGINT), CAST(200 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-          ('modern_go', CAST(4 AS BIGINT), CAST(150 AS BIGINT),
+          ('modern_go', CAST(7 AS BIGINT), CAST(226 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('modern_java', CAST(5 AS BIGINT), CAST(125 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-          ('modern_ts', CAST(3 AS BIGINT), CAST(61 AS BIGINT),
+          ('modern_ps', CAST(1 AS BIGINT), CAST(27 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          ('modern_ts', CAST(6 AS BIGINT), CAST(152 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('python', CAST(15 AS BIGINT), CAST(350 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)))

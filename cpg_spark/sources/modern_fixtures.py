@@ -63,6 +63,16 @@ MODERN_JAVA = {
 }
 
 MODERN_GO = {
+    "closures": "package m\nfunc f() error {\n\terr := walk(root,"
+                " func(p string, err error) error {\n\t\tif err != nil"
+                " {\n\t\t\treturn err\n\t\t}\n\t\treturn nil\n\t})\n\t"
+                "return err\n}",
+    "ifaceembed": "package m\ntype RW interface {\n\tio.Reader\n\t"
+                  "io.Writer\n\tEncode(s string) (out string, ok bool,"
+                  " err error)\n}",
+    "slices": "package m\nfunc sum(xs ...int) []int {\n\tys := "
+              "xs[1:3]\n\tswitch n := len(ys); {\n\tcase n > 1:\n\t\t"
+              "return append(ys, xs[:2]...)\n\t}\n\treturn ys[1:2:3]\n}",
     "generics": "package m\nfunc Map[T any, U any](xs []T, f func(T) U)"
                 " []U {\n\tout := make([]U, 0, len(xs))\n\tfor _, x :="
                 " range xs {\n\t\tout = append(out, f(x))\n\t}\n\treturn"
@@ -94,6 +104,62 @@ MODERN_TS = {
     "typecasts": "const t = [1, 2] as const;\nconst y = getV() as any as"
                  " string;\nconst cfg = { port: 8080 } satisfies"
                  " Record<string, number>;",
+    # round-4 session-2 hunt: statements that silently mis-parsed as
+    # call expressions before SwitchStatement/TryStatement/LabelStatement
+    # landed, plus the generic-class / ambient-declaration surface the
+    # npm .d.ts scan exposed
+    "statements": "function f(x: number): number {\n"
+                  "  outer: for (;;) {\n"
+                  "    switch (x) {\n"
+                  "      case 1: break outer;\n"
+                  "      case 2: x += 1; break;\n"
+                  "      default: x = 0;\n"
+                  "    }\n"
+                  "    try { return g(x); }\n"
+                  "    catch (e) { h(e); }\n"
+                  "    finally { done(); }\n"
+                  "  }\n"
+                  "  return x;\n"
+                  "}",
+    "classes": "abstract class Box<T extends object = {}> implements"
+               " P, Q<T> {\n"
+               "  #count = 0;\n"
+               "  static { init(); }\n"
+               '  ["computed" + k]() { return 1; }\n'
+               "  abstract get(): T;\n"
+               "  put<U>(v: U): U { return this.#count ? v : v!; }\n"
+               "}\n"
+               "const n = <number>val;",
+    "dts": "declare function f(x: number): void;\n"
+           "export declare class Pattern {\n"
+           "  #private;\n"
+           "  readonly length: number;\n"
+           "  constructor(list: string[], { nocase, platform, }:"
+           " Opts);\n"
+           "  isUNC(): boolean;\n"
+           "}\n"
+           "export type Handler<T = unknown> = (ev: T) => void |"
+           " Promise<void>;\n"
+           "interface Options { onError?: (e: Error) => void;"
+           " tuple: [p: string, n: number]; }",
+}
+
+MODERN_PS = {
+    "script_shape": "[CmdletBinding()]\n"
+                    "param(\n"
+                    "    [Parameter(Mandatory=$true)][string]$Path,\n"
+                    "    [int]$Retries = 3\n"
+                    ")\n"
+                    "function global:Restore-State"
+                    " ([switch]$NonDestructive) {\n"
+                    "    $env:STATE_DIR = $Path\n"
+                    "}\n"
+                    "foreach ($i in 1..$Retries) {\n"
+                    "    switch -Regex ($Path) {\n"
+                    '        "^/tmp" { Write-Verbose "tmp pass $i" }\n'
+                    "        default { Restore-State }\n"
+                    "    }\n"
+                    "}",
 }
 
 _CORPUS = (
@@ -103,6 +169,8 @@ _CORPUS = (
     + [("modern/go/" + k, "code/go", v) for k, v in MODERN_GO.items()]
     + [("modern/ts/" + k, "code/typescript", v)
        for k, v in MODERN_TS.items()]
+    + [("modern/ps/" + k, "code/powershell", v)
+       for k, v in MODERN_PS.items()]
 )
 
 
