@@ -201,25 +201,23 @@ class GoFrontend(Emitter):
         infos = []
         di = 0
         while self.peek().kind != "eof":
-            t = self.peek()
-            if t.kind == "ident" and t.text == "import":
-                self.parse_imports(ns_id, di)
-            elif t.kind == "ident" and t.text == "func":
-                fid = self.parse_func(self._p("func"))
-                if fid:
-                    self.ast_edge(ns_id, fid, "DECLARATIONS", di)
-            elif t.kind == "ident" and t.text in ("var", "const"):
-                nid, info = self.parse_var_decl(self._p("var"))
-                if nid:
-                    self.ast_edge(ns_id, nid, "DECLARATIONS", di)
-                    infos.append(info)
-            elif t.kind == "ident" and t.text == "type":
-                nid = self.parse_type_decl(self._p("type"))
-                if nid:
-                    self.ast_edge(ns_id, nid, "DECLARATIONS", di)
-            else:
-                # unknown top-level construct: skip one token
-                self.next()
+            # panic-mode per-declaration recovery (C-family _guard_top
+            # contract): one bad construct -> one located
+            # ProblemDeclaration, the rest of the file still parses
+            start_i = self.i
+            scopes_n = len(self.scopes)
+            try:
+                self._top_decl(ns_id, infos, di)
+            except (GoParseError, IndexError, RecursionError) as e:
+                del self.scopes[scopes_n:]
+                t = self.toks[min(start_i, len(self.toks) - 1)]
+                pid = self.node(self._p("problem"), "ProblemDeclaration",
+                                str(e)[:200], self._tloc(t),
+                                props={"problem": "GoParseError"})
+                self.ast_edge(ns_id, pid, "DECLARATIONS", di)
+                if self.i <= start_i:
+                    self.i = start_i + 1
+                self._sync_toplevel()
             di += 1
             self.skip_semis()
         self._attach_pending_methods()
@@ -229,6 +227,48 @@ class GoFrontend(Emitter):
         self._resolve_locally()
         self._export_symbols()
         return self.out
+
+    def _top_decl(self, ns_id: str, infos: list, di: int) -> None:
+        t = self.peek()
+        if t.kind == "ident" and t.text == "import":
+            self.parse_imports(ns_id, di)
+        elif t.kind == "ident" and t.text == "func":
+            fid = self.parse_func(self._p("func"))
+            if fid:
+                self.ast_edge(ns_id, fid, "DECLARATIONS", di)
+        elif t.kind == "ident" and t.text in ("var", "const"):
+            nid, info = self.parse_var_decl(self._p("var"))
+            if nid:
+                self.ast_edge(ns_id, nid, "DECLARATIONS", di)
+                infos.append(info)
+        elif t.kind == "ident" and t.text == "type":
+            nid = self.parse_type_decl(self._p("type"))
+            if nid:
+                self.ast_edge(ns_id, nid, "DECLARATIONS", di)
+        else:
+            # unknown top-level construct: skip one token
+            self.next()
+
+    def _sync_toplevel(self) -> None:
+        """Consume up to the next ';' at brace depth 0 or the '}' that
+        closes the current construct."""
+        depth = 0
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                return
+            if t.kind == "{":
+                depth += 1
+            elif t.kind == "}":
+                self.next()
+                if depth <= 1:
+                    return
+                depth -= 1
+                continue
+            elif t.kind == ";" and depth == 0:
+                self.next()
+                return
+            self.next()
 
     # ------------------------------------------------------------ imports
     def parse_imports(self, ns_id: str, di: int) -> None:

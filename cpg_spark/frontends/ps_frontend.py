@@ -251,26 +251,66 @@ class PsFrontend(Emitter):
             self.skip_semis()
             if self.peek().kind == "eof":
                 break
-            if self.is_kw("function"):
-                fid = self.parse_function(self._p("fn"))
-                if fid:
-                    self.ast_edge(ns_id, fid, "declarations")
-                continue
-            if self.peek().text == "[" and self._at_attributed_param_kw():
-                self._param_attributes()  # `[CmdletBinding()]` line
-                continue
-            if self.is_kw("param"):
-                self.parse_script_params(ns_id)
-                continue
-            pair = self.parse_stmt(self._p("stmt"))
-            if pair is not None:
-                self.ast_edge(ns_id, pair[0], "statements")
-                infos.append(pair[1])
+            # panic-mode per-declaration recovery (C-family _guard_top
+            # contract): one bad construct -> one located
+            # ProblemDeclaration, the rest of the script still parses
+            start_i = self.i
+            scopes_n = len(self.scopes)
+            try:
+                self._top_decl(ns_id, infos)
+            except (PsParseError, IndexError, RecursionError) as e:
+                del self.scopes[scopes_n:]
+                t = self.toks[min(start_i, len(self.toks) - 1)]
+                pid = self.node(self._p("problem"), "ProblemDeclaration",
+                                str(e)[:200], loc=self._tloc(t),
+                                props={"problem": "PsParseError"})
+                self.ast_edge(ns_id, pid, "declarations")
+                if self.i <= start_i:
+                    self.i = start_i + 1
+                self._sync_toplevel()
         build_eog(self, ns_id, infos)
         self._resolve_locally()
         self._export_symbols()
         self.leave_scope()
         return self.out
+
+    def _top_decl(self, ns_id: str, infos: list) -> None:
+        if self.is_kw("function"):
+            fid = self.parse_function(self._p("fn"))
+            if fid:
+                self.ast_edge(ns_id, fid, "declarations")
+            return
+        if self.peek().text == "[" and self._at_attributed_param_kw():
+            self._param_attributes()  # `[CmdletBinding()]` line
+            return
+        if self.is_kw("param"):
+            self.parse_script_params(ns_id)
+            return
+        pair = self.parse_stmt(self._p("stmt"))
+        if pair is not None:
+            self.ast_edge(ns_id, pair[0], "statements")
+            infos.append(pair[1])
+
+    def _sync_toplevel(self) -> None:
+        """Consume up to the next ';' at brace depth 0 or the '}' that
+        closes the current construct."""
+        depth = 0
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                return
+            if t.kind == "op" and t.text == "{":
+                depth += 1
+            elif t.kind == "op" and t.text == "}":
+                self.next()
+                if depth <= 1:
+                    return
+                depth -= 1
+                continue
+            elif t.kind == ";" and depth == 0:
+                self.next()
+                return
+            self.next()
 
     def parse_script_params(self, ns_id: str) -> None:
         """Script-level ``param(...)`` — the script's own parameters

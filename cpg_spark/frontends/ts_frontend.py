@@ -224,53 +224,94 @@ class TsFrontend(Emitter):
             self.skip_semis()
             if self.peek().kind == "eof":
                 break
-            t = self.peek()
-            if t.text == "@":
-                self._parse_decorators(ns_id)
-                continue
-            if t.kind == "ident" and t.text == "import":
-                self.parse_import(ns_id)
-                continue
-            if t.kind == "ident" and t.text == "export":
-                self.next()  # modifier only; re-dispatch
-                self.accept_kw("default")
-                continue
-            if t.kind == "ident" and t.text in ("abstract", "declare") \
-               and self.peek(1).kind == "ident" \
-               and self.peek(1).text in ("class", "function", "interface",
-                                         "const", "let", "var",
-                                         "namespace", "module", "type",
-                                         "enum"):
-                self.next()  # modifier only; re-dispatch
-                continue
-            if t.kind == "ident" and t.text == "function":
-                fid = self.parse_function(self._p("fn"))
-                if fid:
-                    self.ast_edge(ns_id, fid, "declarations")
-                continue
-            if t.kind == "ident" and t.text == "class":
-                rid = self.parse_class(self._p("class"))
-                if rid:
-                    self.ast_edge(ns_id, rid, "declarations")
-                continue
-            if t.kind == "ident" and t.text == "interface":
-                rid = self.parse_interface(self._p("iface"))
-                if rid:
-                    self.ast_edge(ns_id, rid, "declarations")
-                continue
-            if t.kind == "ident" and t.text in ("type", "enum") \
-               and self.peek(1).kind == "ident":
-                self._skip_type_alias()
-                continue
-            pair = self.parse_stmt(self._p("stmt"), ns_id, 0)
-            if pair is not None:
-                self.ast_edge(ns_id, pair[0], "statements")
-                infos.append(pair[1])
+            # panic-mode per-declaration recovery (same contract as the
+            # C-family frontend's _guard_top): one bad construct yields
+            # one located ProblemDeclaration, not a dead file
+            start_i = self.i
+            scopes_n = len(self.scopes)
+            try:
+                self._top_decl(ns_id, infos)
+            except (TsParseError, IndexError, RecursionError) as e:
+                del self.scopes[scopes_n:]
+                t = self.toks[min(start_i, len(self.toks) - 1)]
+                pid = self.node(self._p("problem"), "ProblemDeclaration",
+                                str(e)[:200], loc=self._tloc(t),
+                                props={"problem": "TsParseError"})
+                self.ast_edge(ns_id, pid, "declarations")
+                if self.i <= start_i:
+                    self.i = start_i + 1
+                self._sync_toplevel()
         build_eog(self, ns_id, infos)
         self._resolve_locally()
         self._export_symbols()
         self.leave_scope()
         return self.out
+
+    def _sync_toplevel(self) -> None:
+        """Consume up to the next ';' at brace depth 0 or the '}' that
+        closes the current construct."""
+        depth = 0
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                return
+            if t.kind == "op" and t.text == "{":
+                depth += 1
+            elif t.kind == "op" and t.text == "}":
+                self.next()
+                if depth <= 1:
+                    return
+                depth -= 1
+                continue
+            elif t.kind == ";" and depth == 0:
+                self.next()
+                return
+            self.next()
+
+    def _top_decl(self, ns_id: str, infos: list) -> None:
+        """One top-level declaration/statement dispatch."""
+        t = self.peek()
+        if t.text == "@":
+            self._parse_decorators(ns_id)
+            return
+        if t.kind == "ident" and t.text == "import":
+            self.parse_import(ns_id)
+            return
+        if t.kind == "ident" and t.text == "export":
+            self.next()  # modifier only; re-dispatch
+            self.accept_kw("default")
+            return
+        if t.kind == "ident" and t.text in ("abstract", "declare") \
+           and self.peek(1).kind == "ident" \
+           and self.peek(1).text in ("class", "function", "interface",
+                                     "const", "let", "var",
+                                     "namespace", "module", "type",
+                                     "enum"):
+            self.next()  # modifier only; re-dispatch
+            return
+        if t.kind == "ident" and t.text == "function":
+            fid = self.parse_function(self._p("fn"))
+            if fid:
+                self.ast_edge(ns_id, fid, "declarations")
+            return
+        if t.kind == "ident" and t.text == "class":
+            rid = self.parse_class(self._p("class"))
+            if rid:
+                self.ast_edge(ns_id, rid, "declarations")
+            return
+        if t.kind == "ident" and t.text == "interface":
+            rid = self.parse_interface(self._p("iface"))
+            if rid:
+                self.ast_edge(ns_id, rid, "declarations")
+            return
+        if t.kind == "ident" and t.text in ("type", "enum") \
+           and self.peek(1).kind == "ident":
+            self._skip_type_alias()
+            return
+        pair = self.parse_stmt(self._p("stmt"), ns_id, 0)
+        if pair is not None:
+            self.ast_edge(ns_id, pair[0], "statements")
+            infos.append(pair[1])
 
     # -------------------------------------------------------------- imports
     def parse_import(self, ns_id: str):

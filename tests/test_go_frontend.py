@@ -245,3 +245,19 @@ def test_labeled_break_continue():
     assert ("UnaryOperator", 6) in pred_lines
     lab = next(n for n in g.nodes if n["label"] == "LabelStatement")
     assert lab["name"] == "outer"
+
+
+def test_go_panic_mode_recovery():
+    """One bad construct yields one located ProblemDeclaration; later
+    declarations survive (C-family _guard_top contract)."""
+    from cpg_spark.frontends.go_frontend import parse_go_document
+
+    src = ("package m\n\nfunc good1() int { return 1 }\n\n"
+           "func broken( %%% ) int { return 2 }\n\n"
+           "func good2() int { return 3 }\n")
+    g = parse_go_document("r.go", 0, src)
+    fns = {n["name"] for n in g.nodes
+           if n["label"] == "FunctionDeclaration"}
+    assert {"good1", "good2"} <= fns
+    assert sum(1 for n in g.nodes
+               if n["label"] == "ProblemDeclaration") == 1

@@ -399,3 +399,17 @@ def test_ps_real_activate_script_shapes():
             if e["pred"] == "EVAL_TYPE" and e["subj"] == p["node_id"]]
     assert [n["name"] for n in g.nodes
             if n["node_id"] in tids] == ["String"]
+
+
+def test_ps_panic_mode_recovery():
+    """One bad construct yields one located ProblemDeclaration; later
+    declarations survive (C-family _guard_top contract)."""
+    src = ("function Good1 { return 1 }\n"
+           "foreach ($x { }\n"
+           "function Good2 { return 2 }\n")
+    g = parse_ps_document("r.ps1", 0, src)
+    fns = {n["name"] for n in g.nodes
+           if n["label"] == "FunctionDeclaration"}
+    assert {"Good1", "Good2"} <= fns
+    assert sum(1 for n in g.nodes
+               if n["label"] == "ProblemDeclaration") == 1

@@ -127,8 +127,19 @@ def test_fluent_chain_and_template_literal():
 
 
 def test_problem_on_malformed():
+    """Panic-mode recovery: a bad construct yields one located
+    ProblemDeclaration (plus whatever partial nodes parsed before the
+    failure), and later top-level declarations survive."""
     g = parse_ts_document("ts/m/0004", 0, "function broken( {")
-    assert [n["label"] for n in g.nodes] == ["ProblemDeclaration"]
+    assert [n["label"] for n in g.nodes
+            if n["label"] == "ProblemDeclaration"] == ["ProblemDeclaration"]
+    src = ("function good1(x: number): number { return x * 2; }\n"
+           "const bad = ^^^&&&;\n"
+           "function good2(): string { return 'ok'; }\n")
+    g2 = parse_ts_document("ts/m/0005", 0, src)
+    fns = {n["name"] for n in g2.nodes
+           if n["label"] == "FunctionDeclaration"}
+    assert {"good1", "good2"} <= fns
 
 
 def test_jsx_embedded_expressions():
