@@ -3269,6 +3269,19 @@ class CFamilyFrontend(Emitter):
     # ----------------------------------------------------------- expressions
     def parse_expr(self, path: str, min_prec: int = 1):
         lhs = self.parse_unary(path + ".u")
+        # java `x >>>= 1`: tokenized as adjacent `>>` `>=` (the tokenizer
+        # keeps `>>` splittable for C++ template closers); must check
+        # BEFORE the binop loop eats `>>` as a shift
+        if (self.dialect == "java" and min_prec <= 1
+                and self.peek().kind == ">>"
+                and self.peek(1).kind == ">="
+                and self.peek(1).line == self.peek().line
+                and self.peek(1).col == self.peek().col + 2):
+            op_t = self.next()
+            self.next()
+            rhs = self.parse_expr(path + ".r", 1)
+            return self._make_assign(lhs, ">>>=", rhs, path,
+                                     self._tloc(op_t))
         lhs = self._binary_rhs(lhs, path, min_prec)
         # assignment (right-assoc, lowest)
         if self.peek().kind in _ASSIGN_OPS and min_prec <= 1:
@@ -3340,6 +3353,13 @@ class CFamilyFrontend(Emitter):
                 return lhs
             op_t = self.next()
             op = op_t.text
+            if (self.dialect == "java" and op_t.kind == ">>"
+                    and self.peek().kind == ">"
+                    and self.peek().line == op_t.line
+                    and self.peek().col == op_t.col + 2):
+                # java unsigned shift `>>>` (adjacent `>>` `>` tokens)
+                self.next()
+                op = ">>>"
             rhs = self.parse_unary(f"{path}.r{n}.u")
             if (op == "instanceof" and self.peek().kind == "ident"
                     and self.peek().text not in _KEYWORDS
@@ -3537,6 +3557,34 @@ class CFamilyFrontend(Emitter):
         n = 0
         while True:
             t = self.peek()
+            if (self.dialect == "java" and t.kind == "."
+                    and self.peek(1).kind == "<"):
+                # explicit type arguments on a method call (JLS 15.12):
+                # `Collections.<String>emptyList()` — erase the witness,
+                # the `.` then binds the method ident as usual
+                j = self.i + 2
+                d = 1
+                while j < len(self.toks) and d:
+                    k = self.toks[j].kind
+                    if k == "<":
+                        d += 1
+                    elif k == ">":
+                        d -= 1
+                    elif k == ">>":
+                        d -= 2
+                    elif k in (";", "{", "}", "eof"):
+                        break
+                    j += 1
+                if (d <= 0 and j + 1 < len(self.toks)
+                        and self.toks[j].kind == "ident"
+                        and self.toks[j + 1].kind == "("):
+                    self.next()  # '.'
+                    while self.i < j:
+                        self.next()  # the erased <...> witness
+                    sel = self.next()
+                    base = self.member_call(base, sel, f"{path}.mc{n}")
+                    n += 1
+                    continue
             if (t.kind in (".", "->", "::") and self.peek(1).kind == "ident"
                     and not (t.kind == "->" and self.dialect == "java")):
                 # java `->` is never member access (it's the lambda /

@@ -95,3 +95,31 @@ def test_arrow_statement_switch_no_fallthrough():
     assert len(labels) == 2  # multi-label case 1, 2
     assert any(n["label"] == "BreakStatement" and n["is_implicit"]
                for n in g.nodes)
+
+
+def test_java_unsigned_shift_and_explicit_type_args():
+    """`>>>`/`>>>=` combine from adjacent `>>` `>`/`>=` tokens (the
+    tokenizer keeps `>>` splittable for C++ template closers), and
+    explicit type-argument calls erase the witness (JLS 15.12)."""
+    from cpg_spark.frontends.cfamily_frontend import parse_java_document
+
+    g = parse_java_document(
+        "A.java", 0,
+        "class A { int f(int x) { x >>>= 1; return x >>> 2; } }")
+    assert not [n for n in g.nodes if "Problem" in (n["label"] or "")]
+    ops = [n["name"] for n in g.nodes if n["label"] == "BinaryOperator"]
+    assert ">>>=" in ops and ">>>" in ops
+    g2 = parse_java_document(
+        "B.java", 0,
+        "class B { java.util.List<String> f() { return"
+        " java.util.Collections.<String>emptyList(); } }")
+    assert not [n for n in g2.nodes if "Problem" in (n["label"] or "")]
+    assert not [n for n in g2.nodes if n["label"] == "Expression"]
+    calls = [n for n in g2.nodes if n["label"] == "MemberCallExpression"]
+    assert any(c["name"] == "emptyList" for c in calls)
+    # triple-close generics still split fine
+    g3 = parse_java_document(
+        "C.java", 0,
+        "class C { java.util.Map<String, java.util.List<java.util.Set<"
+        "Integer>>> m; }")
+    assert not [n for n in g3.nodes if "Problem" in (n["label"] or "")]
