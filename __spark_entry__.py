@@ -1783,7 +1783,7 @@ def oracle_sql() -> dict[str, str]:
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('java', CAST(90 AS BIGINT), CAST(4084 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-          ('modern_cpp', CAST(8 AS BIGINT), CAST(200 AS BIGINT),
+          ('modern_cpp', CAST(9 AS BIGINT), CAST(267 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('modern_go', CAST(7 AS BIGINT), CAST(226 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),

@@ -1612,6 +1612,34 @@ class CFamilyFrontend(Emitter):
             self.i = save
             return None
         name_t = self.peek()
+        if (self.dialect == "cpp" and name_t.kind == "ident"
+                and name_t.text == "operator"):
+            # operator overload: splice `operator` + symbol tokens into
+            # ONE ident (`operator+`, `operator()`, `operator new[]`) so
+            # parse_function consumes the name normally (CDT names these
+            # methods the same way)
+            j = self.i + 1
+            sym = None
+            consumed = 0
+            tk = self.toks[j]
+            if tk.kind == "(" and self.toks[j + 1].kind == ")":
+                sym, consumed = "()", 2
+            elif tk.kind == "[" and self.toks[j + 1].kind == "]":
+                sym, consumed = "[]", 2
+            elif tk.kind == "ident" and tk.text in ("new", "delete"):
+                sym, consumed = " " + tk.text, 1
+                if (self.toks[j + 1].kind == "["
+                        and self.toks[j + 2].kind == "]"):
+                    sym += "[]"
+                    consumed = 3
+            elif tk.kind not in ("ident", "(", ")", ";", "{", "}", "eof"):
+                sym, consumed = tk.text, 1
+            if sym is not None and self.toks[j + consumed].kind == "(":
+                merged = Tok("ident", "operator" + sym,
+                             name_t.line, name_t.col)
+                self.toks[self.i:self.i + 1 + consumed] = [merged]
+                return self.parse_function(path, tname, record, parent,
+                                           index)
         if self.peek(1).kind == "(":
             return self.parse_function(path, tname, record, parent, index)
         # field / variable (possibly comma-separated)
@@ -1903,6 +1931,14 @@ class CFamilyFrontend(Emitter):
                     while self.peek().kind == "*":
                         self.next()
                 self.accept(";")
+        if (self.dialect == "cpp" and self.peek().kind == "="
+                and ((self.peek(1).kind == "ident"
+                      and self.peek(1).text in ("default", "delete"))
+                     or self.peek(1).kind == "int")):
+            # `= default;` / `= delete;` (C++11) / pure virtual `= 0;` —
+            # declaration-only, no body
+            self.next()
+            self.next()
         has_body = self.peek().kind == "{"
         if has_body:
             infos = self.parse_block(path + ".body", fid, "BODY")
@@ -2177,6 +2213,14 @@ class CFamilyFrontend(Emitter):
             init_id = None
             if self.accept("="):
                 init_id, _ = self.parse_expr(f"{path}.init[{vi}]")
+            elif self.dialect == "cpp" and self.peek().kind == "{":
+                # brace init `V p{1}, q{2};` — InitializerListExpression
+                # (same model as the condition-position brace-init arm)
+                init_id, _ = self.parse_init_list(f"{path}.binit[{vi}]")
+                if (tname in self.records
+                        and not self.records[tname].get("is_enum")):
+                    self.edge(init_id, "INSTANTIATES",
+                              self.records[tname]["decl_id"])
             elif (self.dialect == "cpp" and self.peek().kind == "("
                   and tname in self.records
                   and not self.records[tname].get("is_enum")):
@@ -2736,6 +2780,8 @@ class CFamilyFrontend(Emitter):
                 return ds, {"kind": "plain", "nid": ds}
             if tname is not None and self.peek().kind == "ident" and \
                     (self.peek(1).kind in ("=", ";", ",")
+                     or (self.dialect == "cpp"
+                         and self.peek(1).kind == "{")
                      or (self.peek(1).kind == "["
                          and (self.peek(2).kind in ("int", "]")
                               or (self.peek(2).kind == "ident"
@@ -3425,6 +3471,20 @@ class CFamilyFrontend(Emitter):
             # anyway, so the qualifier is spelling-only
             self.next()
             t = self.peek()
+        if (self.dialect == "cpp" and t.kind == "ident"
+                and t.text == "throw"):
+            # throw-expression (C++ [expr.throw]): legal in ternary arms
+            # `x > 0 ? x : throw 1` — same UnaryOperator shape as the
+            # statement form
+            self.next()
+            nid = self.node(path, "UnaryOperator", "throw", self._tloc(t),
+                            code="throw")
+            if self.peek().kind not in (";", ",", ")", "]", "}", ":",
+                                        "eof"):
+                eid, _ = self.parse_unary(path + ".e")
+                self.ast_edge(nid, eid, "INPUT", 0)
+                self.edge(eid, "DFG", nid)
+            return nid, {"kind": "unary", "name": "throw", "type": None}
         if t.kind in ("!", "-", "+", "~", "*", "&"):
             op = self.next().text
             iid, imeta = self.parse_unary(path + ".i")

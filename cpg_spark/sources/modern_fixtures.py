@@ -43,6 +43,21 @@ MODERN_CPP = {
     "attrs_refs": "[[nodiscard]] inline int* end(int* p) { return p; }\n"
                   "template<class T, int N> void sw(T (&a)[N], T (&b)[N])"
                   " {}\nint apply(int fn(int), int x) { return fn(x); }",
+    # round-4 session-2 hunt: operator overloads previously mis-parsed
+    # as `VariableDeclaration operator` + expression garbage; brace-init
+    # declarator lists, =default/=delete/pure-virtual, throw-exprs
+    "operators": "struct V { int x; };\n"
+                 "V operator+(V a, V b) { return V{a.x + b.x}; }\n"
+                 "struct T {\n"
+                 "  T() = default;\n"
+                 "  T(const T&) = delete;\n"
+                 "  T& operator=(T&&) = default;\n"
+                 "  int operator()(int v) const { return v * 2; }\n"
+                 "  bool operator==(const T& o) const { return true; }\n"
+                 "  virtual int pure() const = 0;\n"
+                 "};\n"
+                 "int f(int x) { V p{1}, q{2}; return x > 0 ? p.x :"
+                 " throw 1; }",
 }
 
 MODERN_JAVA = {

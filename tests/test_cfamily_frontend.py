@@ -344,3 +344,40 @@ def test_cpp_cv_qualified_range_for_and_bare_unsigned():
                and n["name"] == "x")
     assert any(e["pred"] == "REFERS_TO" and e["subj"] == ref["node_id"]
                and e["obj"] == decl["node_id"] for e in g.edges)
+
+
+def test_cpp_operator_overloads_and_brace_init_lists():
+    """Operator overloads parse as named functions (CDT's operator+ /
+    operator() / operator new[] method names), brace-init declarator
+    lists bind every declarator, =default/=delete/pure-virtual are
+    declaration-only, and throw-expressions work in ternary arms."""
+    from cpg_spark.frontends.cfamily_frontend import parse_cpp_document
+
+    src = (
+        "struct V { int x; };\n"
+        "V operator+(V a, V b) { return V{a.x + b.x}; }\n"
+        "struct T {\n"
+        "  T() = default;\n"
+        "  T(const T&) = delete;\n"
+        "  T& operator=(T&&) = default;\n"
+        "  int operator()(int v) const { return v * 2; }\n"
+        "  int& operator[](int i) { return d[i]; }\n"
+        "  bool operator==(const T& o) const { return true; }\n"
+        "  virtual int pure() const = 0;\n"
+        "  int d[4];\n"
+        "};\n"
+        "int f(int x) { V p{1}, q{2}; return x > 0 ? p.x : throw 1; }\n")
+    g = parse_cpp_document("ops.cpp", 0, src)
+    assert not [n for n in g.nodes if "Problem" in (n["label"] or "")]
+    assert not [n for n in g.nodes if n["label"] == "Expression"]
+    fns = {n["name"] for n in g.nodes
+           if n["label"] in ("FunctionDeclaration", "MethodDeclaration")}
+    assert {"operator+", "operator=", "operator()", "operator[]",
+            "operator==", "pure", "f"} <= fns
+    # brace-init declarator list binds BOTH locals with initializers
+    vds = {n["name"] for n in g.nodes
+           if n["label"] == "VariableDeclaration"}
+    assert {"p", "q"} <= vds
+    throws = [n for n in g.nodes if n["label"] == "UnaryOperator"
+              and n["name"] == "throw"]
+    assert len(throws) == 1
