@@ -1593,6 +1593,21 @@ class CFamilyFrontend(Emitter):
                 self.i = j - 1  # reposition at the ctor name token
                 return self._out_of_line_fn(path, None, segs[-2], parent,
                                             index, ctor=True)
+        if (self.dialect == "cpp" and record is not None
+                and t.kind == "ident" and t.text == "operator"
+                and self.peek(1).kind == "ident"):
+            # conversion operator `operator bool() const` — no return
+            # type; the method is named after the target type (CDT's
+            # ICPPASTConversionName)
+            save = self.i
+            op_t = self.next()
+            target = self.parse_type()
+            if target is not None and self.peek().kind == "(":
+                self.toks.insert(self.i, Tok("ident", "operator " + target,
+                                             op_t.line, op_t.col))
+                return self.parse_function(path, target, record, parent,
+                                           index)
+            self.i = save
         save = self.i
         tname = self.parse_type()
         if tname is None:
