@@ -1791,7 +1791,7 @@ def oracle_sql() -> dict[str, str]:
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('modern_ps', CAST(1 AS BIGINT), CAST(27 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-          ('modern_ts', CAST(6 AS BIGINT), CAST(152 AS BIGINT),
+          ('modern_ts', CAST(7 AS BIGINT), CAST(224 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('python', CAST(15 AS BIGINT), CAST(350 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)))

@@ -95,7 +95,9 @@ class TsParseError(Exception):
 
 # a '/' after one of these starts a REGEX literal, not division
 _REGEX_BEFORE = {"(", ",", "=", ":", "[", "!", "&", "|", "?", "{", ";",
-                 "return", "typeof", "=>"}
+                 "return", "typeof", "=>", "||", "&&", "==", "===", "!=",
+                 "!==", "+", "-", "*", "%", "<", ">", "<=", ">=", "??",
+                 "case"}
 _REGEX_RE = re.compile(r"/(?:\\.|\[(?:\\.|[^\]\\])*\]|[^/\\\n])+/[a-z]*")
 
 
@@ -121,9 +123,14 @@ def tokenize(src: str) -> list[Tok]:
         kind = m.lastgroup
         text = m.group()
         if kind == "nl":
+            # ASI never fires after a keyword that cannot end a statement
+            # (`var\n/*c*/\nx = 1` is ONE declaration); the restricted
+            # productions (return/break/continue/...) still terminate
             if toks and toks[-1].kind != ";" and (
                 toks[-1].kind in _ASI_AFTER
-                or (toks[-1].kind == "ident" and toks[-1].text in _ASI_KEYWORDS)
+                and not (toks[-1].kind == "ident"
+                         and toks[-1].text in _KEYWORDS
+                         and toks[-1].text not in _ASI_KEYWORDS)
             ):
                 toks.append(Tok(";", ";", line, col))
             line += 1
@@ -597,6 +604,8 @@ class TsFrontend(Emitter):
         self._functions_by_id[fid] = {
             "name": lname, "record": None, "n_params": len(pids),
             "param_ids": pids, "param_names": pnames, "has_defaults": hd}
+        if self.peek().kind == "op" and self.peek().text == ":":
+            self._type_annotation()  # `(x): Promise<T> => ...`
         self.expect("op") if self.peek().text == "=>" else None
         if self.accept("op", "{"):
             infos = self.parse_block_body(path + ".body", fid)
@@ -799,8 +808,10 @@ class TsFrontend(Emitter):
                 return self.parse_var(path)
             if t.text == "if":
                 return self.parse_if(path)
-            if t.text in ("while", "do"):
+            if t.text == "while":
                 return self.parse_while(path)
+            if t.text == "do":
+                return self.parse_do(path)
             if t.text == "for":
                 return self.parse_for(path)
             if t.text == "return":
@@ -885,19 +896,35 @@ class TsFrontend(Emitter):
         VariableDeclaration per bound name, all DFG-fed from the
         initializer (the reference's TS frontend lowers binding patterns
         the same way)."""
+        def collect(close: str) -> list[Tok]:
+            got: list[Tok] = []
+            while not self.accept("op", close):
+                if self.peek().kind == "eof":
+                    raise TsParseError("unterminated destructuring pattern")
+                tk = self.peek()
+                if tk.kind == "op" and tk.text in ("{", "["):
+                    # nested pattern `const { a: { b } } = e`
+                    c2 = "}" if self.next().text == "{" else "]"
+                    got.extend(collect(c2))
+                elif tk.kind == "ident":
+                    n = self.next()
+                    local = n
+                    if self.accept("op", ":"):   # {orig: alias-or-nested}
+                        if (self.peek().kind == "op"
+                                and self.peek().text in ("{", "[")):
+                            c2 = "}" if self.next().text == "{" else "]"
+                            got.extend(collect(c2))
+                            continue
+                        local = self.expect("ident")
+                    got.append(local)
+                    if self.accept("op", "="):  # binding default
+                        self.parse_expr(f"{path}.dflt[{len(got)}]")
+                else:
+                    self.next()
+            return got
+
         close = "}" if self.next().text == "{" else "]"
-        names: list[Tok] = []
-        while not self.accept("op", close):
-            if self.peek().kind == "eof":
-                raise TsParseError("unterminated destructuring pattern")
-            if self.peek().kind == "ident":
-                n = self.next()
-                local = n
-                if self.accept("op", ":"):   # {orig: alias}
-                    local = self.expect("ident")
-                names.append(local)
-            else:
-                self.next()
+        names = collect(close)
         self.accept("op", ",")
         vids = []
         gid = self.node(path, "DeclarationStatement", kw.text,
@@ -959,6 +986,25 @@ class TsFrontend(Emitter):
         return (nid, {"kind": "while", "nid": nid, "cond": cond,
                       "body": body})
 
+    def parse_do(self, path: str):
+        """`do { body } while (cond)` -> DoStatement; body executes at
+        least once before the condition (handleDoStatement)."""
+        t = self.next()  # 'do'
+        nid = self.node(path, "DoStatement", loc=self._tloc(t))
+        body = self._branch_body(path + ".body", nid, "statement")
+        self.skip_semis()
+        cond = None
+        if self.accept_kw("while"):
+            self.expect("op") if self.peek().text == "(" else None
+            cond, _ = self.parse_expr(path + ".cond")
+            self.accept("op", ")")
+            if cond:
+                self.ast_edge(nid, cond, "condition")
+                self.edge(cond, "DFG", nid)
+        self.skip_semis()
+        return (nid, {"kind": "dowhile", "nid": nid, "cond": cond or nid,
+                      "body": body})
+
     def parse_for(self, path: str):
         t = self.next()
         nid = self.node(path, "ForStatement", loc=self._tloc(t))
@@ -966,6 +1012,40 @@ class TsFrontend(Emitter):
         # for (const x of xs) | for (init; cond; update)
         if self.peek().kind == "ident" and self.peek().text in ("const", "let", "var"):
             kw = self.next()
+            if self.peek().kind == "op" and self.peek().text in ("{", "["):
+                # destructured binding `for (const [k, v] of entries)` —
+                # one VariableDeclaration per bound name, all iterable-fed
+                close = "}" if self.peek().text == "{" else "]"
+                self.next()
+                bound = []
+                while not self.accept("op", close):
+                    if self.peek().kind == "eof":
+                        raise TsParseError("unterminated for binding")
+                    if self.peek().kind == "ident":
+                        b = self.next()
+                        if self.accept("op", ":"):  # {orig: alias}
+                            b = self.expect("ident")
+                        bound.append(b)
+                    else:
+                        self.next()
+                vids = []
+                for bi, b in enumerate(bound):
+                    vid = self.node(f"{path}.var[{bi}]",
+                                    "VariableDeclaration", b.text,
+                                    loc=self._tloc(b),
+                                    props={"kind": kw.text})
+                    self.declare(b.text, vid, "var")
+                    self.ast_edge(nid, vid, "initializer", index=bi)
+                    vids.append(vid)
+                if self.accept_kw("of") or self.accept_kw("in"):
+                    it, _ = self.parse_expr(path + ".iter")
+                    if it:
+                        self.ast_edge(nid, it, "iterable")
+                        for vid in vids:
+                            self.edge(it, "DFG", vid)
+                self.accept("op", ")")
+                body = self._branch_body(path + ".body", nid, "statement")
+                return (nid, {"kind": "foreach", "nid": nid, "body": body})
             n = self.expect("ident")
             vid = self.node(path + ".var", "VariableDeclaration", n.text,
                             loc=self._tloc(n), props={"kind": kw.text})
@@ -1259,6 +1339,14 @@ class TsFrontend(Emitter):
                     self.ast_edge(aid, idx, "subscriptExpression")
                     self.edge(idx, "DFG", aid)
                 base = (aid, None, None)
+            elif t.kind == "op" and t.text == "?" \
+                    and self.peek(1).text == ".":
+                # optional chain `a?.b` / `a?.[c]` / `a?.(x)` — drop the
+                # `?` (short-circuit semantics carry no CPG weight) and
+                # re-enter the member/subscript/call arms
+                self.next()
+                if self.peek(1).kind != "ident":
+                    self.next()  # the '.' of `?.[` / `?.(`
             elif t.kind == "op" and t.text == "!" and self.peek(1).text in (
                     ".", "(", "[", ";", ")", ",", "]", "}") :
                 self.next()  # non-null assertion `a!.b` — type-level only
@@ -1393,6 +1481,55 @@ class TsFrontend(Emitter):
             if t.text == "function":  # function expression
                 fid = self.parse_function(self._p(path + ".fnexpr"))
                 return (fid, None, None)
+            if t.text == "async":
+                # `async () => ...` / `async x => ...` / `async function`
+                # — the async marker is shape-only (Promise semantics
+                # carry no CPG weight)
+                nxt = self.peek(1)
+                if nxt.kind == "ident" and nxt.text == "function":
+                    self.next()
+                    fid = self.parse_function(self._p(path + ".fnexpr"))
+                    return (fid, None, None)
+                if nxt.kind == "ident" and self.peek(2).text == "=>":
+                    self.next()
+                    lam = self.parse_arrow(self._p(path + ".lam"))
+                    return (lam, None, None)
+                if nxt.kind == "op" and nxt.text in ("(", "<"):
+                    j = self.i + 1
+                    if self.toks[j].text == "<":  # generic async arrow
+                        d = 0
+                        while j < len(self.toks):
+                            if self.toks[j].text == "<":
+                                d += 1
+                            elif self.toks[j].text == ">":
+                                d -= 1
+                                if d == 0:
+                                    j += 1
+                                    break
+                            j += 1
+                    if j < len(self.toks) and self.toks[j].text == "(":
+                        depth = 1
+                        j += 1
+                        while j < len(self.toks) and depth:
+                            if self.toks[j].text == "(":
+                                depth += 1
+                            elif self.toks[j].text == ")":
+                                depth -= 1
+                            j += 1
+                        # skip a return-type annotation up to `=>`
+                        k = j
+                        while (k < len(self.toks)
+                               and self.toks[k].text not in
+                               ("=>", ";", "{", ")", ",", "eof")):
+                            k += 1
+                        if k < len(self.toks) \
+                                and self.toks[k].text == "=>":
+                            self.next()  # 'async'
+                            if self.peek().text == "<":
+                                self._skip_type_params()
+                            lam = self.parse_arrow(
+                                self._p(path + ".lam"))
+                            return (lam, None, None)
             # arrow lookahead: ident => ...
             if self.peek(1).text == "=>":
                 lam = self.parse_arrow(self._p(path + ".lam"))
@@ -1409,7 +1546,7 @@ class TsFrontend(Emitter):
             self.pending_refs.append((rid_, name, list(self.scopes), "read"))
             return (rid_, d.get("type") if d else None, base_name, name)
         if t.text == "(":
-            # arrow lookahead: scan for `) =>`
+            # arrow lookahead: scan for `) =>` (or `): Type =>`)
             j = self.i + 1
             depth = 1
             while j < len(self.toks) and depth:
@@ -1418,7 +1555,13 @@ class TsFrontend(Emitter):
                 elif self.toks[j].text == ")":
                     depth -= 1
                 j += 1
-            if j < len(self.toks) and self.toks[j].text == "=>":
+            k = j
+            if k < len(self.toks) and self.toks[k].text == ":":
+                while (k < len(self.toks) and self.toks[k].text not in
+                       ("=>", ";", ")", "{", ",") and
+                       self.toks[k].kind != "eof"):
+                    k += 1
+            if k < len(self.toks) and self.toks[k].text == "=>":
                 lam = self.parse_arrow(self._p(path + ".lam"))
                 return (lam, None, None)
             self.next()
@@ -1432,9 +1575,40 @@ class TsFrontend(Emitter):
                             "object", loc=self._tloc(t))
             ki = 0
             while not self.accept("op", "}"):
-                if self.peek().kind in ("ident", "string"):
-                    key = self.next()
+                if self.peek().kind == "op" and self.peek().text == "...":
+                    # spread property `{ ...(base || {}), k: v }` — the
+                    # spread value flows into the literal
+                    self.next()
+                    val, _ = self.parse_expr(f"{path}.obj.sp[{ki}]")
+                    if val:
+                        self.ast_edge(oid, val, "arguments", index=ki)
+                        self.edge(val, "DFG", oid)
+                    self.accept("op", ",")
+                    ki += 1
+                elif self.peek().kind == "op" and self.peek().text == "[":
+                    # computed key `{ [k]: v }`
+                    self.next()
+                    self.parse_expr(f"{path}.obj.k[{ki}]")
+                    self.accept("op", "]")
                     if self.accept("op", ":"):
+                        val, _ = self.parse_expr(f"{path}.obj.v[{ki}]")
+                        if val:
+                            self.ast_edge(oid, val, "arguments", index=ki)
+                            self.edge(val, "DFG", oid)
+                    self.accept("op", ",")
+                    ki += 1
+                elif self.peek().kind in ("ident", "string", "int",
+                                          "float"):
+                    key = self.next()
+                    if (self.peek().kind == "op"
+                            and self.peek().text == "("):
+                        # object method shorthand `{ m(a) { ... } }` —
+                        # parse as a lambda-valued property
+                        fid = self.parse_function(
+                            f"{path}.obj.m[{ki}]", name_tok=key)
+                        if fid:
+                            self.ast_edge(oid, fid, "arguments", index=ki)
+                    elif self.accept("op", ":"):
                         val, _ = self.parse_expr(f"{path}.obj.v[{ki}]")
                         if val:
                             self.ast_edge(oid, val, "arguments", index=ki)
@@ -1448,7 +1622,18 @@ class TsFrontend(Emitter):
                 elif self.peek().kind == "eof":
                     raise TsParseError("unterminated object literal")
                 else:
-                    self.next()
+                    # unknown member form: skip BALANCED so nested braces
+                    # can't eat the literal's closer
+                    tk = self.next()
+                    if tk.kind == "op" and tk.text in ("{", "[", "("):
+                        close = {"{": "}", "[": "]", "(": ")"}[tk.text]
+                        d = 1
+                        while self.peek().kind != "eof" and d:
+                            t2 = self.next()
+                            if t2.kind == "op" and t2.text == tk.text:
+                                d += 1
+                            elif t2.kind == "op" and t2.text == close:
+                                d -= 1
             return (oid, None, None)
         if t.text == "[":
             self.next()

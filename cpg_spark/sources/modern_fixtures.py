@@ -145,6 +145,31 @@ MODERN_TS = {
                "  put<U>(v: U): U { return this.#count ? v : v!; }\n"
                "}\n"
                "const n = <number>val;",
+    # npm-corpus idioms: async arrows, do-while, optional-chain
+    # subscripts/calls, nested destructuring, spread-in-object inside a
+    # class method, keyword-safe ASI (`var` + comment + declarator)
+    "js_idioms": "class Runner {\n"
+                 "  async exec (args) {\n"
+                 "    const { content: { name = 'pkg' }, version } ="
+                 " await load(args)\n"
+                 "    this.opts = {\n"
+                 "      ...(this.opts || {}),\n"
+                 "      _explore: args.join(' ').trim() || name,\n"
+                 "    }\n"
+                 "    for (const [key, val] of Object.entries(args)) {\n"
+                 "      p.then(async () => { if (!key) { throw val } })\n"
+                 "    }\n"
+                 "    let n = 0\n"
+                 "    do {\n"
+                 "      n = version.indexOf('.', n + 1)\n"
+                 "    } while (n !== -1)\n"
+                 "    return manifest?.bin?.[name]?.(n)\n"
+                 "  }\n"
+                 "}\n"
+                 "var\n"
+                 "/* decl continues */\n"
+                 "shell = require('sh')\n"
+                 ";",
     "dts": "declare function f(x: number): void;\n"
            "export declare class Pattern {\n"
            "  #private;\n"

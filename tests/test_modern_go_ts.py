@@ -290,3 +290,37 @@ def test_go_func_literal_is_lambda():
                            " { _ = cb }")
     assert not [n for n in g2.nodes
                 if n["label"] == "LambdaExpression"]
+
+
+def test_ts_js_idioms_from_npm_corpus():
+    """Constructs the npm-codebase sweep exposed: async arrows (arg and
+    bare-param), do-while, optional-chain subscripts/calls, nested
+    destructuring with aliases+defaults, spread-in-object inside class
+    methods, destructured for-of, keyword-safe ASI, arrow return-type
+    annotations. 100 real npm lib files parse at zero problems."""
+    cases = {
+        "async_arrow": "p.then(async () => { const e = await f();"
+                       " if (!e) { throw x } })",
+        "async_bare": "xs.map(async m => { if (!m) { return } })",
+        "do_while": "do {\n  n = s.indexOf(sep, l)\n} while (n !== -1)",
+        "opt_chain": "const v = manifest?.bin?.[cmd]?.(n)",
+        "nested_destr": "const { engines: { node: engines }, version }"
+                        " = require('./package.json')",
+        "destr_default": "const { a = 1, b: { c = 2 } } = o;",
+        "spread_in_method": "class E { m() { o.x = {\n  ...(o.x || {}),"
+                            "\n}\nif (!y) { g() } } }",
+        "destr_for_of": "for (const [key, val] of Object.entries(o))"
+                        " { use(key, val); }",
+        "asi_var": "var\n/* c */\nx = f(require('./m'))\n;",
+        "arrow_ret_type": "const g = (x: number): string => String(x);",
+        "obj_method_shorthand": "const o = { greet(n) { return n },"
+                                " k: 1 };",
+        "regex_after_or": "const ok = (!p || /^\\.@/.test(p));",
+    }
+    for name, src in cases.items():
+        g = parse_ts_document(name + ".ts", 0, src)
+        assert not _probs(g), (name, _probs(g))
+    g = parse_ts_document("d.js", 0, "do { f() } while (x)")
+    assert [n for n in g.nodes if n["label"] == "DoStatement"]
+    g2 = parse_ts_document("a.js", 0, "p.then(async () => { g() })")
+    assert [n for n in g2.nodes if n["label"] == "LambdaExpression"]
