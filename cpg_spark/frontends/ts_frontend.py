@@ -59,7 +59,7 @@ _TOKEN_RE = re.compile(
     | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?)
     | (?P<int>0[xX][0-9a-fA-F]+|\d+)
     | (?P<ident>\#?[A-Za-z_$][A-Za-z0-9_$]*)
-    | (?P<op>===|!==|\.\.\.|=>|\+\+|--|&&|\|\||\?\?|==|!=|<=|>=|\+=|-=|\*=|/=|%=|\*\*|[+\-*/%&|^~<>=!?:.,;(){}\[\]@])
+    | (?P<op>===|!==|\.\.\.|=>|\+\+|--|&&=|\|\|=|\?\?=|&&|\|\||\?\?|==|!=|<<=|>>>=|>>=|<<|>>>|>>|<=|>=|\+=|-=|\*=|/=|%=|&=|\|=|\^=|\*\*=|\*\*|[+\-*/%&|^~<>=!?:.,;(){}\[\]@])
     | (?P<nl>\n)
     | (?P<ws>[ \t\r]+)
     """,
@@ -68,13 +68,16 @@ _TOKEN_RE = re.compile(
 
 _PREC = {
     "??": 1, "||": 1, "&&": 2,
-    "==": 3, "!=": 3, "===": 3, "!==": 3,
-    "<": 4, "<=": 4, ">": 4, ">=": 4, "instanceof": 4, "in": 4,
-    "+": 5, "-": 5,
-    "*": 6, "/": 6, "%": 6, "**": 7,
+    "|": 3, "^": 4, "&": 5,
+    "==": 6, "!=": 6, "===": 6, "!==": 6,
+    "<": 7, "<=": 7, ">": 7, ">=": 7, "instanceof": 7, "in": 7,
+    "<<": 8, ">>": 8, ">>>": 8,
+    "+": 9, "-": 9,
+    "*": 10, "/": 10, "%": 10, "**": 11,
 }
 
-_ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%="}
+_ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=",
+               "<<=", ">>=", ">>>=", "**=", "&&=", "||=", "??="}
 
 _TEMPLATE_EXPR_RE = re.compile(r"\$\{([A-Za-z_$][A-Za-z0-9_$.]*)\}")
 
@@ -403,6 +406,12 @@ class TsFrontend(Emitter):
                 if d <= 0:
                     return
                 continue
+            elif t.kind == "op" and t.text == ">>>":
+                d -= 3
+                self.next()
+                if d <= 0:
+                    return
+                continue
             self.next()
 
     def _type_annotation(self) -> str | None:
@@ -459,6 +468,10 @@ class TsFrontend(Emitter):
                     elif t.text == ">":
                         depth -= 1
                         if depth == 0:
+                            break
+                    elif t.text in (">>", ">>>"):
+                        depth -= 2 if t.text == ">>" else 3
+                        if depth <= 0:
                             break
             while self.peek().text == "[" and self.peek(1).text == "]":
                 parts.append(self.next().text)
@@ -1455,7 +1468,26 @@ class TsFrontend(Emitter):
                                      "DeclaredReferenceExpression",
                                      "new.target", loc=self._tloc(t))
                     return (rid_, None, None)
+                if self.peek().kind == "op" and self.peek().text == "(":
+                    # computed constructor `new (P || Promise)(args)`
+                    self.next()
+                    callee, _ = self.parse_expr(path + ".newc")
+                    self.accept("op", ")")
+                    nid = self.node(self._p(path + ".new"),
+                                    "NewExpression", "",
+                                    loc=self._tloc(t))
+                    if callee:
+                        self.ast_edge(nid, callee, "callee")
+                        self.edge(callee, "DFG", nid)
+                    if self.peek().text == "(":
+                        self._parse_args(nid, path)
+                    return (nid, None, None)
                 cls = self.expect("ident")
+                while (self.peek().kind == "op" and self.peek().text == "."
+                       and self.peek(1).kind == "ident"):
+                    # qualified constructor `new mod.Cls(...)`
+                    self.next()
+                    cls = self.next()
                 nid = self.node(self._p(path + ".new"), "NewExpression",
                                 cls.text, loc=self._tloc(cls))
                 self.eval_type(nid, cls.text)
@@ -1701,8 +1733,8 @@ class TsFrontend(Emitter):
                 d -= 1
                 if d == 0:
                     break
-            elif tk.kind == "op" and tk.text == ">>":
-                d -= 2
+            elif tk.kind == "op" and tk.text in (">>", ">>>"):
+                d -= 2 if tk.text == ">>" else 3
                 if d <= 0:
                     break
             elif tk.kind == "ident":
