@@ -492,7 +492,13 @@ class TsFrontend(Emitter):
                 raise TsParseError("unterminated parameter list")
             self.accept("op", "...")
             for mod in ("public", "private", "protected", "readonly"):
-                self.accept_kw(mod)
+                # only a MODIFIER when a binding follows — `readonly` is
+                # a legal plain parameter NAME in JS
+                if (self.peek().kind == "ident"
+                        and self.peek().text == mod
+                        and (self.peek(1).kind == "ident"
+                             or self.peek(1).text in ("{", "["))):
+                    self.next()
             if self.peek().kind == "op" and self.peek().text in ("{", "["):
                 # destructured parameter `({ a, b }: Opts)` — the bound
                 # names each become a ParameterDeclaration at this index
