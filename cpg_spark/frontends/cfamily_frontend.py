@@ -993,6 +993,11 @@ class CFamilyFrontend(Emitter):
         — the spelled string is canonicalized through
         frontends.typeparser.normalize_type (SURVEY U3), so every alias
         spelling of one type mints the same content-hash Type id."""
+        if (self.dialect == "cpp" and self.peek().kind == "::"
+                and self.peek(1).kind == "ident"):
+            # global-namespace qualifier `::__gnu_debug::_Safe_iterator`
+            # — spelling-only (the canonical type drops the root anchor)
+            self.next()
         prefix: list[str] = []
         while (self.dialect == "cpp" and self.peek().kind == "ident"
                and self.peek().text not in _KEYWORDS
@@ -1016,6 +1021,9 @@ class CFamilyFrontend(Emitter):
         while self.peek().kind == "ident" and self.peek().text in (
                 "const", "unsigned", "signed", "volatile"):
             prefix.append(self.next().text)
+        if (self.dialect == "cpp" and self.peek().kind == "::"
+                and self.peek(1).kind == "ident"):
+            self.next()  # `const ::ns::T&` — qualifier-then-root form
         if (self.dialect == "cpp" and self.peek().kind == "ident"
                 and self.peek().text == "typename"
                 and self.peek(1).kind == "ident"):
@@ -4226,8 +4234,10 @@ class CFamilyFrontend(Emitter):
                               or definite):
                     # a pointer spelling, or a KNOWN type (`(unsigned
                     # long)*put++`): `*`/`&` after it must be unary —
-                    # a bare unresolved `(a) & b` stays binary
-                    follow = follow + ("&", "*", "-", "+", "!", "~")
+                    # a bare unresolved `(a) & b` stays binary;
+                    # `(void)++it` discards an increment (stl_algobase.h)
+                    follow = follow + ("&", "*", "-", "+", "!", "~",
+                                       "++", "--")
                 if tname and self.peek().kind == ")" \
                         and self.peek(1).kind in follow:
                     self.next()
