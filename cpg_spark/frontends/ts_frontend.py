@@ -656,6 +656,18 @@ class TsFrontend(Emitter):
         supers = []
         if self.accept_kw("extends"):
             sup = self._parse_type()
+            if self.peek().kind == "op" and self.peek().text == "(":
+                # mixin heritage `class C extends mixin(Base)` — the
+                # factory call is spelling-only; keep the callee name
+                d = 0
+                while self.peek().kind != "eof":
+                    tk = self.next()
+                    if tk.kind == "op" and tk.text == "(":
+                        d += 1
+                    elif tk.kind == "op" and tk.text == ")":
+                        d -= 1
+                        if d == 0:
+                            break
             base = sup.split("<")[0].split(".")[-1]
             supers.append(base)
             self.edge(rid, "SUPER_TYPE", self.type_node(base))
