@@ -381,3 +381,25 @@ def test_cpp_operator_overloads_and_brace_init_lists():
     throws = [n for n in g.nodes if n["label"] == "UnaryOperator"
               and n["name"] == "throw"]
     assert len(throws) == 1
+
+
+def test_cpp_conversion_operators():
+    """`operator bool()` / `explicit operator int()` / pointer targets
+    emit MethodDeclarations named `operator <type>` (CDT
+    ICPPASTConversionName); previously dropped silently."""
+    from cpg_spark.frontends.cfamily_frontend import parse_cpp_document
+
+    g = parse_cpp_document(
+        "conv.cpp", 0,
+        "struct S {\n"
+        "  operator bool() const { return ok; }\n"
+        "  explicit operator int() const { return 1; }\n"
+        "  operator const char*() const { return p; }\n"
+        "  bool ok;\n"
+        "  const char* p;\n"
+        "};\n")
+    assert not [n for n in g.nodes if "Problem" in (n["label"] or "")]
+    names = {n["name"] for n in g.nodes
+             if n["label"] == "MethodDeclaration"}
+    assert {"operator bool", "operator int",
+            "operator const char*"} <= names
