@@ -285,6 +285,12 @@ def _filter_conditionals(toks: list[Tok], symbols: dict | None) -> list[Tok]:
         return not stack or stack[-1]["cur"]
 
     for t in toks:
+        if t.kind == "eof":
+            # the eof sentinel survives even inside an inactive branch —
+            # an unterminated `#ifdef` at file end (real code truncates)
+            # must not starve the parser of its loop terminator
+            out.append(t)
+            continue
         if t.kind == "preproc":
             m = _COND_RE.match(t.text)
             if m:

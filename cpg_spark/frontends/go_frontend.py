@@ -509,6 +509,15 @@ class GoFrontend(Emitter):
         self.skip_semis()
         mi = 0
         while self.peek().kind != "}" and self.peek().kind != "eof":
+            if self.peek().kind != "ident" or (
+                    self.peek().kind == "ident"
+                    and self.peek(1).kind == "|"):
+                # type-constraint element `~int | ~int8` (Go 1.18
+                # interface constraints) — erased like type params
+                while self.peek().kind not in (";", "}", "eof"):
+                    self.next()
+                self.skip_semis()
+                continue
             mt = self.expect("ident")
             if self.peek().kind != "(":
                 # embedded interface `io.Reader` / `Closer` — a SUPER_TYPE

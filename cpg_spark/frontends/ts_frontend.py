@@ -58,7 +58,7 @@ _TOKEN_RE = re.compile(
     | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
     | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?)
     | (?P<int>0[xX][0-9a-fA-F]+|\d+)
-    | (?P<ident>\#?[A-Za-z_$][A-Za-z0-9_$]*)
+    | (?P<ident>\#?[^\W\d][\w$]*|\#?\$[\w$]*)
     | (?P<op>===|!==|\.\.\.|=>|\+\+|--|&&=|\|\|=|\?\?=|&&|\|\||\?\?|==|!=|<<=|>>>=|>>=|<<|>>>|>>|<=|>=|\+=|-=|\*=|/=|%=|&=|\|=|\^=|\*\*=|\*\*|[+\-*/%&|^~<>=!?:.,;(){}\[\]@])
     | (?P<nl>\n)
     | (?P<ws>[ \t\r]+)

@@ -85,3 +85,17 @@ def test_compdb_driven_two_branch_golden(spark):
         ("/src/legacy.cpp", "slow_path"),
         ("/src/legacy.cpp", "v1_only"),
     ]
+
+
+def test_unterminated_ifdef_terminates():
+    """An `#ifdef` with no `#endif` at file end (truncated/real-world
+    code) must not starve the parser of its eof sentinel — previously an
+    infinite loop (one pathological file would stall an executor task
+    forever at corpus scale)."""
+    from cpg_spark.frontends.cfamily_frontend import parse_cpp_document
+
+    g = parse_cpp_document("t.cpp", 0,
+                           "int x = 1;\n#ifdef NOPE\nint y = 2;\n")
+    names = {n["name"] for n in g.nodes
+             if n["label"] == "VariableDeclaration"}
+    assert names == {"x"}  # y stays in the inactive branch
