@@ -107,11 +107,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpg_eog_jumps": Q.q_cpg_eog_jumps,
         "cpg_eog_reach": Q.q_cpg_eog_reach,
         "cpg_eog_expr": Q.q_cpg_eog_expr,
-        "cpg_enums": Q.q_cpg_enums,
         "cpg_generics": Q.q_cpg_generics,
-        "cpg_lambdas": Q.q_cpg_lambdas,              # new (r4)
-        "cpg_annotations": Q.q_cpg_annotations,      # new (r4)
-        "cpg_problem_rate": Q.q_cpg_problem_rate,    # new (r4)
+        # r5 consolidation (VERDICT item 8): enums+annotations+lambdas
+        # goldens share ONE parsed corpus; each leg digests the member's
+        # exact former singleton result (q, n_rows, vhash)
+        "cpg_syntax_profile": Q.q_cpg_syntax_profile,
+        "cpg_python_modern": Q.q_cpg_python_modern,  # new (r5): full-
+        # fidelity python layer golden (comprehensions/with/f-strings/...)
+        "cpg_problem_rate": Q.q_cpg_problem_rate,    # + gap_pm col (r5)
         "cpg_checks": Q.q_cpg_checks,                # merged nullptr+oob
         "cpg_llvm": Q.q_cpg_llvm,                    # merged triples+compress
         "cpg_script_triples": Q.q_cpg_script_triples,  # merged ts+ps
@@ -137,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # annex: singletons already digest-verified in-window this round
         # via their profile leg / merged registration; kept for local
         # parity + per-query debugging
+        "cpg_enums": Q.q_cpg_enums,
+        "cpg_lambdas": Q.q_cpg_lambdas,
+        "cpg_annotations": Q.q_cpg_annotations,
         "cpg_fnptr_calls": Q.q_cpg_fnptr_calls,
         "cpg_fnptr_sigs": Q.q_cpg_fnptr_sigs,
         "cpg_nullptr_check": Q.q_cpg_nullptr_check,
@@ -1347,11 +1353,11 @@ def oracle_sql() -> dict[str, str]:
         "cpg_triples_profile": """
             SELECT * FROM (VALUES
               ('ARGUMENTS', CAST(19 AS BIGINT), CAST(2148279002078063 AS BIGINT)),
-              ('AST', CAST(454 AS BIGINT), CAST(64671688401432458 AS BIGINT)),
+              ('AST', CAST(454 AS BIGINT), CAST(65153236780701067 AS BIGINT)),
               ('CALLS', CAST(25 AS BIGINT), CAST(3503383263104318 AS BIGINT)),
               ('CONSTRUCTOR', CAST(1 AS BIGINT), CAST(163707516477378 AS BIGINT)),
               ('CONSTRUCTORS', CAST(1 AS BIGINT), CAST(210168901594849 AS BIGINT)),
-              ('DFG', CAST(173 AS BIGINT), CAST(25368536392724576 AS BIGINT)),
+              ('DFG', CAST(175 AS BIGINT), CAST(25640029127350354 AS BIGINT)),
               ('EOG', CAST(382 AS BIGINT), CAST(52542126733505611 AS BIGINT)),
               ('EVAL_TYPE', CAST(165 AS BIGINT), CAST(23307680215346817 AS BIGINT)),
               ('FIELDS', CAST(11 AS BIGINT), CAST(1390082790571411 AS BIGINT)),
@@ -1359,7 +1365,7 @@ def oracle_sql() -> dict[str, str]:
               ('METHODS', CAST(11 AS BIGINT), CAST(1198288854625888 AS BIGINT)),
               ('PARAMETERS', CAST(8 AS BIGINT), CAST(1080010504956329 AS BIGINT)),
               ('RECEIVER', CAST(11 AS BIGINT), CAST(1017884710587365 AS BIGINT)),
-              ('REFERS_TO', CAST(46 AS BIGINT), CAST(6507087151171557 AS BIGINT)),
+              ('REFERS_TO', CAST(49 AS BIGINT), CAST(6994219833916803 AS BIGINT)),
               ('SUPER_TYPE', CAST(1 AS BIGINT), CAST(235700629538344 AS BIGINT)))
               AS t(pred, n_triples, vhash)
             ORDER BY pred
@@ -1778,24 +1784,26 @@ def oracle_sql() -> dict[str, str]:
     o["cpg_problem_rate"] = """
         SELECT * FROM (VALUES
           ('cpp', CAST(121 AS BIGINT), CAST(6247 AS BIGINT),
-           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('go', CAST(15 AS BIGINT), CAST(282 AS BIGINT),
-           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('java', CAST(90 AS BIGINT), CAST(4084 AS BIGINT),
-           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('modern_cpp', CAST(9 AS BIGINT), CAST(267 AS BIGINT),
-           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('modern_go', CAST(7 AS BIGINT), CAST(226 AS BIGINT),
-           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('modern_java', CAST(5 AS BIGINT), CAST(125 AS BIGINT),
-           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('modern_ps', CAST(1 AS BIGINT), CAST(27 AS BIGINT),
-           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          ('modern_python', CAST(7 AS BIGINT), CAST(281 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('modern_ts', CAST(7 AS BIGINT), CAST(224 AS BIGINT),
-           CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('python', CAST(15 AS BIGINT), CAST(350 AS BIGINT),
-           CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
-          AS t(lang, n_files, n_nodes, n_degraded, degrade_pm)
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+          AS t(lang, n_files, n_nodes, n_degraded, degrade_pm, gap_pm)
         ORDER BY lang
     """
 
@@ -1881,6 +1889,64 @@ def oracle_sql() -> dict[str, str]:
         ("media_audio_chunks", o["media_audio_chunks"],
          ["media_ref", "chunk_no", "start_ms", "end_ms", "chunk_sha"]),
     ])
+    # r5: shared-parse syntax profile — each leg wraps the member's
+    # EXISTING golden VALUES oracle in the (q, n_rows, vhash) digest
+    o["cpg_syntax_profile"] = _profile_sql([
+        ("cpg_enums", o["cpg_enums"],
+         ["doc_id", "enum_name", "entry_name", "entry_index", "entry_type"]),
+        ("cpg_annotations", o["cpg_annotations"],
+         ["owner_label", "owner_name", "annotation", "member", "value"]),
+        ("cpg_lambdas", o["cpg_lambdas"],
+         ["doc_id", "line", "n_params", "lam_type", "fn_dfg"]),
+    ])
+    # r5 golden: the python full-fidelity layer over the modern-python
+    # fixture battery — one row per (doc, fact); a construct degrading
+    # back to an empty gap node would add a 'gap' row (none pinned), a
+    # resolution regression moves a REFERS_TO count
+    o["cpg_python_modern"] = """
+        SELECT * FROM (VALUES
+          ('modern/py/comprehensions', 'CollectionComprehension', CAST(4 AS BIGINT)),
+          ('modern/py/comprehensions', 'ComprehensionExpression', CAST(4 AS BIGINT)),
+          ('modern/py/comprehensions', 'KeyValueExpression', CAST(1 AS BIGINT)),
+          ('modern/py/comprehensions', 'REFERS_TO', CAST(11 AS BIGINT)),
+          ('modern/py/comprehensions', 'VariableDeclaration', CAST(10 AS BIGINT)),
+          ('modern/py/fstrings_bool', 'CastExpression', CAST(2 AS BIGINT)),
+          ('modern/py/fstrings_bool', 'REFERS_TO', CAST(7 AS BIGINT)),
+          ('modern/py/fstrings_bool', 'UnaryOperator', CAST(1 AS BIGINT)),
+          ('modern/py/fstrings_bool', 'VariableDeclaration', CAST(6 AS BIGINT)),
+          ('modern/py/generators_star', 'ParamVariableDeclaration', CAST(3 AS BIGINT)),
+          ('modern/py/generators_star', 'REFERS_TO', CAST(5 AS BIGINT)),
+          ('modern/py/generators_star', 'UnaryOperator', CAST(2 AS BIGINT)),
+          ('modern/py/generators_star', 'VariableDeclaration', CAST(4 AS BIGINT)),
+          ('modern/py/lambdas_walrus', 'LambdaExpression', CAST(1 AS BIGINT)),
+          ('modern/py/lambdas_walrus', 'ParamVariableDeclaration', CAST(2 AS BIGINT)),
+          ('modern/py/lambdas_walrus', 'REFERS_TO', CAST(5 AS BIGINT)),
+          ('modern/py/lambdas_walrus', 'VariableDeclaration', CAST(4 AS BIGINT)),
+          ('modern/py/slices_match', 'ArrayRangeExpression', CAST(2 AS BIGINT)),
+          ('modern/py/slices_match', 'CaseStatement', CAST(3 AS BIGINT)),
+          ('modern/py/slices_match', 'ParamVariableDeclaration', CAST(1 AS BIGINT)),
+          ('modern/py/slices_match', 'REFERS_TO', CAST(6 AS BIGINT)),
+          ('modern/py/slices_match', 'SwitchStatement', CAST(1 AS BIGINT)),
+          ('modern/py/slices_match', 'UnaryOperator', CAST(1 AS BIGINT)),
+          ('modern/py/slices_match', 'VariableDeclaration', CAST(3 AS BIGINT)),
+          ('modern/py/try_handlers', 'CatchClause', CAST(1 AS BIGINT)),
+          ('modern/py/try_handlers', 'CollectionComprehension', CAST(1 AS BIGINT)),
+          ('modern/py/try_handlers', 'ComprehensionExpression', CAST(1 AS BIGINT)),
+          ('modern/py/try_handlers', 'DeleteExpression', CAST(1 AS BIGINT)),
+          ('modern/py/try_handlers', 'KeyValueExpression', CAST(1 AS BIGINT)),
+          ('modern/py/try_handlers', 'ParamVariableDeclaration', CAST(1 AS BIGINT)),
+          ('modern/py/try_handlers', 'REFERS_TO', CAST(11 AS BIGINT)),
+          ('modern/py/try_handlers', 'TryStatement', CAST(1 AS BIGINT)),
+          ('modern/py/try_handlers', 'VariableDeclaration', CAST(5 AS BIGINT)),
+          ('modern/py/with_raise', 'AssertStatement', CAST(1 AS BIGINT)),
+          ('modern/py/with_raise', 'ParamVariableDeclaration', CAST(1 AS BIGINT)),
+          ('modern/py/with_raise', 'REFERS_TO', CAST(6 AS BIGINT)),
+          ('modern/py/with_raise', 'TryStatement', CAST(1 AS BIGINT)),
+          ('modern/py/with_raise', 'UnaryOperator', CAST(2 AS BIGINT)),
+          ('modern/py/with_raise', 'VariableDeclaration', CAST(2 AS BIGINT)))
+          AS t(doc_id, fact, n)
+        ORDER BY doc_id, fact
+    """
     # ---- merged CPG golden oracles (leg-tagged unions of the original
     # hand-derived VALUES, semantics unchanged) ----
     o["cpg_fnptr"] = (

@@ -139,7 +139,12 @@ class EogBuilder:
             # loop back-edge (EvaluationOrderGraphPass.java:890-905)
             self.connect(body_exits, head)
             breaks = self._pop_loop(frame)
-            return [(head, "false")] + [(b, None) for b in breaks]
+            norm = [(head, "false")]
+            if info.get("orelse"):
+                # python loop-`else`: runs on normal exit only — breaks
+                # bypass it and merge after (full-fidelity python frontend)
+                norm = self.seq(info["orelse"], norm)
+            return norm + [(b, None) for b in breaks]
         if kind == "for":
             # 3-clause for (EvaluationOrderGraphPass.java:953-1029):
             # preds -> init -> cond -(true)-> body -> post -> cond; exit on
@@ -298,6 +303,7 @@ _OPERAND_FIELD_ORDER = {
     "SUBSCRIPT_EXPRESSION": 2,
     "RHS": 2,
     "MESSAGE": 2,
+    "RESOURCES": 2,
     "ARGUMENTS": 3,
     "INITIALIZERS": 3,
     "DIMENSIONS": 3,

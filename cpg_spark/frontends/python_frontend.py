@@ -3,11 +3,32 @@
 Behavioral re-derivation of the reference's own Python frontend
 (``cpg-language-python/src/main/python/CPGPython/`` — ``_statements.py``,
 ``_expressions.py``, ``__init__.py``), which itself runs CPython's ``ast``
-module.  We intentionally reproduce the reference's handled/unhandled
-matrix, including its documented gaps (BoolOp, NamedExpr, UnaryOp, Lambda,
-Set, comprehensions, Yield, chained comparisons, f-strings, Starred, Slice →
-empty ``Expression`` dummy; ``_expressions.py:46-139``) so that fixture
-precision/recall is measured against identical semantics.
+module.
+
+Two modes (round 5):
+
+* **full fidelity** (the DEFAULT, ``parity_mode=False``): every construct
+  the reference logs NOT_IMPLEMENTED for — BoolOp, NamedExpr, UnaryOp,
+  Lambda, Set, comprehensions, Yield, chained comparisons, f-strings,
+  Starred, Slice, With, Raise, Assert, Delete, Global/Nonlocal, Continue,
+  try-handlers, loop-``else``, ``*args``/keyword-only/``**kwargs``
+  parameters, decorators, tuple-unpacking assignment — is modeled with
+  real nodes in the reference's own vocabulary (UnaryOperator,
+  LambdaExpression, CatchClause, AssertStatement, ArrayRangeExpression,
+  DeleteExpression ... exactly the labels the C-family/Go/TS frontends
+  already emit for the analogous constructs), so real-world Python code
+  resolves references/calls instead of degrading to empty gap nodes.
+
+* **reference parity** (``parity_mode=True``): reproduces the reference's
+  handled/unhandled matrix verbatim, including its documented gaps
+  (``_expressions.py:46-139``, ``_statements.py:91-243`` → empty
+  ``Expression``/``Statement`` dummies), so fixture precision/recall is
+  measured against identical semantics.  The P/R oracle gates
+  (tests/test_fixture_triples.py, hand-derived from
+  ``PythonFrontendTest.kt:52-195``) run in this mode.  The reference's
+  own test fixtures use no gapped construct, so both modes emit
+  identical rows for them — parity mode exists to keep that equivalence
+  falsifiable.
 
 Differences from the reference are architectural, not semantic: instead of
 mutating a Java object graph through jep, we emit immutable rows
@@ -39,6 +60,10 @@ _CMPOP = {
     ast.Gt: ">", ast.GtE: ">=", ast.Is: "is", ast.IsNot: "is not",
     ast.In: "in", ast.NotIn: "not in",
 }
+
+# unary operator spellings (full-fidelity mode; same UnaryOperator node
+# model as the C-family frontend's INPUT-child handling)
+_UNOP = {ast.USub: "-", ast.UAdd: "+", ast.Invert: "~", ast.Not: "not"}
 
 # expression AST kinds the reference logs NOT_IMPLEMENTED for and replaces
 # with an empty Expression node (_expressions.py:46-139)
@@ -84,8 +109,10 @@ def _const_type(v) -> str | None:
 
 
 class PythonFrontend(Emitter):
-    def __init__(self, doc_id: str, span_offset: int, source: str, module_name: str):
+    def __init__(self, doc_id: str, span_offset: int, source: str,
+                 module_name: str, parity_mode: bool = False):
         super().__init__(doc_id, span_offset, source, module_name)
+        self.parity = parity_mode
         # deferred resolutions, settled once the whole module is parsed
         # (the reference settles them in whole-graph passes;
         # VariableUsageResolver.java / CallResolver.java)
@@ -159,10 +186,17 @@ class PythonFrontend(Emitter):
             cid, _ = self.handle_expression(stmt.test, path + ".c")
             self.ast_edge(nid, cid, "CONDITION", 0)
             body_id, body_infos = self.compound(stmt.body, path + ".body", nid, "STATEMENT")
-            # "orelse" unsupported (_statements.py:116-120)
-            return nid, {"kind": "while", "nid": nid, "cond": cid,
-                         "body": [{"kind": "compound", "nid": body_id,
-                                   "stmts": body_infos}]}, False
+            info = {"kind": "while", "nid": nid, "cond": cid,
+                    "body": [{"kind": "compound", "nid": body_id,
+                              "stmts": body_infos}]}
+            # "orelse" unsupported in parity mode (_statements.py:116-120);
+            # fidelity: runs on normal loop exit, bypassed by break
+            if stmt.orelse and not self.parity:
+                else_id, else_infos = self.compound(stmt.orelse, path + ".else",
+                                                    nid, "ELSE_STATEMENT")
+                info["orelse"] = [{"kind": "compound", "nid": else_id,
+                                   "stmts": else_infos}]
+            return nid, info, False
         if isinstance(stmt, ast.If):
             nid = self.node(path, "IfStatement", "", _loc(stmt))
             cid, _ = self.handle_expression(stmt.test, path + ".c")
@@ -204,24 +238,234 @@ class PythonFrontend(Emitter):
         if isinstance(stmt, ast.Try):
             nid = self.node(path, "TryStatement", "", _loc(stmt))
             try_id, try_infos = self.compound(stmt.body, path + ".try", nid, "TRY_BLOCK")
+            body_infos = [{"kind": "compound", "nid": try_id, "stmts": try_infos}]
+            catches = []
+            if not self.parity:
+                # except handlers -> CatchClause nodes (same node model the
+                # C-family frontend emits for catch: CATCH_CLAUSES field,
+                # PARAMETER exception variable, BODY block); the handler
+                # variable is scoped like the reference's catch-locals
+                for hi, h in enumerate(stmt.handlers):
+                    cnid = self.node(f"{path}.cat[{hi}]", "CatchClause", "",
+                                     _loc(h))
+                    self.ast_edge(nid, cnid, "CATCH_CLAUSES", hi)
+                    etype = None
+                    if h.type is not None:
+                        tid_, tmeta = self.handle_expression(
+                            h.type, f"{path}.cat[{hi}].t")
+                        etype = tmeta.get("name")
+                    if h.name:
+                        pid = self.node(f"{path}.cat[{hi}].p",
+                                        "VariableDeclaration", h.name, _loc(h))
+                        if etype:
+                            self.eval_type(pid, etype)
+                        self.ast_edge(cnid, pid, "PARAMETER", 0)
+                        self.declare(h.name, pid, "var", etype)
+                    cbid, cinfos = self.compound(h.body, f"{path}.cat[{hi}].b",
+                                                 cnid, "BODY")
+                    catches.append({"nid": cnid,
+                                    "stmts": [{"kind": "compound", "nid": cbid,
+                                               "stmts": cinfos}]})
+                if stmt.orelse:
+                    # `else:` runs after the body completes without raising —
+                    # chained after the body in EOG (catches bypass it)
+                    else_id, else_infos = self.compound(
+                        stmt.orelse, path + ".else", nid, "ELSE_BLOCK")
+                    body_infos.append({"kind": "compound", "nid": else_id,
+                                       "stmts": else_infos})
             fin_id, fin_infos = self.compound(stmt.finalbody, path + ".fin", nid,
                                               "FINALLY_BLOCK")
-            # handlers / orelse: NOT_IMPLEMENTED in the reference
-            return nid, {"kind": "try", "nid": nid,
-                         "body": [{"kind": "compound", "nid": try_id, "stmts": try_infos}],
+            # parity mode: handlers / orelse NOT_IMPLEMENTED in the reference
+            return nid, {"kind": "try", "nid": nid, "body": body_infos,
+                         "catches": catches,
                          "final": [{"kind": "compound", "nid": fin_id,
                                     "stmts": fin_infos}]}, False
-        if isinstance(stmt, _STMT_GAPS):
+        if isinstance(stmt, _STMT_GAPS) and self.parity:
             nid = self.node(path, "Statement", "", _loc(stmt), code="")
             return nid, {"kind": "plain", "nid": nid}, False
+        if not self.parity:
+            handled = self._stmt_fidelity(stmt, path)
+            if handled is not None:
+                return handled
         nid = self.node(path, "Statement", "", _loc(stmt), code="")
         return nid, {"kind": "plain", "nid": nid}, False
+
+    # ------------------------------------------- full-fidelity statements
+    def _stmt_fidelity(self, stmt, path):
+        """Real node models for the reference's NOT_IMPLEMENTED statements
+        (round 5, VERDICT item 1).  Returns None for kinds neither the
+        parity matrix nor this layer models (the honest gap fallthrough)."""
+        if isinstance(stmt, ast.Continue):
+            nid = self.node(path, "ContinueStatement", "", _loc(stmt))
+            return nid, {"kind": "continue", "nid": nid}, False
+        if isinstance(stmt, ast.Raise):
+            # same model as C++ `throw`: UnaryOperator with INPUT operand
+            # (cfamily_frontend handles throw identically); EOG clears
+            # fall-through like return
+            nid = self.node(path, "UnaryOperator", "raise", _loc(stmt),
+                            props={"operator": "raise"})
+            if stmt.exc is not None:
+                eid, _ = self.handle_expression(stmt.exc, path + ".e")
+                self.ast_edge(nid, eid, "INPUT", 0)
+                self.edge(eid, "DFG", nid)
+            return nid, {"kind": "throw", "nid": nid}, False
+        if isinstance(stmt, ast.Assert):
+            # AssertStatement with CONDITION + MESSAGE children
+            # (statements/AssertStatement.java; java dialect emits the same)
+            nid = self.node(path, "AssertStatement", "", _loc(stmt))
+            cid, _ = self.handle_expression(stmt.test, path + ".c")
+            self.ast_edge(nid, cid, "CONDITION", 0)
+            if stmt.msg is not None:
+                mid, _ = self.handle_expression(stmt.msg, path + ".msg")
+                self.ast_edge(nid, mid, "MESSAGE", 0)
+            return nid, {"kind": "plain", "nid": nid}, False
+        if isinstance(stmt, ast.Delete):
+            # DeleteExpression with OPERAND children
+            # (expressions/DeleteExpression.java; cpp `delete` parity)
+            nid = self.node(path, "DeleteExpression", "", _loc(stmt))
+            for i, t in enumerate(stmt.targets):
+                tid, _ = self.handle_expression(t, f"{path}.t[{i}]")
+                self.ast_edge(nid, tid, "OPERAND", i)
+            return nid, {"kind": "plain", "nid": nid}, False
+        if isinstance(stmt, (ast.With, ast.AsyncWith)):
+            # context managers: each item's context expression is a
+            # RESOURCE child (the TryStatement resource model,
+            # statements/TryStatement.java resources); `as v` binds a
+            # fresh VariableDeclaration fed by the context expression
+            nid = self.node(path, "TryStatement", "with", _loc(stmt),
+                            props={"with": "true"})
+            for i, item in enumerate(stmt.items):
+                cid, cmeta = self.handle_expression(item.context_expr,
+                                                    f"{path}.ctx[{i}]")
+                ov = item.optional_vars
+                if isinstance(ov, ast.Name):
+                    # `with ctx() as v:` — v is a VariableDeclaration whose
+                    # INITIALIZER is the context expression (single AST
+                    # parent; VariableDeclaration.java:118 DFG init -> var)
+                    vid = self.node(f"{path}.as[{i}]", "VariableDeclaration",
+                                    ov.id, _loc(ov))
+                    self.ast_edge(nid, vid, "RESOURCES", i)
+                    self.ast_edge(vid, cid, "INITIALIZER", 0)
+                    self.edge(cid, "DFG", vid)
+                    if cmeta.get("type"):
+                        self.eval_type(vid, cmeta["type"])
+                    self.declare(ov.id, vid, "var", cmeta.get("type"))
+                else:
+                    self.ast_edge(nid, cid, "RESOURCES", i)
+            body_id, body_infos = self.compound(stmt.body, path + ".body", nid,
+                                                "TRY_BLOCK")
+            return nid, {"kind": "try", "nid": nid,
+                         "body": [{"kind": "compound", "nid": body_id,
+                                   "stmts": body_infos}],
+                         "final": []}, False
+        if isinstance(stmt, ast.Global):
+            # binds the names to module scope for the rest of this scope —
+            # assignments then resolve to (or forward-declare) the
+            # module-level VariableDeclaration instead of a new local
+            mod = next((s for s in self.scopes if s.kind == "module"), None)
+            for j, nm in enumerate(stmt.names):
+                if mod is None:
+                    continue
+                d = mod.decls.get(nm)
+                if d is None:
+                    vid = self.node(f"{path}.d[{j}]", "VariableDeclaration",
+                                    nm, _loc(stmt), is_implicit=True)
+                    d = {"decl_id": vid, "kind": "var", "type": None,
+                         "seq": self.tick()}
+                    mod.decls[nm] = d
+                self.scopes[-1].decls[nm] = d
+            nid = self.node(path, "Statement", "global", _loc(stmt))
+            return nid, {"kind": "plain", "nid": nid}, False
+        if isinstance(stmt, ast.Nonlocal):
+            # aliases the enclosing function's binding into this scope
+            fn_frames = [i for i, s in enumerate(self.scopes)
+                         if s.kind == "function"]
+            outer = self.scopes[:fn_frames[-1]] if fn_frames else []
+            for nm in stmt.names:
+                for s in reversed(outer):
+                    if nm in s.decls and s.kind in ("function", "block"):
+                        self.scopes[-1].decls[nm] = s.decls[nm]
+                        break
+            nid = self.node(path, "Statement", "nonlocal", _loc(stmt))
+            return nid, {"kind": "plain", "nid": nid}, False
+        if isinstance(stmt, ast.Match):
+            return self._handle_match(stmt, path)
+        return None
+
+    def _handle_match(self, stmt, path):
+        """``match``/``case`` -> SwitchStatement node model (selector as
+        CONDITION, one CompoundStatement per case, implicit-break
+        semantics like Go's EOG switch shape).  Capture patterns declare
+        their names so case bodies resolve."""
+        nid = self.node(path, "SwitchStatement", "", _loc(stmt))
+        sid, _ = self.handle_expression(stmt.subject, path + ".sel")
+        self.ast_edge(nid, sid, "CONDITION", 0)
+        cases = []
+        has_default = False
+
+        def bind_pattern(p, ppath, k=[0]):
+            """Declare every capture name in a match pattern."""
+            if isinstance(p, ast.MatchAs):
+                if p.name:
+                    vid = self.node(f"{ppath}.cap[{k[0]}]",
+                                    "VariableDeclaration", p.name, _loc(p))
+                    self.declare(p.name, vid, "var", None)
+                    self.edge(sid, "DFG", vid)
+                    k[0] += 1
+                if p.pattern is not None:
+                    bind_pattern(p.pattern, ppath, k)
+            elif isinstance(p, ast.MatchStar):
+                if p.name:
+                    vid = self.node(f"{ppath}.cap[{k[0]}]",
+                                    "VariableDeclaration", p.name, _loc(p))
+                    self.declare(p.name, vid, "var", None)
+                    k[0] += 1
+            elif isinstance(p, ast.MatchValue):
+                self.handle_expression(p.value, f"{ppath}.val[{k[0]}]")
+                k[0] += 1
+            elif isinstance(p, (ast.MatchSequence, ast.MatchOr)):
+                for sub in p.patterns:
+                    bind_pattern(sub, ppath, k)
+            elif isinstance(p, ast.MatchMapping):
+                for sub in p.patterns:
+                    bind_pattern(sub, ppath, k)
+                if p.rest:
+                    vid = self.node(f"{ppath}.cap[{k[0]}]",
+                                    "VariableDeclaration", p.rest, _loc(p))
+                    self.declare(p.rest, vid, "var", None)
+                    k[0] += 1
+            elif isinstance(p, ast.MatchClass):
+                self.handle_expression(p.cls, f"{ppath}.cls[{k[0]}]")
+                k[0] += 1
+                for sub in list(p.patterns) + list(p.kwd_patterns):
+                    bind_pattern(sub, ppath, k)
+
+        for ci, case in enumerate(stmt.cases):
+            cpath = f"{path}.case[{ci}]"
+            cnid = self.node(cpath, "CaseStatement", "", _loc(case.pattern))
+            self.ast_edge(nid, cnid, "STATEMENTS", ci)
+            bind_pattern(case.pattern, cpath)
+            if case.guard is not None:
+                gid, _ = self.handle_expression(case.guard, cpath + ".g")
+                self.ast_edge(cnid, gid, "CASE_EXPRESSION", 0)
+            is_default = (isinstance(case.pattern, ast.MatchAs)
+                          and case.pattern.pattern is None
+                          and case.pattern.name is None)
+            has_default = has_default or is_default
+            body_id, body_infos = self.compound(case.body, cpath + ".b", cnid,
+                                                "STATEMENTS")
+            cases.append({"nid": cnid, "default": is_default,
+                          "stmts": [{"kind": "compound", "nid": body_id,
+                                     "stmts": body_infos}]})
+        return nid, {"kind": "switch", "nid": nid, "cond": sid,
+                     "cases": cases}, False
 
     def handle_for(self, stmt, path):
         """ForEachStatement (_statements.py:397-423): the loop variable is a
         fresh VariableDeclaration wrapped in a DeclarationStatement when it
         doesn't resolve, else the parsed expression."""
         nid = self.node(path, "ForEachStatement", "", _loc(stmt))
+        var_targets = []
         if isinstance(stmt.target, ast.Name) and self.resolve(stmt.target.id) is None:
             vid = self.node(path + ".var", "VariableDeclaration", stmt.target.id,
                             _loc(stmt.target))
@@ -230,21 +474,50 @@ class PythonFrontend(Emitter):
                            _loc(stmt.target))
             self.ast_edge(ds, vid, "DECLARATIONS", 0)
             self.ast_edge(nid, ds, "VARIABLE", 0)
-            var_target = vid
+            var_targets.append(vid)
+        elif (not self.parity
+              and isinstance(stmt.target, (ast.Tuple, ast.List))):
+            # `for k, v in ...` — each fresh name becomes its own
+            # VariableDeclaration under one DeclarationStatement (fidelity;
+            # parity routes the tuple through handle_expression's ILE)
+            ds = self.node(path + ".var.ds", "DeclarationStatement", "",
+                           _loc(stmt.target))
+            self.ast_edge(nid, ds, "VARIABLE", 0)
+            for ti, el in enumerate(stmt.target.elts):
+                el2 = el.value if isinstance(el, ast.Starred) else el
+                if isinstance(el2, ast.Name) and self.resolve(el2.id) is None:
+                    vid = self.node(f"{path}.var[{ti}]", "VariableDeclaration",
+                                    el2.id, _loc(el2))
+                    self.declare(el2.id, vid, "var", None)
+                    self.ast_edge(ds, vid, "DECLARATIONS", ti)
+                    var_targets.append(vid)
+                else:
+                    tid, _ = self.handle_expression(el2, f"{path}.var[{ti}]",
+                                                    access="write")
+                    self.ast_edge(ds, tid, "DECLARATIONS", ti)
+                    var_targets.append(tid)
         else:
             tid, _ = self.handle_expression(stmt.target, path + ".var",
                                             access="write")
             self.ast_edge(nid, tid, "VARIABLE", 0)
-            var_target = tid
+            var_targets.append(tid)
         iid, _ = self.handle_expression(stmt.iter, path + ".iter")
         self.ast_edge(nid, iid, "ITERABLE", 0)
-        self.edge(iid, "DFG", var_target)  # iterable flows into the variable
+        for vt in var_targets:  # iterable flows into the variable(s)
+            self.edge(iid, "DFG", vt)
         body_id, body_infos = self.compound(stmt.body, path + ".body", nid,
                                             "STATEMENT")
-        # orelse: NOT_IMPLEMENTED in the reference (_statements.py:420-421)
-        return nid, {"kind": "foreach", "nid": nid,
-                     "body": [{"kind": "compound", "nid": body_id,
-                               "stmts": body_infos}]}, False
+        info = {"kind": "foreach", "nid": nid,
+                "body": [{"kind": "compound", "nid": body_id,
+                          "stmts": body_infos}]}
+        # orelse: NOT_IMPLEMENTED in the reference (_statements.py:420-421);
+        # fidelity mode wires it as the loop's normal-exit continuation
+        if stmt.orelse and not self.parity:
+            else_id, else_infos = self.compound(stmt.orelse, path + ".else",
+                                                nid, "ELSE_STATEMENT")
+            info["orelse"] = [{"kind": "compound", "nid": else_id,
+                               "stmts": else_infos}]
+        return nid, info, False
 
     def compound(self, stmts, path, parent, field):
         """CompoundStatement with ordered STATEMENTS property edges
@@ -269,9 +542,19 @@ class PythonFrontend(Emitter):
         else:
             label = "FunctionDeclaration"
         fid = self.node(path, label, name, _loc(node))
+        if not self.parity:
+            # decorators reference names in the ENCLOSING scope (fidelity;
+            # the reference skips decorator_list entirely) — modeled like
+            # the java frontend's ANNOTATIONS edges
+            for di, dec in enumerate(node.decorator_list):
+                did, _ = self.handle_expression(dec, f"{path}.dec[{di}]")
+                self.edge(fid, "ANNOTATIONS", did, {"index": di})
         fscope = self.enter_scope("function", name, fid)
 
-        args = list(node.args.args)
+        # positional params; fidelity adds PEP-570 positional-only ones
+        # (parity: node.args.args only, _statements.py:290-304)
+        args = (list(node.args.posonlyargs) if not self.parity else []) \
+            + list(node.args.args)
         param_ids, param_names = [], []
         pidx = 0
         if record is not None:
@@ -300,11 +583,40 @@ class PythonFrontend(Emitter):
             param_names.append(a.arg)
             param_types.append(tname)
             pidx += 1
-        # vararg / kwonly / kw_defaults / kwarg: NOT_IMPLEMENTED in the
-        # reference (_statements.py:309-321); the trailing positional
-        # `defaults` count and the *args flag ARE recorded for the
-        # link-stage signature-viability gate (CallResolver.java:980-1014)
-        n_defaults = len(node.args.defaults)
+        if not self.parity:
+            # *args / keyword-only / **kwargs become real (variadic)
+            # ParamVariableDeclarations so body references resolve —
+            # parity reproduces the reference's NOT_IMPLEMENTED gap
+            # (_statements.py:309-321)
+            extra = []
+            if node.args.vararg is not None:
+                extra.append((node.args.vararg, "vararg"))
+            extra += [(a, "kwonly") for a in node.args.kwonlyargs]
+            if node.args.kwarg is not None:
+                extra.append((node.args.kwarg, "kwarg"))
+            for a, k in extra:
+                pid = self.node(f"{path}.p[{pidx}]",
+                                "ParamVariableDeclaration", a.arg, _loc(a),
+                                argument_index=pidx,
+                                props=({"variadic": "true"}
+                                       if k in ("vararg", "kwarg") else {}))
+                tname = None
+                if isinstance(getattr(a, "annotation", None), ast.Name):
+                    tname = a.annotation.id
+                    self.eval_type(pid, tname)
+                self.edge(fid, "PARAMETERS", pid, {"index": pidx})
+                self.ast_edge(fid, pid, "PARAMETERS", pidx)
+                self.declare(a.arg, pid, "param", tname)
+                param_ids.append(pid)
+                param_names.append(a.arg)
+                param_types.append(tname)
+                pidx += 1
+        # the trailing positional `defaults` count and the *args flag ARE
+        # recorded for the link-stage signature-viability gate
+        # (CallResolver.java:980-1014)
+        n_defaults = len(node.args.defaults) + (
+            0 if self.parity
+            else sum(1 for d in node.args.kw_defaults if d is not None))
         is_variadic = node.args.vararg is not None
 
         if node.body:
@@ -328,9 +640,32 @@ class PythonFrontend(Emitter):
         }
         return fid
 
+    def _emit_params(self, fid, arguments, path):
+        """ParamVariableDeclarations for a lambda's argument list
+        (positional + *args/kwonly/**kwargs), declared into the current
+        (function) scope.  Fidelity-mode only."""
+        pidx = 0
+        alist = list(arguments.posonlyargs) + list(arguments.args)
+        if arguments.vararg is not None:
+            alist.append(arguments.vararg)
+        alist += list(arguments.kwonlyargs)
+        if arguments.kwarg is not None:
+            alist.append(arguments.kwarg)
+        for a in alist:
+            pid = self.node(f"{path}.p[{pidx}]", "ParamVariableDeclaration",
+                            a.arg, _loc(a), argument_index=pidx)
+            self.edge(fid, "PARAMETERS", pid, {"index": pidx})
+            self.ast_edge(fid, pid, "PARAMETERS", pidx)
+            self.declare(a.arg, pid, "param", None)
+            pidx += 1
+
     def handle_class(self, node, path):
         name = node.name
         rid = self.node(path, "RecordDeclaration", name, _loc(node))
+        if not self.parity:
+            for di, dec in enumerate(node.decorator_list):
+                did, _ = self.handle_expression(dec, f"{path}.dec[{di}]")
+                self.edge(rid, "ANNOTATIONS", did, {"index": di})
         rec = {"decl_id": rid, "name": name, "fields": {}, "methods": {},
                "ctors": [], "supers": []}
         # register before the body so methods can construct the record
@@ -376,6 +711,10 @@ class PythonFrontend(Emitter):
         plain path and produces a '=' BinaryOperator when the lhs resolves."""
         if isinstance(stmt, ast.Assign):
             if len(stmt.targets) != 1:
+                if not self.parity:
+                    # `a = b = v` — declare/assign every target off one rhs
+                    return self._multi_assign(stmt.targets, stmt.value,
+                                              stmt, path)
                 nid = self.node(path, "BinaryOperator", "", _loc(stmt), props={"operator": "="})
                 return nid, {"kind": "plain", "nid": nid}, False
             target = stmt.targets[0]
@@ -384,6 +723,23 @@ class PythonFrontend(Emitter):
         value = getattr(stmt, "value", None)
 
         if not isinstance(target, (ast.Name, ast.Attribute)):
+            if not self.parity:
+                if isinstance(target, (ast.Tuple, ast.List)):
+                    return self._unpack_assign(target, value, stmt, path)
+                if isinstance(target, (ast.Subscript, ast.Starred)):
+                    # `d[k] = v` — '=' BinaryOperator over the parsed
+                    # write-access target (children resolve normally)
+                    nid = self.node(path, "BinaryOperator", "=", _loc(stmt),
+                                    props={"operator": "="})
+                    lhs_id, _ = self.handle_expression(target, path + ".l",
+                                                       access="write")
+                    self.ast_edge(nid, lhs_id, "LHS", 0)
+                    if value is not None:
+                        rhs_id, _ = self.handle_expression(value, path + ".r")
+                        self.ast_edge(nid, rhs_id, "RHS", 0)
+                        self.edge(rhs_id, "DFG", lhs_id)
+                        self.edge(rhs_id, "DFG", nid)
+                    return nid, {"kind": "plain", "nid": nid}, False
             # "Expected a DeclaredReferenceExpression or MemberExpression"
             nid = self.node(path, "BinaryOperator", "", _loc(stmt), props={"operator": "="})
             return nid, {"kind": "plain", "nid": nid}, False
@@ -417,6 +773,17 @@ class PythonFrontend(Emitter):
             if value is not None:
                 rhs_id, rmeta = self.handle_expression(value, path + ".r")
                 rtype = rmeta.get("type")
+            if (rtype is None and not self.parity
+                    and isinstance(stmt, ast.AnnAssign)):
+                # `x: T = ...` — the declared annotation wins when the
+                # rhs doesn't carry a type (fidelity only)
+                if isinstance(stmt.annotation, ast.Name):
+                    rtype = stmt.annotation.id
+                else:
+                    try:
+                        rtype = ast.unparse(stmt.annotation)
+                    except Exception:
+                        rtype = None
             vid = self.node(path, "VariableDeclaration", target.id, _loc(stmt))
             if rhs_id is not None:
                 self.ast_edge(vid, rhs_id, "INITIALIZER", 0)
@@ -471,6 +838,62 @@ class PythonFrontend(Emitter):
         nid = self.node(path, "Statement", "DUMMY", _loc(stmt))
         return nid, {"kind": "plain", "nid": nid}, False
 
+    def _multi_assign(self, targets, value, stmt, path):
+        """``a = b = v`` (fidelity): one rhs, every target written —
+        modeled as a '=' BinaryOperator whose LHS is the target list;
+        fresh names declare implicit VariableDeclarations."""
+        nid = self.node(path, "BinaryOperator", "=", _loc(stmt),
+                        props={"operator": "="})
+        rhs_id = None
+        rtype = None
+        if value is not None:
+            rhs_id, rmeta = self.handle_expression(value, path + ".r")
+            self.ast_edge(nid, rhs_id, "RHS", 0)
+            self.edge(rhs_id, "DFG", nid)
+            rtype = rmeta.get("type")
+        for i, t in enumerate(targets):
+            tid = self._write_target(t, f"{path}.l[{i}]", rtype)
+            if tid is not None:
+                self.ast_edge(nid, tid, "LHS", i)
+                if rhs_id is not None:
+                    self.edge(rhs_id, "DFG", tid)
+        return nid, {"kind": "plain", "nid": nid}, False
+
+    def _unpack_assign(self, target, value, stmt, path):
+        """``a, b = v`` (fidelity): '=' BinaryOperator whose LHS is an
+        InitializerListExpression of the unpacked targets; fresh names
+        declare VariableDeclarations so later reads resolve."""
+        nid = self.node(path, "BinaryOperator", "=", _loc(stmt),
+                        props={"operator": "="})
+        rhs_id = None
+        if value is not None:
+            rhs_id, _ = self.handle_expression(value, path + ".r")
+            self.ast_edge(nid, rhs_id, "RHS", 0)
+            self.edge(rhs_id, "DFG", nid)
+        ile = self.node(path + ".l", "InitializerListExpression", "",
+                        _loc(target))
+        self.ast_edge(nid, ile, "LHS", 0)
+        for i, el in enumerate(target.elts):
+            el2 = el.value if isinstance(el, ast.Starred) else el
+            tid = self._write_target(el2, f"{path}.l[{i}]", None)
+            if tid is not None:
+                self.ast_edge(ile, tid, "INITIALIZERS", i)
+                if rhs_id is not None:
+                    self.edge(rhs_id, "DFG", tid)
+        return nid, {"kind": "plain", "nid": nid}, False
+
+    def _write_target(self, t, tpath, rtype):
+        """One written-to target: fresh Name -> declared
+        VariableDeclaration; anything else -> write-access expression."""
+        if isinstance(t, ast.Name) and self.resolve(t.id) is None:
+            vid = self.node(tpath, "VariableDeclaration", t.id, _loc(t))
+            if rtype:
+                self.eval_type(vid, rtype)
+            self.declare(t.id, vid, "var", rtype)
+            return vid
+        tid, _ = self.handle_expression(t, tpath, access="write")
+        return tid
+
     def _new_field(self, name, value, stmt, path, member: bool):
         rhs_id = rtype = None
         if value is not None:
@@ -503,6 +926,11 @@ class PythonFrontend(Emitter):
     def handle_expression(self, expr, path, access: str = "read"):
         """Returns (node_id, meta) where meta has 'kind', 'name', 'type'."""
         loc = _loc(expr)
+        if self.parity and isinstance(expr, _EXPR_GAPS):
+            # reference parity: NOT_IMPLEMENTED -> empty Expression dummy
+            # (_expressions.py:46-139)
+            nid = self.node(path, "Expression", "", loc, code="")
+            return nid, {"kind": "gap", "name": "", "type": None}
         if isinstance(expr, ast.BinOp):
             op = _BINOP.get(type(expr.op), "")
             nid = self.node(path, "BinaryOperator", op, loc, props={"operator": op})
@@ -519,9 +947,40 @@ class PythonFrontend(Emitter):
             return nid, {"kind": "binop", "name": op, "type": t}
         if isinstance(expr, ast.Compare):
             if len(expr.ops) != 1 or len(expr.comparators) != 1:
-                nid = self.node(path, "BinaryOperator", "DUMMY", loc,
-                                props={"operator": "DUMMY"})
-                return nid, {"kind": "binop", "name": "DUMMY", "type": None}
+                if self.parity or not expr.ops:
+                    nid = self.node(path, "BinaryOperator", "DUMMY", loc,
+                                    props={"operator": "DUMMY"})
+                    return nid, {"kind": "binop", "name": "DUMMY", "type": None}
+                # fidelity: `a < b < c` desugars to `(a < b) and (b < c)`
+                # — pairwise comparisons left-folded with `and` (middle
+                # operands re-emitted per pair under distinct paths)
+                lefts = [expr.left] + list(expr.comparators[:-1])
+                acc = None
+                for i, (l, op_, r) in enumerate(
+                        zip(lefts, expr.ops, expr.comparators)):
+                    opc = _CMPOP.get(type(op_), "DUMMY")
+                    last = i == len(expr.ops) - 1
+                    ppath = f"{path}.cmp[{i}]"
+                    pnid = self.node(ppath, "BinaryOperator", opc, loc,
+                                     props={"operator": opc})
+                    lid, _ = self.handle_expression(l, ppath + ".l")
+                    rid, _ = self.handle_expression(r, ppath + ".r")
+                    self.ast_edge(pnid, lid, "LHS", 0)
+                    self.ast_edge(pnid, rid, "RHS", 0)
+                    self.edge(lid, "DFG", pnid)
+                    self.edge(rid, "DFG", pnid)
+                    if acc is None:
+                        acc = pnid
+                    else:
+                        anid = self.node(path if last else f"{path}.and[{i}]",
+                                         "BinaryOperator", "and", loc,
+                                         props={"operator": "and"})
+                        self.ast_edge(anid, acc, "LHS", 0)
+                        self.ast_edge(anid, pnid, "RHS", 0)
+                        self.edge(acc, "DFG", anid)
+                        self.edge(pnid, "DFG", anid)
+                        acc = anid
+                return acc, {"kind": "binop", "name": "and", "type": "bool"}
             op = _CMPOP.get(type(expr.ops[0]))
             if op is None:
                 nid = self.node(path, "BinaryOperator", "DUMMY", loc,
@@ -598,7 +1057,7 @@ class PythonFrontend(Emitter):
             self.ast_edge(nid, vid, "ARRAY_EXPRESSION", 0)
             # ArraySubscriptionExpression.java:60 — array flows to subscript
             self.edge(vid, "DFG", nid)
-            if not isinstance(expr.slice, ast.Slice):
+            if not isinstance(expr.slice, ast.Slice) or not self.parity:
                 sid, _ = self.handle_expression(expr.slice, path + ".s")
                 self.ast_edge(nid, sid, "SUBSCRIPT_EXPRESSION", 0)
             else:
@@ -609,11 +1068,214 @@ class PythonFrontend(Emitter):
             nid = self.node(path, "DeclaredReferenceExpression", expr.id, loc)
             self.pending_refs.append((nid, expr.id, list(self.scopes), access))
             return nid, {"kind": "ref", "name": expr.id, "type": None}
-        if isinstance(expr, _EXPR_GAPS):
-            nid = self.node(path, "Expression", "", loc, code="")
-            return nid, {"kind": "gap", "name": "", "type": None}
+        handled = self._expr_fidelity(expr, path, loc)
+        if handled is not None:
+            return handled
         nid = self.node(path, "Expression", "", loc, code="")
         return nid, {"kind": "gap", "name": "", "type": None}
+
+    # ------------------------------------------ full-fidelity expressions
+    def _expr_fidelity(self, expr, path, loc):
+        """Real node models for the reference's NOT_IMPLEMENTED expressions
+        (round 5, VERDICT item 1).  Only reached with ``parity_mode=False``
+        (the parity gate at the top of handle_expression short-circuits
+        first).  Returns None for genuinely unmodeled kinds."""
+        if isinstance(expr, ast.BoolOp):
+            # `a and b and c` -> left-folded BinaryOperator chain; the
+            # operands DFG into each operator (BinaryOperator.java:110)
+            op = "and" if isinstance(expr.op, ast.And) else "or"
+            acc, _ = self.handle_expression(expr.values[0], path + ".v[0]")
+            n = len(expr.values)
+            for i in range(1, n):
+                vid, _ = self.handle_expression(expr.values[i],
+                                                f"{path}.v[{i}]")
+                npath = path if i == n - 1 else f"{path}.op[{i}]"
+                nid = self.node(npath, "BinaryOperator", op, loc,
+                                props={"operator": op})
+                self.ast_edge(nid, acc, "LHS", 0)
+                self.ast_edge(nid, vid, "RHS", 0)
+                self.edge(acc, "DFG", nid)
+                self.edge(vid, "DFG", nid)
+                acc = nid
+            return acc, {"kind": "binop", "name": op, "type": None}
+        if isinstance(expr, ast.UnaryOp):
+            op = _UNOP.get(type(expr.op), "")
+            nid = self.node(path, "UnaryOperator", op, loc,
+                            props={"operator": op})
+            iid, imeta = self.handle_expression(expr.operand, path + ".i")
+            self.ast_edge(nid, iid, "INPUT", 0)
+            self.edge(iid, "DFG", nid)  # UnaryOperator.java input DFG
+            t = "bool" if isinstance(expr.op, ast.Not) else imeta.get("type")
+            if t:
+                self.eval_type(nid, t)
+            return nid, {"kind": "unary", "name": op, "type": t}
+        if isinstance(expr, ast.NamedExpr):
+            # walrus `(x := v)` -> '=' BinaryOperator; an unresolved target
+            # forward-declares an implicit VariableDeclaration so the
+            # write-reference (and later reads) resolve
+            if (isinstance(expr.target, ast.Name)
+                    and self.resolve(expr.target.id) is None):
+                vid = self.node(path + ".decl", "VariableDeclaration",
+                                expr.target.id, _loc(expr.target),
+                                is_implicit=True)
+                self.declare(expr.target.id, vid, "var", None)
+            nid = self.node(path, "BinaryOperator", "=", loc,
+                            props={"operator": "="})
+            lid, _ = self.handle_expression(expr.target, path + ".l",
+                                            access="write")
+            rid, rmeta = self.handle_expression(expr.value, path + ".r")
+            self.ast_edge(nid, lid, "LHS", 0)
+            self.ast_edge(nid, rid, "RHS", 0)
+            self.edge(rid, "DFG", lid)
+            self.edge(rid, "DFG", nid)
+            return nid, {"kind": "binop", "name": "=",
+                         "type": rmeta.get("type")}
+        if isinstance(expr, ast.Lambda):
+            # LambdaExpression wrapping an implicit FunctionDeclaration —
+            # the same node model every other frontend emits
+            # (LambdaExpression.kt:40-56: FUNCTION child, fn DFG-> lambda)
+            lam = self.node(path, "LambdaExpression", "", loc)
+            fid = self.node(path + ".fn", "FunctionDeclaration", "", loc,
+                            is_implicit=True)
+            self.ast_edge(lam, fid, "FUNCTION", 0)
+            self.edge(fid, "DFG", lam)
+            self.enter_scope("function", "", fid)
+            self._emit_params(fid, expr.args, path + ".fn")
+            bid, _ = self.handle_expression(expr.body, path + ".fn.body")
+            self.ast_edge(fid, bid, "BODY", 0)
+            self.edge(bid, "DFG", fid)  # implicit return value
+            self.leave_scope()
+            return lam, {"kind": "lambda", "name": "", "type": None}
+        if isinstance(expr, ast.Set):
+            nid = self.node(path, "InitializerListExpression", "", loc)
+            for i, el in enumerate(expr.elts):
+                eid, _ = self.handle_expression(el, f"{path}[{i}]")
+                self.ast_edge(nid, eid, "INITIALIZERS", i)
+                self.edge(eid, "DFG", nid)
+            return nid, {"kind": "ile", "name": "", "type": "set"}
+        if isinstance(expr, (ast.ListComp, ast.SetComp, ast.GeneratorExp,
+                             ast.DictComp)):
+            return self._handle_comprehension(expr, path, loc)
+        if isinstance(expr, (ast.Yield, ast.YieldFrom)):
+            # value flows to the yield AND to the enclosing function,
+            # mirroring the ReturnStatement DFG convention
+            op = "yield from" if isinstance(expr, ast.YieldFrom) else "yield"
+            nid = self.node(path, "UnaryOperator", op, loc,
+                            props={"operator": op})
+            if expr.value is not None:
+                vid, _ = self.handle_expression(expr.value, path + ".v")
+                self.ast_edge(nid, vid, "INPUT", 0)
+                self.edge(vid, "DFG", nid)
+                fn = self.current_function()
+                if fn is not None and fn.node_id:
+                    self.edge(vid, "DFG", fn.node_id)
+            return nid, {"kind": "unary", "name": op, "type": None}
+        if isinstance(expr, ast.FormattedValue):
+            # `{x}` inside an f-string is a str conversion — the same
+            # CastExpression model the reference uses for str(x)
+            # (_expressions.py str() special case)
+            nid = self.node(path, "CastExpression", "str", loc)
+            eid, _ = self.handle_expression(expr.value, path + ".v")
+            self.ast_edge(nid, eid, "EXPRESSION", 0)
+            self.eval_type(nid, "str")
+            self.edge(eid, "DFG", nid)
+            return nid, {"kind": "cast", "name": "str", "type": "str"}
+        if isinstance(expr, ast.JoinedStr):
+            # f-string -> left-folded '+' concatenation of its pieces
+            parts = []
+            for i, v in enumerate(expr.values):
+                pid, _ = self.handle_expression(v, f"{path}.s[{i}]")
+                parts.append(pid)
+            if not parts:
+                nid = self.node(path, "Literal", "", loc, props={"value": "''"})
+                self.eval_type(nid, "str")
+                return nid, {"kind": "literal", "name": "", "type": "str"}
+            acc = parts[0]
+            for i in range(1, len(parts)):
+                npath = path if i == len(parts) - 1 else f"{path}.cat[{i}]"
+                nid = self.node(npath, "BinaryOperator", "+", loc,
+                                props={"operator": "+"})
+                self.ast_edge(nid, acc, "LHS", 0)
+                self.ast_edge(nid, parts[i], "RHS", 0)
+                self.edge(acc, "DFG", nid)
+                self.edge(parts[i], "DFG", nid)
+                self.eval_type(nid, "str")
+                acc = nid
+            return acc, {"kind": "binop", "name": "+", "type": "str"}
+        if isinstance(expr, ast.Starred):
+            nid = self.node(path, "UnaryOperator", "*", loc,
+                            props={"operator": "*"})
+            iid, _ = self.handle_expression(expr.value, path + ".i")
+            self.ast_edge(nid, iid, "INPUT", 0)
+            self.edge(iid, "DFG", nid)
+            return nid, {"kind": "unary", "name": "*", "type": None}
+        if isinstance(expr, ast.Slice):
+            # `lo:hi:step` -> ArrayRangeExpression with FLOOR/CEILING
+            # (+ STEP) children — the C-family GNU range-designator model
+            # (expressions/ArrayRangeExpression.java)
+            nid = self.node(path, "ArrayRangeExpression", "", loc)
+            if expr.lower is not None:
+                lid, _ = self.handle_expression(expr.lower, path + ".lo")
+                self.ast_edge(nid, lid, "FLOOR", 0)
+            if expr.upper is not None:
+                uid, _ = self.handle_expression(expr.upper, path + ".hi")
+                self.ast_edge(nid, uid, "CEILING", 0)
+            if expr.step is not None:
+                sid, _ = self.handle_expression(expr.step, path + ".st")
+                self.ast_edge(nid, sid, "STEP", 0)
+            return nid, {"kind": "range", "name": "", "type": None}
+        return None
+
+    def _handle_comprehension(self, expr, path, loc):
+        """Comprehensions own a scope (PEP 572 semantics): each generator
+        declares its target variable(s), fed by the iterable's DFG; the
+        element expression evaluates inside that scope.  Node model:
+        CollectionComprehension{COMPREHENSION_EXPRESSIONS ->
+        ComprehensionExpression{VARIABLE, ITERABLE, PREDICATE}*,
+        STATEMENT -> element} — the vocabulary of the reference project's
+        own later public revisions."""
+        kinds = {ast.ListComp: "list", ast.SetComp: "set",
+                 ast.DictComp: "dict", ast.GeneratorExp: None}
+        ctype = kinds.get(type(expr))
+        nid = self.node(path, "CollectionComprehension", "", loc)
+        if ctype:
+            self.eval_type(nid, ctype)
+        self.enter_scope("block", "", nid)
+        for gi, gen in enumerate(expr.generators):
+            gpath = f"{path}.g[{gi}]"
+            ce = self.node(gpath, "ComprehensionExpression", "", loc)
+            self.ast_edge(nid, ce, "COMPREHENSION_EXPRESSIONS", gi)
+            iid, _ = self.handle_expression(gen.iter, gpath + ".iter")
+            self.ast_edge(ce, iid, "ITERABLE", 0)
+            tgts = ([gen.target] if not isinstance(gen.target,
+                                                   (ast.Tuple, ast.List))
+                    else list(gen.target.elts))
+            for ti, t in enumerate(tgts):
+                t2 = t.value if isinstance(t, ast.Starred) else t
+                if isinstance(t2, ast.Name):
+                    vid = self.node(f"{gpath}.v[{ti}]", "VariableDeclaration",
+                                    t2.id, _loc(t2))
+                    self.ast_edge(ce, vid, "VARIABLE", ti)
+                    self.edge(iid, "DFG", vid)
+                    self.declare(t2.id, vid, "var", None)
+            for pi, p in enumerate(gen.ifs):
+                pid, _ = self.handle_expression(p, f"{gpath}.if[{pi}]")
+                self.ast_edge(ce, pid, "PREDICATE", pi)
+        if isinstance(expr, ast.DictComp):
+            kv = self.node(path + ".kv", "KeyValueExpression", "", loc)
+            kid, _ = self.handle_expression(expr.key, path + ".k")
+            vid, _ = self.handle_expression(expr.value, path + ".v")
+            self.ast_edge(kv, kid, "KEY", 0)
+            self.ast_edge(kv, vid, "VALUE", 0)
+            self.edge(vid, "DFG", kv)
+            self.ast_edge(nid, kv, "STATEMENT", 0)
+            self.edge(kv, "DFG", nid)
+        else:
+            eid, _ = self.handle_expression(expr.elt, path + ".elt")
+            self.ast_edge(nid, eid, "STATEMENT", 0)
+            self.edge(eid, "DFG", nid)
+        self.leave_scope()
+        return nid, {"kind": "comprehension", "name": "", "type": ctype}
 
     # --------------------------------------------------------------- calls
     def handle_call(self, expr, path):
@@ -682,7 +1344,17 @@ class PythonFrontend(Emitter):
             idx += 1
         for kw in expr.keywords:
             if kw.arg is None:
-                continue  # **kwargs: NOT_IMPLEMENTED in the reference
+                # `f(**d)`: NOT_IMPLEMENTED in the reference; fidelity
+                # parses the mapping so its references resolve (tagged
+                # '**' so arity gates treat it as keyword-ish)
+                if not self.parity:
+                    aid, _ = self.handle_expression(kw.value,
+                                                    f"{path}.a[{idx}]")
+                    self.edge(call_id, "ARGUMENTS", aid, {"index": idx})
+                    self.ast_edge(call_id, aid, "ARGUMENTS", idx)
+                    args.append({"arg_id": aid, "kw": "**", "index": idx})
+                    idx += 1
+                continue
             aid, _ = self.handle_expression(kw.value, f"{path}.a[{idx}]")
             self.edge(call_id, "ARGUMENTS", aid, {"index": idx, "name": kw.arg})
             self.ast_edge(call_id, aid, "ARGUMENTS", idx)
@@ -893,13 +1565,19 @@ class PythonFrontend(Emitter):
 
 
 def parse_python_document(doc_id: str, span_offset: int, source: str,
-                          module_name: str | None = None) -> DocGraph:
+                          module_name: str | None = None,
+                          parity_mode: bool = False) -> DocGraph:
     """Parse one python code span into CPG rows.  Parse errors yield a
     ProblemDeclaration node (the reference's error placeholder) instead of
-    failing the batch."""
+    failing the batch.
+
+    ``parity_mode=True`` reproduces the reference's NOT_IMPLEMENTED gap
+    matrix verbatim (the P/R oracle anchor); the default models every
+    gapped construct with real nodes (round 5, VERDICT item 1)."""
     if module_name is None:
         module_name = doc_id.rsplit("/", 2)[-2] if "/" in doc_id else doc_id
-    fe = PythonFrontend(doc_id, span_offset, source, module_name)
+    fe = PythonFrontend(doc_id, span_offset, source, module_name,
+                        parity_mode=parity_mode)
     try:
         return fe.run()
     except SyntaxError as e:

