@@ -504,24 +504,8 @@ class TsFrontend(Emitter):
                 # names each become a ParameterDeclaration at this index
                 close = "}" if self.peek().text == "{" else "]"
                 self.next()
-                bound: list[Tok] = []
-                depth = 1
-                prev = None
-                while self.peek().kind != "eof" and depth:
-                    tk = self.next()
-                    if tk.kind == "op" and tk.text in ("{", "["):
-                        depth += 1
-                    elif tk.kind == "op" and tk.text in ("}", "]"):
-                        depth -= 1
-                    elif tk.kind == "ident" and depth == 1 \
-                            and tk.text not in _KEYWORDS:
-                        if prev is not None and prev.text == ":":
-                            # `{orig: alias}` binds the alias
-                            if bound:
-                                bound[-1] = tk
-                        elif prev is None or prev.text != "=":
-                            bound.append(tk)
-                    prev = tk
+                bound = self._collect_binding_names(f"{path}.param[{j}]",
+                                                    close)
                 self.accept("op", "?")
                 ptype = self._type_annotation()
                 if not bound:
@@ -600,6 +584,26 @@ class TsFrontend(Emitter):
             build_eog(self, fid, infos)
         self.leave_scope()
         return fid
+
+    def _scan_past_return_type(self, k: int) -> int:
+        """Arrow lookahead: token index of the `=>` following an optional
+        ``: Type`` return annotation starting at ``k``.  Angle depth is
+        tracked so generic return types scan past their commas —
+        ``(x): Map<string, number> => ...`` is an arrow (round-5 ADVICE
+        fix; the flat scan stopped at the ',').  Terminators only count
+        at depth 0."""
+        ang = 0
+        n = len(self.toks)
+        while k < n and self.toks[k].kind != "eof":
+            tx = self.toks[k].text
+            if tx == "<":
+                ang += 1
+            elif tx in (">", ">>", ">>>") and ang:
+                ang = max(0, ang - len(tx))
+            elif ang == 0 and tx in ("=>", ";", ")", "{", ","):
+                break
+            k += 1
+        return k
 
     def parse_arrow(self, path: str):
         """`(a, b) => expr-or-block` / `a => ...` -> LambdaExpression."""
@@ -922,40 +926,47 @@ class TsFrontend(Emitter):
         self.skip_semis()
         return (vid, {"kind": "plain", "nid": vid})
 
+    def _collect_binding_names(self, path: str, close: str) -> list:
+        """Bound identifiers of a (possibly nested) destructuring
+        pattern — positioned just AFTER the opening brace/bracket.
+        Handles aliases ``{orig: alias}``, nested patterns
+        ``{a: {b}}`` (binds the INNER name), and binding defaults.
+        Shared by variable destructuring and destructured parameters
+        (round-5 ADVICE fix: the param path used a flat depth-1 token
+        scan that bound the outer property key for nested patterns)."""
+        got: list[Tok] = []
+        while not self.accept("op", close):
+            if self.peek().kind == "eof":
+                raise TsParseError("unterminated destructuring pattern")
+            tk = self.peek()
+            if tk.kind == "op" and tk.text in ("{", "["):
+                # nested pattern `const { a: { b } } = e`
+                c2 = "}" if self.next().text == "{" else "]"
+                got.extend(self._collect_binding_names(path, c2))
+            elif tk.kind == "ident":
+                n = self.next()
+                local = n
+                if self.accept("op", ":"):   # {orig: alias-or-nested}
+                    if (self.peek().kind == "op"
+                            and self.peek().text in ("{", "[")):
+                        c2 = "}" if self.next().text == "{" else "]"
+                        got.extend(self._collect_binding_names(path, c2))
+                        continue
+                    local = self.expect("ident")
+                got.append(local)
+                if self.accept("op", "="):  # binding default
+                    self.parse_expr(f"{path}.dflt[{len(got)}]")
+            else:
+                self.next()
+        return got
+
     def _parse_destructuring(self, path: str, kw: Tok):
         """``const { a, b } = e`` / ``const [x, y] = e`` -> one
         VariableDeclaration per bound name, all DFG-fed from the
         initializer (the reference's TS frontend lowers binding patterns
         the same way)."""
-        def collect(close: str) -> list[Tok]:
-            got: list[Tok] = []
-            while not self.accept("op", close):
-                if self.peek().kind == "eof":
-                    raise TsParseError("unterminated destructuring pattern")
-                tk = self.peek()
-                if tk.kind == "op" and tk.text in ("{", "["):
-                    # nested pattern `const { a: { b } } = e`
-                    c2 = "}" if self.next().text == "{" else "]"
-                    got.extend(collect(c2))
-                elif tk.kind == "ident":
-                    n = self.next()
-                    local = n
-                    if self.accept("op", ":"):   # {orig: alias-or-nested}
-                        if (self.peek().kind == "op"
-                                and self.peek().text in ("{", "[")):
-                            c2 = "}" if self.next().text == "{" else "]"
-                            got.extend(collect(c2))
-                            continue
-                        local = self.expect("ident")
-                    got.append(local)
-                    if self.accept("op", "="):  # binding default
-                        self.parse_expr(f"{path}.dflt[{len(got)}]")
-                else:
-                    self.next()
-            return got
-
         close = "}" if self.next().text == "{" else "]"
-        names = collect(close)
+        names = self._collect_binding_names(path, close)
         self.accept("op", ",")
         vids = []
         gid = self.node(path, "DeclarationStatement", kw.text,
@@ -1567,11 +1578,7 @@ class TsFrontend(Emitter):
                                 depth -= 1
                             j += 1
                         # skip a return-type annotation up to `=>`
-                        k = j
-                        while (k < len(self.toks)
-                               and self.toks[k].text not in
-                               ("=>", ";", "{", ")", ",", "eof")):
-                            k += 1
+                        k = self._scan_past_return_type(j)
                         if k < len(self.toks) \
                                 and self.toks[k].text == "=>":
                             self.next()  # 'async'
@@ -1605,12 +1612,7 @@ class TsFrontend(Emitter):
                 elif self.toks[j].text == ")":
                     depth -= 1
                 j += 1
-            k = j
-            if k < len(self.toks) and self.toks[k].text == ":":
-                while (k < len(self.toks) and self.toks[k].text not in
-                       ("=>", ";", ")", "{", ",") and
-                       self.toks[k].kind != "eof"):
-                    k += 1
+            k = self._scan_past_return_type(j)
             if k < len(self.toks) and self.toks[k].text == "=>":
                 lam = self.parse_arrow(self._p(path + ".lam"))
                 return (lam, None, None)
@@ -1769,12 +1771,24 @@ class TsFrontend(Emitter):
                        or (nxt.kind == "op" and nxt.text in ("(", "[")))
         if not starts_expr:
             return False
-        if (nxt.kind == "ident" and j + 3 < n
-                and self.toks[j + 2].kind == "op"
-                and self.toks[j + 2].text == "<"
-                and self.toks[j + 3].kind == "op"
-                and self.toks[j + 3].text == "/"):
-            return False  # `<div>text</div>` — JSX child text
+        # JSX text children: a closing `</...` anywhere before the next
+        # statement terminator means `<tag> ... </tag>` — not a cast.
+        # The old check looked only at toks[j+2]/toks[j+3], so
+        # attribute-less JSX with multi-token text (`<p>hello world</p>`)
+        # was misread as a legacy cast (round-5 ADVICE fix).
+        k = j + 1
+        limit = min(n, j + 300)
+        while k < limit:
+            tk = self.toks[k]
+            if tk.kind == "eof" or (tk.kind == "op" and tk.text == ";"):
+                break
+            if tk.kind == "op" and (
+                    tk.text == "</"
+                    or (tk.text == "<" and k + 1 < n
+                        and self.toks[k + 1].kind == "op"
+                        and self.toks[k + 1].text == "/")):
+                return False
+            k += 1
         return True
 
     def parse_jsx(self, path: str):

@@ -324,3 +324,41 @@ def test_ts_js_idioms_from_npm_corpus():
     assert [n for n in g.nodes if n["label"] == "DoStatement"]
     g2 = parse_ts_document("a.js", 0, "p.then(async () => { g() })")
     assert [n for n in g2.nodes if n["label"] == "LambdaExpression"]
+
+
+# ---- round-5 ADVICE regressions ------------------------------------------
+
+def _ts(src, doc="t.ts"):
+    from cpg_spark.frontends.ts_frontend import parse_ts_document
+    return parse_ts_document(doc, 0, src)
+
+
+def test_jsx_multitoken_text_is_not_a_cast():
+    # <p>hello world</p> used to satisfy _looks_like_angle_cast (only
+    # toks[j+2]/toks[j+3] were checked) and emit a bogus CastExpression
+    g = _ts("function C() { return <p>hello world</p>; }\n", "t.tsx")
+    assert not [n for n in g.nodes if n["label"] == "CastExpression"]
+    assert [n for n in g.nodes
+            if n["label"] == "Expression" and n["props"].get("jsx")]
+    # the single-token legacy cast form still parses as a cast
+    g2 = _ts("const x = <string>someVal;\n")
+    assert [n for n in g2.nodes if n["label"] == "CastExpression"]
+
+
+def test_nested_destructured_param_binds_inner_name():
+    # `{a: {b}}` bound the outer key `a`; the recursive collector now
+    # binds the inner name and the body reference resolves
+    g = _ts("function f({a: {b}}) { return b; }\n")
+    params = [n for n in g.nodes if n["label"] == "ParameterDeclaration"]
+    assert [p["name"] for p in params] == ["b"]
+    assert any(e["pred"] == "REFERS_TO" and e["obj"] == params[0]["node_id"]
+               for e in g.edges)
+
+
+def test_arrow_with_generic_return_type():
+    # `(x): Map<string, number> => ...` — the return-type scan now
+    # tracks angle depth instead of stopping at the ','
+    for src in ("const f = (x): Map<string, number> => new Map();\n",
+                "const g = async (x): Map<string, number> => x;\n"):
+        g = _ts(src)
+        assert [n for n in g.nodes if n["label"] == "LambdaExpression"], src
