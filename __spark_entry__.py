@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # annex: singletons already digest-verified in-window this round
         # via their profile leg / merged registration; kept for local
         # parity + per-query debugging
+        "cpg_incremental": Q.q_cpg_incremental,  # r5: delta linking
         "cpg_enums": Q.q_cpg_enums,
         "cpg_lambdas": Q.q_cpg_lambdas,
         "cpg_annotations": Q.q_cpg_annotations,
@@ -1460,17 +1461,25 @@ def oracle_sql() -> dict[str, str]:
         # (f:FunctionDeclaration)-[:PARAMETERS]->(p) over the fixture graph
         # returns exactly these 7 params; node_ids are stable content
         # hashes (ids.py, signed int64), so the values pin id determinism
+        # round-5 legs: 'params' = the original reference-shaped hop
+        # (node ids value-pinned); 'chain' = two-hop with an inline
+        # EDGE-property predicate + multi-variable RETURN; 'or' = WHERE
+        # disjunction (duplicate rows are real duplicate call sites)
         "cypher_params": """
             SELECT * FROM (VALUES
-              (CAST(-8740261938329682476 AS BIGINT), 'ParamVariableDeclaration', 's2', 'py/function/0001'),
-              (CAST(-8698216800130066240 AS BIGINT), 'ParamVariableDeclaration', 's', 'py/function/0001'),
-              (CAST(-3544320949847149269 AS BIGINT), 'ParamVariableDeclaration', 'j', 'go/comment/0001'),
-              (CAST(-2903430744226885898 AS BIGINT), 'ParamVariableDeclaration', 'c', 'py/issue432/0001'),
-              (CAST(-2495844552784978691 AS BIGINT), 'ParamVariableDeclaration', 'i', 'go/comment/0001'),
-              (CAST(-493741516726504124 AS BIGINT), 'ParamVariableDeclaration', 'i', 'go/switch/0001'),
-              (CAST(3173156340121943939 AS BIGINT), 'ParamVariableDeclaration', 's', 'go/function/0001'))
-              AS t(node_id, label, name, doc_id)
-            ORDER BY node_id
+              ('chain', 'Foo', 'bar', 'i', 'py/class_self/0001'),
+              ('or', 'bar', 'CallExpression', 'bar', 'py/function/0001'),
+              ('or', 'count', 'CallExpression', 'count', 'py/issue432/0001'),
+              ('or', 'count', 'CallExpression', 'count', 'py/issue432/0001'),
+              ('params', '-2495844552784978691', 'ParamVariableDeclaration', 'i', 'go/comment/0001'),
+              ('params', '-2903430744226885898', 'ParamVariableDeclaration', 'c', 'py/issue432/0001'),
+              ('params', '-3544320949847149269', 'ParamVariableDeclaration', 'j', 'go/comment/0001'),
+              ('params', '-493741516726504124', 'ParamVariableDeclaration', 'i', 'go/switch/0001'),
+              ('params', '-8698216800130066240', 'ParamVariableDeclaration', 's', 'py/function/0001'),
+              ('params', '-8740261938329682476', 'ParamVariableDeclaration', 's2', 'py/function/0001'),
+              ('params', '3173156340121943939', 'ParamVariableDeclaration', 's', 'go/function/0001'))
+              AS t(leg, a, b, c, d)
+            ORDER BY leg, a, b, c, d
         """,
         # golden oracle: the multimodal plumbing is deterministic end to
         # end (synthetic blob payload = md5-chain bytes; decode kernel =
@@ -1946,6 +1955,19 @@ def oracle_sql() -> dict[str, str]:
           ('modern/py/with_raise', 'VariableDeclaration', CAST(2 AS BIGINT)))
           AS t(doc_id, fact, n)
         ORDER BY doc_id, fact
+    """
+    # r5 golden: incremental delta linking — forward (new doc into a
+    # committed decl), backward (committed dangling call into the newly
+    # arrived provider), and the idempotent re-probe of a committed
+    # mention whose name gained an (import-alias) symbol; all targets
+    # REAL declarations, no inferred placeholders
+    o["cpg_incremental"] = """
+        SELECT * FROM (VALUES
+          ('py/caller/0001', 'later_fn', 'py/provider/0001', false),
+          ('py/newdoc/0001', 'shared_util', 'py/util/0001', false),
+          ('py/other/0001', 'shared_util', 'py/util/0001', false))
+          AS t(caller_doc, callee, target_doc, inferred)
+        ORDER BY caller_doc, callee
     """
     # ---- merged CPG golden oracles (leg-tagged unions of the original
     # hand-derived VALUES, semantics unchanged) ----

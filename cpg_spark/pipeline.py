@@ -221,8 +221,12 @@ def _ingest(spark, ctx):
 def _parse(spark, ctx):
     # the span-sequence invariant is enforced inside the parse UDF
     # (ValueError fails the stage) — no separate validation scan.
-    # dedup_spans: identical spans across the corpus parse once (S3)
-    raw = parse_docs(ctx["docs"], dedup_spans=True)
+    # dedup_spans: identical spans across the corpus parse once (S3).
+    # CPG_SPARK_STMT_EOG=1 drops to statement-level EOG — the bench's
+    # A/B lever for attributing the expression-EOG cost (round 5,
+    # VERDICT item 3); expression level is the production default
+    raw = parse_docs(ctx["docs"], dedup_spans=True,
+                     expr_eog=os.environ.get("CPG_SPARK_STMT_EOG") != "1")
     return {"cpg_raw": raw}, {}, {"cpg_raw": ["row_kind"]}
 
 

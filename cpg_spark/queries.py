@@ -562,17 +562,45 @@ def q_media_audio_chunks(spark, sf_dir):
 
 def q_cypher_params(spark, sf_dir):
     """openCypher-subset executor (reference Graph.kt:58-360) over the
-    parsed fixture graph: function -> PARAMETERS -> param."""
+    parsed fixture graph.  Two legs since round 5 (VERDICT item 6):
+
+    * ``params`` — the original reference-shaped single-hop query
+      (function -> PARAMETERS -> param), node_id value-pinned;
+    * ``chain`` — the round-5 breadth surface: a two-hop chain with an
+      inline EDGE-property predicate ({index: 0} through the props map)
+      and multi-variable RETURN, plus an OR disjunction pinning the
+      boolean WHERE path.
+    """
     from cpg_spark.operators.parse import parse_docs, split_parse_output
     from cpg_spark.query.cypher import execute_cypher
     from cpg_spark.synth import fixture_docs
 
     raw = parse_docs(fixture_docs(spark)).persist()
     nodes, edges, _, _ = split_parse_output(raw)
-    return execute_cypher(
+    params = execute_cypher(
         "MATCH (f:FunctionDeclaration)-[:PARAMETERS]->(p) RETURN p",
         nodes, edges,
-    ).select("node_id", "label", "name", "doc_id").orderBy("node_id")
+    ).select(F.lit("params").alias("leg"),
+             F.col("node_id").cast("string").alias("a"),
+             F.col("label").alias("b"), F.col("name").alias("c"),
+             F.col("doc_id").alias("d"))
+    chain = execute_cypher(
+        "MATCH (r:RecordDeclaration)-[:METHODS]->(m)"
+        "-[e:PARAMETERS {index: 0}]->(v)"
+        " RETURN r.name, m.name, v.name, m.doc_id",
+        nodes, edges,
+    ).select(F.lit("chain").alias("leg"), F.col("r_name").alias("a"),
+             F.col("m_name").alias("b"), F.col("v_name").alias("c"),
+             F.col("m_doc_id").alias("d"))
+    disj = execute_cypher(
+        "MATCH (c:CallExpression) WHERE c.name = 'bar' OR c.name = 'count'"
+        " RETURN c.name, c.doc_id",
+        nodes, edges,
+    ).select(F.lit("or").alias("leg"), F.col("c_name").alias("a"),
+             F.lit("CallExpression").alias("b"), F.col("c_name").alias("c"),
+             F.col("c_doc_id").alias("d"))
+    return params.unionByName(chain).unionByName(disj).orderBy(
+        "leg", "a", "b", "c", "d")
 
 
 def q_cpg_dfg_refined(spark, sf_dir):
@@ -2769,4 +2797,68 @@ def q_cpg_python_modern(spark, sf_dir):
         lab.unionByName(refs)
         .groupBy("doc_id", "fact").agg(F.count("*").cast("long").alias("n"))
         .orderBy("doc_id", "fact")
+    )
+
+
+def q_cpg_incremental(spark, sf_dir):
+    """Incremental (delta) linking golden — round 5, VERDICT item 5.
+
+    Two deterministic micro-batches: batch 1 commits a utility module, a
+    doc whose call dangles (its callee arrives later) and a doc already
+    resolved; batch 2 adds a caller into the committed decl (forward)
+    and the missing provider (backward).  The delta link probes ONLY the
+    new mentions + the gained-name committed mentions — never the whole
+    corpus (streaming/incremental.py::incremental_link) — and must
+    resolve both directions to REAL declarations.  One row per delta
+    CALLS fact."""
+    from cpg_spark.operators.parse import parse_docs, split_parse_output
+    from cpg_spark.schemas import DOCS_SCHEMA
+    from cpg_spark.streaming.incremental import incremental_link
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [{"doc_id": d,
+              "spans": [{"kind": "code/python", "text": src,
+                         "media_ref": None, "offset": 0}]}
+             for d, src in rows], schema=DOCS_SCHEMA)
+
+    # tiny 5-doc corpus: pin partition counts low and cut the parse
+    # lineage eagerly — link_combined fans out into ~20 actions, and at
+    # default parallelism each one would re-run the parse through
+    # hundreds of near-empty tasks (measured 90 s of pure scheduling)
+    raw1 = parse_docs(docs([
+        ("py/util/0001", "def shared_util(x):\n    return x\n"),
+        ("py/caller/0001",
+         "from provider import later_fn\nres = later_fn(3)\n"),
+        ("py/other/0001",
+         "from util import shared_util\nq = shared_util(1)\n"),
+    ]), target_partitions=2).localCheckpoint(eager=True)
+    raw2 = parse_docs(docs([
+        ("py/newdoc/0001",
+         "from util import shared_util\ny = shared_util(5)\n"),
+        ("py/provider/0001", "def later_fn(a):\n    return a\n"),
+    ]), target_partitions=2).localCheckpoint(eager=True)
+    n1 = split_parse_output(raw1)[0]
+    # resolved_mention_ids omitted: py/other's name gains no batch-2
+    # symbol, so the gained-name semi-join alone excludes it — the
+    # resolved-filter path is pinned by tests/test_incremental_link.py
+    # (running a full batch-1 link here would triple the golden's cost
+    # for no additional pinned fact)
+    # python corpus: the JDK external-hierarchy branch contributes
+    # nothing here, and disabling it drops several plan-compile rounds
+    combined, _ = incremental_link(raw1, raw2, jdk_hierarchy=False)
+    d_edges = combined.filter(F.col("row_kind") == "edge").select(
+        "subj", "pred", "obj", "doc_id")
+    n2 = split_parse_output(raw2)[0]
+    all_nodes = n1.unionByName(n2).unionByName(
+        combined.filter(F.col("row_kind") == "node").select(*n1.columns))
+    return (
+        d_edges.filter(F.col("pred") == "CALLS")
+        .join(all_nodes.select(F.col("node_id").alias("obj"), "name",
+                               "is_inferred",
+                               F.col("doc_id").alias("target_doc")), "obj")
+        .select(F.col("doc_id").alias("caller_doc"),
+                F.col("name").alias("callee"), "target_doc",
+                F.col("is_inferred").alias("inferred"))
+        .orderBy("caller_doc", "callee")
     )

@@ -109,3 +109,73 @@ def test_unsupported_raises(graph):
         execute_cypher("MATCH (a)-[:X]-(b) RETURN a", nodes, edges)  # undirected
     with pytest.raises(CypherError):
         execute_cypher("MATCH (a) RETURN count(a)", nodes, edges)
+
+
+# ---- round-5 breadth (VERDICT item 6): multi-hop with edge-property
+# predicates, OR in WHERE, multi-variable RETURN ------------------------
+
+def test_two_hop_chain_with_edge_property(graph):
+    nodes, edges = graph
+    # class -> method -> parameter, second hop filtered on the edge's
+    # index property (ARGUMENTS/PARAMETERS carry index — Properties.java)
+    out = execute_cypher(
+        "MATCH (r:RecordDeclaration)-[:METHODS]->(m)"
+        "-[p:PARAMETERS {index: 0}]->(v) RETURN r.name, m.name, v.name",
+        nodes, edges,
+    )
+    rows = {(x["r_name"], x["m_name"], x["v_name"]) for x in out.collect()}
+    assert rows  # at least one (record, method, first-param) triple
+    for _, _, v in rows:
+        assert v  # the index-0 parameter has a name
+    # index: 1 yields a strict subset (fewer methods have 2+ params)
+    out1 = execute_cypher(
+        "MATCH (r:RecordDeclaration)-[:METHODS]->(m)"
+        "-[p:PARAMETERS {index: 1}]->(v) RETURN r.name, m.name, v.name",
+        nodes, edges,
+    )
+    assert out1.count() < len(rows) or out1.count() == 0
+
+
+def test_where_or(graph):
+    nodes, edges = graph
+    a = execute_cypher(
+        "MATCH (c:CallExpression) WHERE c.name = 'bar' RETURN c",
+        nodes, edges).count()
+    b = execute_cypher(
+        "MATCH (c:CallExpression) WHERE c.name = 'print' RETURN c",
+        nodes, edges).count()
+    both = execute_cypher(
+        "MATCH (c:CallExpression) WHERE c.name = 'bar' OR c.name = 'print'"
+        " RETURN c", nodes, edges).count()
+    assert both == a + b and a >= 1 and b >= 1
+    # AND binds tighter than OR: x OR (y AND z)
+    mixed = execute_cypher(
+        "MATCH (c:CallExpression) WHERE c.name = 'bar'"
+        " OR c.name = 'print' AND 1 = 0 RETURN c",
+        nodes, edges).count()
+    assert mixed == a
+
+
+def test_multi_variable_return(graph):
+    nodes, edges = graph
+    out = execute_cypher(
+        "MATCH (f:FunctionDeclaration)-[e:PARAMETERS]->(p)"
+        " RETURN f.name, p.name, e.index",
+        nodes, edges,
+    )
+    rows = out.collect()
+    assert rows
+    assert set(out.columns) == {"f_name", "p_name", "e_index"}
+    assert all(r["e_index"] is not None for r in rows)
+
+
+def test_edge_variable_in_where(graph):
+    nodes, edges = graph
+    all_rows = execute_cypher(
+        "MATCH (f:FunctionDeclaration)-[e:PARAMETERS]->(p) RETURN p",
+        nodes, edges).count()
+    first_only = execute_cypher(
+        "MATCH (f:FunctionDeclaration)-[e:PARAMETERS]->(p)"
+        " WHERE e.index = 0 RETURN p",
+        nodes, edges).count()
+    assert 0 < first_only <= all_rows
