@@ -1798,7 +1798,7 @@ def oracle_sql() -> dict[str, str]:
            CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('java', CAST(90 AS BIGINT), CAST(4084 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-          ('modern_cpp', CAST(9 AS BIGINT), CAST(267 AS BIGINT),
+          ('modern_cpp', CAST(9 AS BIGINT), CAST(266 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
           ('modern_go', CAST(7 AS BIGINT), CAST(226 AS BIGINT),
            CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),

@@ -1634,7 +1634,15 @@ class CFamilyFrontend(Emitter):
             self.i = save
             return None
         if (self.dialect == "cpp" and record is None
-                and self.peek(1).kind == "::"):
+                and (self.peek(1).kind == "::"
+                     or (self.peek(1).kind == "<"
+                         and self.toks[self._skip_angle_group(
+                             self.i + 1)].kind == "::"))):
+            # the owner may be a template-id:
+            # `void _Rb_tree<_Key, ...>::_M_move_assign(...) { }` —
+            # out-of-line template member definitions (round-5 bits/ fix:
+            # these previously fell to the declarator path, leaving the
+            # BODY to parse as top-level declarations)
             got = self._parse_out_of_line(path, tname, parent, index)
             if got is not None:
                 return got
@@ -1674,6 +1682,35 @@ class CFamilyFrontend(Emitter):
         # field / variable (possibly comma-separated)
         return self.parse_var_after_type(path, tname, record, parent, index)
 
+    def _skip_angle_group(self, j: int) -> int:
+        """Token index after a balanced ``<...>`` group starting at j
+        (template-id qualifiers: `_Rb_tree<_K, _C>::member`); j itself
+        when no group starts there or it never closes."""
+        if self.toks[j].kind != "<":
+            return j
+        d, pd = 0, 0
+        start = j
+        while self.toks[j].kind != "eof":
+            k = self.toks[j].kind
+            if k == "(":
+                pd += 1
+            elif k == ")" and pd:
+                pd -= 1
+            elif pd == 0 and k == "<":
+                d += 1
+            elif pd == 0 and k == ">":
+                d -= 1
+                if d == 0:
+                    return j + 1
+            elif pd == 0 and k == ">>":
+                d -= 2
+                if d <= 0:
+                    return j + 1
+            elif k in (";", "{"):
+                return start
+            j += 1
+        return start
+
     def _parse_out_of_line(self, path, tname, parent, index):
         """Out-of-line C++ member definitions at file scope:
         ``Type A::B::member = init;`` binds the initializer to the class's
@@ -1683,17 +1720,20 @@ class CFamilyFrontend(Emitter):
         attaches the body to the in-class prototype when one exists."""
         j = self.i
         segs = [self.toks[j].text]
-        j += 1
+        last_ident = j
+        j = self._skip_angle_group(j + 1)
         while self.toks[j].kind == "::" and self.toks[j + 1].kind == "ident":
             segs.append(self.toks[j + 1].text)
-            j += 2
+            last_ident = j + 1
+            j = self._skip_angle_group(j + 2)
         if len(segs) < 2:
             return None
         member, owner = segs[-1], segs[-2]
         rec = self.records.get(owner)
-        if self.toks[j].kind == "(":
+        if self.toks[j].kind == "(" and last_ident == j - 1:
             # method definition — reposition at the member ident so
-            # parse_function consumes the name normally
+            # parse_function consumes the name normally (template-id
+            # qualifier segments were skipped by _skip_angle_group)
             self.i = j - 1
             return self._out_of_line_fn(path, tname, owner, parent, index,
                                         ctor=(member == owner))
@@ -1836,6 +1876,18 @@ class CFamilyFrontend(Emitter):
                 self.next(); self.next(); self.next()
                 is_variadic = True
                 ptype = normalize_type(ptype + "[]")
+            if (self.dialect == "cpp" and ptype
+                    and self.peek().kind == "("
+                    and self.peek(1).kind in ("ident",)
+                    and self.peek(2).kind == ")"
+                    and self.peek(3).kind == "ident"
+                    and re.match(r"^_*[A-Z][A-Za-z0-9_]*$", ptype)):
+                # function-like macro decorating the parameter type
+                # (`_GLIBCXX_FWDREF(_Arg) __arg`, stl_tree.h operator()):
+                # the macro argument IS the type spelling
+                self.next()
+                ptype = normalize_type(self.next().text)
+                self.next()  # ')'
             if self.peek().kind == "(" and self.peek(1).kind == "*":
                 # function-pointer parameter `ret (*name)(params)`
                 # (FunctionPointerType.java:41; retdec client.c protos)
@@ -1857,6 +1909,41 @@ class CFamilyFrontend(Emitter):
                             break
                     self.accept(")")
                 ptype = normalize_type(f"{ptype}(*)({', '.join(fpp)})")
+            elif (self.dialect == "cpp" and self.peek().kind == "("
+                  and self.peek(1).kind == "ident"
+                  and self.peek(2).kind == "::"
+                  and self.peek(3).kind == "*"):
+                # pointer-to-member-function parameter
+                # `_Ret (_Tp::*__f)(_Arg) const` — the SGI mem_fun family
+                # (stl_function.h:1231-1412; round-5 bits/-tail fix)
+                self.next()  # '('
+                owner_parts = [self.next().text]  # owner class
+                while self.peek().kind == "::" and self.peek(1).kind == "ident":
+                    self.next()
+                    owner_parts.append(self.next().text)
+                self.accept("::")
+                self.accept("*")
+                pt = (self.next() if self.peek().kind == "ident" else None)
+                self.accept(")")
+                fpp = []
+                if self.accept("("):
+                    while self.peek().kind not in (")", "eof"):
+                        fp = self.parse_type()
+                        if fp is None:
+                            self.next()
+                            continue
+                        fpp.append(fp)
+                        if self.peek().kind == "ident":
+                            self.next()
+                        if not self.accept(","):
+                            break
+                    self.accept(")")
+                if (self.peek().kind == "ident"
+                        and self.peek().text == "const"):
+                    self.next()  # cv-qualified member function
+                ptype = normalize_type(
+                    f"{ptype}({'::'.join(owner_parts)}::*)"
+                    f"({', '.join(fpp)})")
             elif (self.peek().kind == "(" and self.peek(1).kind == "&"
                   and self.dialect == "cpp"):
                 # reference-to-array parameter `T (&name)[N]`
@@ -1968,6 +2055,70 @@ class CFamilyFrontend(Emitter):
             # declaration-only, no body
             self.next()
             self.next()
+        if (self.dialect == "cpp" and self.peek().kind == ":"
+                and self.peek(1).kind == "ident"):
+            # ctor mem-initializer list `P() : x(a), Base(0), y{...} {`
+            # (round 5): members get initializer DFG like in-class field
+            # inits; a class-or-base target (incl. the DELEGATING
+            # `P() : P(0)`) becomes an ExplicitConstructorInvocation
+            # resolved through the ctor ladder — the same node model the
+            # java dialect emits for this()/super().  Before this, the
+            # list leaked into the record-member loop: delegating ctors
+            # degraded to Problem nodes (random.h param_type x16) and the
+            # ctor BODY silently parsed as record members.
+            self.next()
+            ii = 0
+            while self.peek().kind == "ident":
+                mt = self.next()
+                while self.peek().kind == "::" and self.peek(1).kind == "ident":
+                    self.next()
+                    mt = self.next()  # qualified base: last segment names it
+                if self.peek().kind == "<":
+                    self._skip_balanced("<", ">")  # Base<T>(...)
+                mpath = f"{path}.minit[{ii}]"
+                is_ctor_target = (record is not None
+                                  and (mt.text == record["name"]
+                                       or mt.text in record["supers"]))
+                f_id = (record["fields"].get(mt.text)
+                        if record is not None else None)
+                if self.peek().kind == "(" and is_ctor_target:
+                    nid = self.node(
+                        mpath, "ExplicitConstructorInvocation",
+                        "this" if mt.text == record["name"] else "super",
+                        self._tloc(mt),
+                        props={"containingClass": mt.text})
+                    args = self._parse_args(nid, mpath)
+                    self.ast_edge(fid, nid, "INITIALIZERS", ii)
+                    # deferred: the delegated-to ctor may be declared
+                    # LATER in the class (random.h's
+                    # `param_type() : param_type(0)`) — resolve once the
+                    # whole document is parsed, like the reference's
+                    # whole-graph CallResolver
+                    self._deferred_ctor_inits = getattr(
+                        self, "_deferred_ctor_inits", [])
+                    self._deferred_ctor_inits.append((nid, mt.text, args))
+                elif self.peek().kind == "(":
+                    self.next()
+                    eid = None
+                    if self.peek().kind != ")":
+                        eid, _ = self.parse_expr(mpath)
+                        while self.accept(","):
+                            if self.peek().kind == ")":
+                                break
+                            self.parse_expr(f"{mpath}.x[{ii}]")
+                    self.expect(")")
+                    if eid is not None:
+                        self.ast_edge(fid, eid, "INITIALIZERS", ii)
+                        if f_id:
+                            self.edge(eid, "DFG", f_id)
+                elif self.peek().kind == "{":
+                    lid, _ = self.parse_init_list(mpath)
+                    self.ast_edge(fid, lid, "INITIALIZERS", ii)
+                    if f_id:
+                        self.edge(lid, "DFG", f_id)
+                ii += 1
+                if not self.accept(","):
+                    break
         has_body = self.peek().kind == "{"
         if has_body:
             infos = self.parse_block(path + ".body", fid, "BODY")
@@ -2032,6 +2183,43 @@ class CFamilyFrontend(Emitter):
             self.ast_edge(parent, fid, "DECLARATIONS", index)
         return fid
 
+    def _scan_tparam_tokens(self, stop_eq: bool = False) -> str:
+        """Balanced token run inside a template parameter list: stops at
+        `,` / `>` / `>>` (and `=` when ``stop_eq``) at depth 0; angles
+        only count at paren depth 0, so parenthesized comparisons
+        (`bool = (_Nb < X)`) and SFINAE call expressions
+        (`enable_if<_PCCP::template _X<_U1,_U2>() && ...>`) scan
+        correctly.  A terminal `>>` with one open angle splits in place
+        (`X<Y>>`: first `>` closes the run, second stays for the
+        header).  Returns the spelling."""
+        parts, pd, ad = [], 0, 0
+        while self.peek().kind != "eof":
+            k = self.peek().kind
+            if pd == 0 and ad == 0 and (
+                    k in (",", ">", ">>") or (stop_eq and k == "=")):
+                break
+            if k in ("(", "["):
+                pd += 1
+            elif k in (")", "]"):
+                pd -= 1
+            elif k == "<" and pd == 0:
+                ad += 1
+            elif k == ">" and pd == 0 and ad > 0:
+                ad -= 1
+            elif k == ">>" and pd == 0:
+                if ad >= 2:
+                    ad -= 2
+                else:
+                    parts.append(">")
+                    old = self.peek()
+                    self.toks[self.i] = Tok(">", ">", old.line, old.col + 1)
+                    if ad == 1:
+                        ad = 0
+                        continue
+                    break
+            parts.append(self.next().text)
+        return " ".join(parts)
+
     def parse_template(self, path: str, record, parent, index):
         """``template <class T=int, int N=5>`` + realization —
         FunctionTemplateDeclaration with PARAMETERS (TypeParamDeclaration
@@ -2046,13 +2234,35 @@ class CFamilyFrontend(Emitter):
         while self.peek().kind not in (">", "eof"):
             if self.peek().kind == "ident" and self.peek().text in (
                     "class", "typename"):
-                self.next()
+                kw_tok = self.next()
                 pack = False
                 if (self.peek().kind == "." and self.peek(1).kind == "."
                         and self.peek(2).kind == "."):
                     # template parameter pack `typename... Args`
                     self.next(); self.next(); self.next()
                     pack = True
+                if (kw_tok.text == "typename" and not pack
+                        and self.peek().kind == "ident"
+                        and self.peek(1).kind in ("<", "::")):
+                    # `typename enable_if<COND, TYPE>::type [nm] [= dflt]`
+                    # — a DEPENDENT-typed non-type parameter, the SFINAE
+                    # constructor gate all over libstdc++'s bits/
+                    # (stl_pair.h:375-560); `typename` here introduces a
+                    # dependent type, not a type-parameter name (round-5
+                    # bits/-tail fix: these degraded as 'expected >')
+                    tspell = self._scan_tparam_tokens(stop_eq=True)
+                    nt = (self.next() if self.peek().kind == "ident"
+                          else None)
+                    dflt = (self._scan_tparam_tokens()
+                            if self.accept("=") else None)
+                    tparams.append({"kind": "value",
+                                    "name": nt.text if nt else "",
+                                    "type": tspell, "default": dflt,
+                                    "pi": pi})
+                    pi += 1
+                    if not self.accept(","):
+                        break
+                    continue
                 # the parameter name is optional (`template<typename = D>`)
                 pname = (self.next().text if self.peek().kind == "ident"
                          else "")
@@ -2095,39 +2305,13 @@ class CFamilyFrontend(Emitter):
                     # value parameter pack `size_t... _Ind`
                     self.next(); self.next(); self.next()
                 nt = self.next() if self.peek().kind == "ident" else None
-                dflt = None
-                if self.accept("="):
-                    # the default is an arbitrary constant expression
-                    # (`unsigned long M = 0x10ffff`, `bool = (_Nb < X)`,
-                    # `codecvt_mode _M = (codecvt_mode)0`): consume a
-                    # balanced token run up to the next `,`/`>` at
-                    # depth 0 and keep the spelling
-                    parts, pd, ad = [], 0, 0
-                    while self.peek().kind != "eof":
-                        k = self.peek().kind
-                        if pd == 0 and ad == 0 and k in (",", ">", ">>"):
-                            break
-                        if k in ("(", "["):
-                            pd += 1
-                        elif k in (")", "]"):
-                            pd -= 1
-                        elif k == "<" and pd == 0:
-                            ad += 1
-                        elif k == ">" and pd == 0 and ad > 0:
-                            ad -= 1
-                        elif k == ">>" and pd == 0:
-                            if ad >= 2:
-                                ad -= 2
-                            else:
-                                # `= X<Y>>`: first `>` closes the default's
-                                # angles, second closes the header — split
-                                parts.append(">")
-                                old = self.peek()
-                                self.toks[self.i] = Tok(
-                                    ">", ">", old.line, old.col + 1)
-                                break
-                        parts.append(self.next().text)
-                    dflt = " ".join(parts)
+                # the default is an arbitrary constant expression
+                # (`unsigned long M = 0x10ffff`, `bool = (_Nb < X)`,
+                # `codecvt_mode _M = (codecvt_mode)0`): consume a
+                # balanced token run up to the next `,`/`>` at depth 0
+                # and keep the spelling
+                dflt = (self._scan_tparam_tokens()
+                        if self.accept("=") else None)
                 tparams.append({"kind": "value",
                                 "name": nt.text if nt else "",
                                 "type": ptype, "default": dflt, "pi": pi})
@@ -3746,6 +3930,18 @@ class CFamilyFrontend(Emitter):
                 spelled = ", ".join((a.get("name") or "") for a in targs)
                 base = (bid, {**bmeta,
                               "name": f"{bmeta.get('name')}<{spelled}>"})
+            elif (t.kind == "{" and self.dialect == "cpp"
+                  and base[1].get("kind") == "ref"):
+                # brace temporary `T{...}` / `Q<K&>{}` (C++11 list-init
+                # in expression position; stl_tree.h's
+                # `__is_invocable<...>{}` if-constexpr conditions) —
+                # an InitializerListExpression typed by the spelled name
+                lid, _ = self.parse_init_list(f"{path}.binit{n}")
+                bid, bmeta = base
+                tname = bmeta.get("name")
+                if tname:
+                    self.eval_type(lid, tname)
+                base = (lid, {"kind": "ile", "name": tname, "type": tname})
             elif t.kind == "(" and base[1].get("deref_of"):
                 # call through a dereferenced function pointer:
                 # `(*p)(...)` / `(a.*p)(...)` / `(a.*a.f)(...)` — the
@@ -4441,7 +4637,8 @@ class CFamilyFrontend(Emitter):
                 return False
             j += 1
         return (depth == 0 and j < len(self.toks)
-                and self.toks[j].kind in (")", ",", ";", "]", "?", "}"))
+                and self.toks[j].kind in (")", ",", ";", "]", "?", "}",
+                                          "{"))
 
     def _parse_template_args(self, path: str) -> list[dict]:
         """``<double, 3>`` (possibly empty ``<>``): type args become
@@ -4455,7 +4652,13 @@ class CFamilyFrontend(Emitter):
                     # ident directly followed by its own angle list can
                     # only be a type in template-argument position
                     self.peek().kind == "ident"
-                    and self.peek(1).kind == "<"):
+                    and self.peek(1).kind == "<") or (
+                    # trailing-reference arg `value_type&&` / `T&` right
+                    # before ','/'>' — a VALUE expression cannot end in a
+                    # reference qualifier (stl_tree.h __conditional_t)
+                    self.peek().kind == "ident"
+                    and self.peek(1).kind in ("&", "&&", "*")
+                    and self.peek(2).kind in (",", ">", ">>")):
                 targs.append({"kind": "type", "name": self.parse_type()})
             else:
                 aid, ameta = self.parse_operand(f"{path}[{i}]")
@@ -4872,6 +5075,9 @@ class CFamilyFrontend(Emitter):
                 self._ref_sig_hint[rt] = sig
 
     def _resolve_locally(self):
+        for _nid, _tname, _args in getattr(self, "_deferred_ctor_inits", []):
+            # mem-initializer ctor targets (parse-order independent)
+            self._resolve_ctor(_nid, _tname, _args)
         self._process_fnptr_assigns()
         for ref_id, name, scopes, access, seq in self.pending_refs:
             d = self._lookup(scopes, name, seq)

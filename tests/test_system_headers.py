@@ -157,3 +157,89 @@ def test_modern_cpp_constructs_parse_clean():
         g = parse_cpp_document(name + ".cpp", 0, src, "m")
         probs = [x for x in g.nodes if "Problem" in x["label"]]
         assert not probs, (name, [p["name"] for p in probs])
+
+
+CXX_BITS = (sorted(glob.glob(CXX_DIRS[0] + "bits/*.h")) if CXX_DIRS else [])
+
+
+@pytest.mark.skipif(len(CXX_BITS) < 20, reason="no libstdc++ bits/ here")
+def test_libstdcxx_bits_internals_bounded():
+    """The deep-template tail (round 5, VERDICT item 7): libstdc++'s
+    bits/ internals — SFINAE constructor gates, delegating ctors +
+    mem-initializer lists, pointer-to-member-function params, brace
+    temporaries in if-constexpr conditions, template-id-qualified
+    out-of-line member definitions.  Round 4 measured 1.16 pm; the
+    round-5 grammar work bounds it at 0.6 pm (measured 0.38)."""
+    tot_nodes = tot_prob = 0
+    whole = []
+    for f in CXX_BITS:
+        src = open(f, errors="replace").read()
+        if len(src) > 300_000:
+            continue
+        g = parse_cpp_document(f, 0, src, "std")
+        probs = [x for x in g.nodes if "Problem" in x["label"]]
+        if probs and len(g.nodes) <= len(probs) + 2:
+            whole.append(f)
+        tot_nodes += len(g.nodes)
+        tot_prob += len(probs)
+    assert not whole
+    assert tot_nodes > 50_000
+    rate_pm = tot_prob * 1000.0 / tot_nodes
+    assert rate_pm < 0.6, f"bits/ degrade {rate_pm:.3f} pm"
+
+
+def test_round5_bits_constructs_parse_clean():
+    """Construct-level pins for the round-5 bits/-tail classes (each
+    measured as a real libstdc++ failure): zero Problem nodes, and the
+    delegating ctor yields the java-model ExplicitConstructorInvocation."""
+    snippets = {
+        "sfinae_ctor_gate":
+            "template<typename _U1 = int, typename _U2 = int, typename"
+            " enable_if<__and_<A<_U1>, B<_U2>>::value, bool>::type = true>"
+            " int f() { return 0; }",
+        "mem_fn_ptr_param":
+            "template<typename R, typename T> int mem_fun(R (T::*f)())"
+            " { return 0; }\n"
+            "template<typename R, typename T, typename A>"
+            " int mem_fun(R (T::*f)(A) const) { return 1; }",
+        "macro_decorated_param":
+            "struct T { template<typename A> int operator()"
+            "(_GLIBCXX_FWDREF(A) a) { return 0; } };",
+        "brace_temp_condition":
+            "template<typename K> int f() "
+            "{ if (__is_invocable<K&, const K&>{}) return 1; return 0; }",
+        "ref_qualified_template_arg":
+            "struct S { typedef int value_type; template<bool B> void f()"
+            " { using V = __conditional_t<B, value_type&&,"
+            " const value_type&>; } };",
+        "out_of_line_template_member":
+            "template<typename K, typename C> void _Rb_tree<K, C>::"
+            "assign(_Rb_tree& x, false_type) { _Node n(*this); }",
+        "ctor_member_inits":
+            "struct P { int x; P(int a) : x(a) { int q = a; } };",
+    }
+    for name, src in snippets.items():
+        g = parse_cpp_document(f"snip/{name}", 0, src, "snip")
+        probs = [x for x in g.nodes if "Problem" in x["label"]]
+        assert not probs, f"{name}: {[p['name'] for p in probs]}"
+        if name == "ctor_member_inits":
+            # the body statement is a LOCAL declaration, not a field
+            # (the pre-round-5 silent mis-parse)
+            fields = [x for x in g.nodes if x["label"] == "FieldDeclaration"]
+            assert [x["name"] for x in fields] == ["x"]
+
+
+def test_delegating_ctor_is_explicit_invocation():
+    src = "struct P { P() : P(0) {} P(int a) {} };\n"
+    g = parse_cpp_document("snip/deleg", 0, src, "snip")
+    assert not [x for x in g.nodes if "Problem" in x["label"]]
+    inv = [x for x in g.nodes
+           if x["label"] == "ExplicitConstructorInvocation"]
+    assert len(inv) == 1 and inv[0]["name"] == "this"
+    # resolved through the ctor ladder to the 1-arg constructor
+    ctors = {x["node_id"]: x for x in g.nodes
+             if x["label"] == "ConstructorDeclaration"}
+    calls = [e for e in g.edges
+             if e["pred"] in ("CALLS", "INVOKES", "CONSTRUCTOR")
+             and e["subj"] == inv[0]["node_id"]]
+    assert any(e["obj"] in ctors for e in calls)
