@@ -408,22 +408,30 @@ def expand_expression_eog(graph) -> None:
             prev = k
         _edge(prev, n)
 
-    def subtree(n: str, acc: set, _depth: int = 0) -> set:
-        if _depth > 64:
-            return acc
-        for _, _, k in kids.get(n, []):
-            if k not in acc:
-                acc.add(k)
-                subtree(k, acc, _depth + 1)
-        return acc
+    # operand-parent map: "is subj inside obj's operand subtree" becomes
+    # a bounded ancestor walk instead of materializing every target's
+    # full descendant set (which was ~half this rewrite's cost —
+    # measured 0.105 of 0.21 s per 200 docs)
+    parent_of: dict[str, str] = {}
+    for p, ks in kids.items():
+        for _, _, k in ks:
+            parent_of[k] = p
+
+    def inside(a: str, t: str) -> bool:
+        d = 0
+        while a in parent_of and d < 64:
+            a = parent_of[a]
+            if a == t:
+                return True
+            d += 1
+        return False
 
     targets = {e["obj"] for e in graph.edges
                if e["pred"] == "EOG" and e["obj"] in kids}
-    subtrees = {t: subtree(t, set()) for t in targets}
     for e in graph.edges:
         if e["pred"] != "EOG" or e["obj"] not in targets:
             continue
-        if e["subj"] in subtrees[e["obj"]]:
+        if inside(e["subj"], e["obj"]):
             continue  # internal (e.g. short-circuit) edge — exact already
         wire(e["obj"])
         e["obj"] = entry(e["obj"])
