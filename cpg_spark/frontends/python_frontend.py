@@ -390,6 +390,15 @@ class PythonFrontend(Emitter):
             return nid, {"kind": "plain", "nid": nid}, False
         if isinstance(stmt, ast.Match):
             return self._handle_match(stmt, path)
+        if hasattr(ast, "TryStar") and isinstance(stmt, ast.TryStar):
+            # `except*` groups (PEP 654, 3.11): same TryStatement /
+            # CatchClause shape as plain try — the star affects runtime
+            # regrouping, not graph structure
+            plain = ast.Try(body=stmt.body, handlers=stmt.handlers,
+                            orelse=stmt.orelse, finalbody=stmt.finalbody)
+            ast.copy_location(plain, stmt)
+            nid, info, _ = self._stmt_impl(plain, path)
+            return nid, info, False
         return None
 
     def _handle_match(self, stmt, path):

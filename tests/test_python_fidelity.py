@@ -268,3 +268,11 @@ def test_python_stdlib_gap_rate_bound():
     assert nodes > 50_000
     rate = gaps / nodes
     assert rate < 0.005, f"python gap rate {rate:.4%}"
+
+
+def test_try_star_groups():
+    # PEP 654 `except*` — same TryStatement/CatchClause shape as try
+    g = parse("try:\n    x = 1\nexcept* ValueError as e:\n    y = e\n")
+    assert nodes_by(g, "CatchClause")
+    assert nodes_by(g, "VariableDeclaration", "e")
+    assert not gap_nodes(g)
